@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +26,31 @@ object SparkEntry {
     "user_energy"     -> ((s, d) => Komodo.userEnergy(s, d)),
     "drawing_pattern" -> ((s, d) => Komodo.drawingPattern(s, d)),
     "user_proximity"  -> ((s, d) => Komodo.userProximity(s, d)),
+    // -- relational coverage (SURVEY §2.3-2.8 + §7.3 step 5) --
+    "q1_agg"             -> ((s, d) => Relational.q1Agg(s, d)),
+    "join_revenue"       -> ((s, d) => Relational.joinRevenue(s, d)),
+    "part_join_agg"      -> ((s, d) => Relational.partJoinAgg(s, d)),
+    "semi_join_customers" -> ((s, d) => Relational.semiJoinCustomers(s, d)),
+    "anti_join_customers" -> ((s, d) => Relational.antiJoinCustomers(s, d)),
+    "rollup_pricing"     -> ((s, d) => Relational.rollupPricing(s, d)),
+    "cube_orders"        -> ((s, d) => Relational.cubeOrders(s, d)),
+    "window_topk_orders" -> ((s, d) => Relational.windowTopkOrders(s, d)),
+    "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
+    "set_union"          -> ((s, d) => Relational.setUnion(s, d)),
+    "set_intersect"      -> ((s, d) => Relational.setIntersect(s, d)),
+    "set_except"         -> ((s, d) => Relational.setExcept(s, d)),
+    "topk_lineitem"      -> ((s, d) => Relational.topkLineitem(s, d)),
+    "distinct_having"    -> ((s, d) => Relational.distinctHaving(s, d)),
+    "scalar_funcs"       -> ((s, d) => Relational.scalarFuncs(s, d)),
+    "date_funcs"         -> ((s, d) => Relational.dateFuncs(s, d)),
+    "cond_agg"           -> ((s, d) => Relational.condAgg(s, d)),
+    "approx_distinct"    -> ((s, d) => Relational.approxDistinct(s, d)),
+    // -- text analysis (training-data pipeline surface) --
+    "txt_token_count"    -> ((s, d) => TextAnalytics.tokenCount(s, d)),
+    "txt_word_freq"      -> ((s, d) => TextAnalytics.wordFreq(s, d)),
+    "txt_quality"        -> ((s, d) => TextAnalytics.qualityScore(s, d)),
+    "txt_lang_id"        -> ((s, d) => TextAnalytics.langId(s, d)),
+    "txt_fingerprint"    -> ((s, d) => TextAnalytics.fingerprint(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -34,5 +60,28 @@ object SparkEntry {
     "user_energy"     -> Komodo.userEnergySql,
     "drawing_pattern" -> Komodo.drawingPatternSql,
     "user_proximity"  -> Komodo.userProximitySql,
+    "q1_agg"             -> Relational.q1AggSql,
+    "join_revenue"       -> Relational.joinRevenueSql,
+    "part_join_agg"      -> Relational.partJoinAggSql,
+    "semi_join_customers" -> Relational.semiJoinCustomersSql,
+    "anti_join_customers" -> Relational.antiJoinCustomersSql,
+    "rollup_pricing"     -> Relational.rollupPricingSql,
+    "cube_orders"        -> Relational.cubeOrdersSql,
+    "window_topk_orders" -> Relational.windowTopkOrdersSql,
+    "window_running_sum" -> Relational.windowRunningSumSql,
+    "set_union"          -> Relational.setUnionSql,
+    "set_intersect"      -> Relational.setIntersectSql,
+    "set_except"         -> Relational.setExceptSql,
+    "topk_lineitem"      -> Relational.topkLineitemSql,
+    "distinct_having"    -> Relational.distinctHavingSql,
+    "scalar_funcs"       -> Relational.scalarFuncsSql,
+    "date_funcs"         -> Relational.dateFuncsSql,
+    "cond_agg"           -> Relational.condAggSql,
+    // approx_distinct: HLL sketch is engine-specific → rows-only check
+    "txt_token_count"    -> TextAnalytics.tokenCountSql,
+    "txt_word_freq"      -> TextAnalytics.wordFreqSql,
+    "txt_quality"        -> TextAnalytics.qualityScoreSql,
+    "txt_lang_id"        -> TextAnalytics.langIdSql,
+    "txt_fingerprint"    -> TextAnalytics.fingerprintSql,
   )
 }

@@ -1,0 +1,146 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (builder prompt / SURVEY §4.3): token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting, word
+  * frequencies.
+  *
+  * Everything is built from codegen'd `functions._` + higher-order array
+  * functions — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and column pruning reaches the parquet scan (only `doc_id`,
+  * `text` are read). All derived numbers are integer-exact or
+  * single-division doubles, so the DuckDB oracle matches bit-for-bit.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokenization shared by every query (the fixture corpus is
+    * single-space separated). A BPE-ish refinement would swap this split
+    * for a regex of word pieces; the aggregation shape is unchanged. */
+  private val toks = split(col("text"), " ")
+
+  // --- token counting -------------------------------------------------------
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("char_len"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(length(text) AS INT) AS char_len,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- corpus word frequencies (explode → hash agg → top-k) ----------------
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(100)
+
+  val wordFreqSql: String =
+    """SELECT word, count(*) AS freq FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |) GROUP BY word
+      |ORDER BY freq DESC, word
+      |LIMIT 100""".stripMargin
+
+  // --- quality scoring ------------------------------------------------------
+  /** Length / stopword-ratio / mean-token-length heuristics (the standard
+    * cheap pre-filters of an LLM data pipeline). `avg_token_len` uses the
+    * exact identity total_token_chars = length(text) - (n_tokens - 1) for a
+    * single-space corpus, keeping the math one division. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val n    = size(toks).cast("double")
+    val stop = expr("size(filter(split(text, ' '), t -> t IN ('the','and','of','to','a','in','is')))").cast("double")
+    val avgLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.cast("int").as("n_tokens"),
+        (stop / n).as("stopword_ratio"),
+        avgLen.as("avg_token_len"),
+        ((stop / n) * lit(0.5) + avgLen * lit(0.1)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |       CAST(n AS INT) AS n_tokens,
+      |       stop / n AS stopword_ratio,
+      |       (CAST(length(text) AS DOUBLE) - (n - 1.0)) / n AS avg_token_len,
+      |       (stop / n) * 0.5 + ((CAST(length(text) AS DOUBLE) - (n - 1.0)) / n) * 0.1 AS quality_score
+      |FROM (
+      |  SELECT doc_id, text,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |               t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- language-ID heuristic ------------------------------------------------
+  /** Marker-token voting — per-language stopword hit counts with a total
+    * argmax decode. (On the synthetic corpus every document shares one
+    * vocabulary, so this demonstrates the operator shape, not linguistics;
+    * a real n-gram model changes only the marker lists.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: String) =
+      expr(s"size(filter(split(text, ' '), t -> t IN ($words)))")
+    val sEn = hits("'the','and','is'")
+    val sFr = hits("'le','la','et'")
+    val sDe = hits("'der','und','ist'")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        sEn.as("score_en"), sFr.as("score_fr"), sDe.as("score_de"),
+        when(sEn >= sFr && sEn >= sDe, "en")
+          .when(sFr >= sDe, "fr")
+          .otherwise("de").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id, lang AS declared_lang,
+      |       CAST(s_en AS INT) AS score_en,
+      |       CAST(s_fr AS INT) AS score_fr,
+      |       CAST(s_de AS INT) AS score_de,
+      |       CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |            WHEN s_fr >= s_de THEN 'fr'
+      |            ELSE 'de' END AS predicted_lang
+      |FROM (
+      |  SELECT doc_id, lang, text,
+      |         len(list_filter(string_split(text,' '), t -> t IN ('the','and','is'))) AS s_en,
+      |         len(list_filter(string_split(text,' '), t -> t IN ('le','la','et'))) AS s_fr,
+      |         len(list_filter(string_split(text,' '), t -> t IN ('der','und','ist'))) AS s_de
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- document fingerprinting ---------------------------------------------
+  /** Two content fingerprints: raw md5 (byte-exact identity) and a
+    * bag-of-words fingerprint (md5 of the sorted distinct token set) that
+    * is invariant to word order — the cheap exact-dedup keys. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(col("text")), " ")))))
+          .as("bag_md5"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(text) AS content_md5,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
