@@ -51,6 +51,17 @@ object SparkEntry {
     "txt_quality"        -> ((s, d) => TextAnalytics.qualityScore(s, d)),
     "txt_lang_id"        -> ((s, d) => TextAnalytics.langId(s, d)),
     "txt_fingerprint"    -> ((s, d) => TextAnalytics.fingerprint(s, d)),
+    // -- dedup (training-data pipeline surface) --
+    "dedup_exact"        -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh"  -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"      -> ((s, d) => Dedup.simhash(s, d)),
+    // -- similarity search over embeddings --
+    "ann_brute_force"    -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "emb_neardup"        -> ((s, d) => Similarity.embNearDup(s, d)),
+    "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
+    // -- multimodal binary-column plumbing --
+    "mm_features"        -> ((s, d) => Multimodal.mmFeatures(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -83,5 +94,13 @@ object SparkEntry {
     "txt_quality"        -> TextAnalytics.qualityScoreSql,
     "txt_lang_id"        -> TextAnalytics.langIdSql,
     "txt_fingerprint"    -> TextAnalytics.fingerprintSql,
+    "dedup_exact"        -> Dedup.exactDedupSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    // dedup_minhash_lsh / dedup_simhash: xxhash64 signatures are
+    // engine-specific → rows-only check
+    "ann_brute_force"    -> Similarity.annBruteForceSql,
+    "emb_neardup"        -> Similarity.embNearDupSql,
+    "ann_ivf"            -> Similarity.annIvfSql,
+    "mm_features"        -> Multimodal.mmFeaturesSql,
   )
 }

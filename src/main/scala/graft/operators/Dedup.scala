@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the LLM-training-pipeline
+  * surface (builder prompt; SURVEY §4.3): exact hash dedup, word-trigram
+  * Jaccard set-similarity join, MinHash+LSH candidate generation, and
+  * SimHash near-dup detection.
+  *
+  * Scale strategy (100 TB): the exact-Jaccard pair join is the *verifier*,
+  * quadratic in the worst case, so it is only ever run inside a blocking
+  * key (here: `source`); MinHash-LSH and SimHash are the scalable candidate
+  * generators — linear scans producing signatures, then a shuffle keyed on
+  * (band, band_key) whose fan-out is controlled by band size, then exact
+  * verification only on candidates. All hashing is Spark's codegen'd
+  * xxhash64/md5 — no UDFs.
+  */
+object Dedup {
+
+  /** Distinct word-trigram shingle set per document, as one array column.
+    * Documents with <3 tokens have no trigram (the `sequence` guard
+    * mirrors DuckDB's empty `range(1, n-1)` for n<3). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("shingles"))
+
+  // --- exact dedup (hash-groupBy) ------------------------------------------
+  /** Exact duplicate groups keyed on md5(text): one shuffle on the hash,
+    * keeper = min(doc_id). `dropDuplicates` is the one-liner form; this
+    * shape also reports group sizes. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keeper_id""".stripMargin
+
+  // --- n-gram Jaccard set-similarity join (exact, blocked) -----------------
+  /** Word-trigram Jaccard between all pairs within one blocking key
+    * (source='src0'): explode distinct shingles → self-equi-join on the
+    * shingle (the inverted-index trick: only pairs sharing ≥1 shingle are
+    * ever materialized) → per-pair intersection count → Jaccard from true
+    * set sizes. At scale the blocking key bounds the quadratic term;
+    * unblocked corpora go through [[minhashLsh]] instead. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.02): DataFrame = {
+    val docs  = Tables.documents(spark, dir).filter(col("source") === "src0")
+    val sh    = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE source = 'src0'
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |    FROM d)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d1, d2, inter, n1, n2, jaccard FROM (
+      |  SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2,
+      |         CAST(p.inter AS DOUBLE) / CAST(s1.n + s2.n - p.inter AS DOUBLE) AS jaccard
+      |  FROM pairs p
+      |  JOIN sizes s1 ON p.d1 = s1.doc_id
+      |  JOIN sizes s2 ON p.d2 = s2.doc_id
+      |) WHERE jaccard >= 0.02
+      |ORDER BY jaccard DESC, d1, d2""".stripMargin
+
+  // --- MinHash + LSH (scalable near-dup candidates; rows-only check) -------
+  /** 64 minhashes per document (xxhash64 seeded by slot), banded 32×2:
+    * documents agreeing on both hashes of any band land in the same LSH
+    * bucket and become a candidate pair; candidates are then verified with
+    * the exact Jaccard on the shingle arrays. Everything before the
+    * candidate join is a linear scan; the join is keyed on (band,
+    * band_key) so the shuffle fan-out is bounded by bucket sizes.
+    * xxhash64 is engine-specific → no DuckDB oracle (rows-only check). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(Tables.documents(spark, dir))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 63), s -> array_min(transform(shingles, x -> xxhash64(x, s))))"))
+    val bands = sig.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 31), b -> named_struct(
+        |  'band', b,
+        |  'band_key', xxhash64(concat_ws(':',
+        |      transform(slice(sig, b * 2 + 1, 2), x -> CAST(x AS STRING))))))""".stripMargin))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sh = sig.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(1000)
+  }
+
+  // --- SimHash (rows-only check) -------------------------------------------
+  /** 64-bit SimHash per document: each token votes ±1 on every bit of its
+    * xxhash64; the fingerprint takes the sign. Near-dups = pairs within
+    * Hamming distance ≤ 8, found by the 4×16-bit band trick (any identical
+    * 16-bit chunk → candidate), then exact popcount verification. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (simhash >> (c * 16)) & 65535))"))
+      .as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(1000)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, plus feature-extraction over them (builder prompt:
+  * the decode step is STUBBED — image/audio codecs aren't in this
+  * container — while the Spark-side schema, partitioning, and batch shape
+  * are real and tested).
+  *
+  * The fixture has no binary table, so `mm_features` materializes the
+  * payload from `documents.text` (utf-8 bytes) — at ingest time a real
+  * deployment would read the bytes from object storage into the same
+  * column shape. Every derived feature below is a pure codegen'd function
+  * of the bytes, so the whole scan stays in whole-stage codegen and the
+  * payload column is pruned away the moment the features are computed.
+  */
+object Multimodal {
+
+  /** Media record as it would land from ingest: id + opaque payload +
+    * typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String,
+                         lang: String, n_chars: Long)
+
+  /** Output of the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+                           height: Int, n_frames: Int, frame0_crc: Long)
+
+  // --- batch feature extraction (oracle-checked) ---------------------------
+  /** Payload → features in one projection: byte length, content md5, the
+    * first 8 payload bytes as hex (a magic-number/header probe), and a
+    * deterministic FAKE decode (width/height/frame-count derived from the
+    * byte length — a stand-in for the codec call, clearly marked). */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("text"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        substring(hex(col("payload")), 1, 16).as("header_hex"),
+        // -- stubbed decode: deterministic fake in place of a codec --
+        (octet_length(col("payload")) % 640).as("width"),
+        ((octet_length(col("payload")) * 7) % 480).as("height"),
+        (octet_length(col("payload")) % 24 + 1).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  val mmFeaturesSql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(text::BLOB) AS INT) AS byte_len,
+      |       md5(text) AS content_md5,
+      |       substring(hex(text::BLOB), 1, 16) AS header_hex,
+      |       CAST(octet_length(text::BLOB) % 640 AS INT) AS width,
+      |       CAST((octet_length(text::BLOB) * 7) % 480 AS INT) AS height,
+      |       CAST(octet_length(text::BLOB) % 24 + 1 AS INT) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- typed decode pipeline (mapPartitions batch shape) -------------------
+  /** The decode path a real deployment would run: partition-wise batches of
+    * [[MediaRecord]] through a decoder into [[MediaFeatures]]. The decoder
+    * here is a deterministic stub (??? replaced by byte arithmetic) — the
+    * partitioning, encoder plumbing, and per-partition batching are the
+    * real contract a codec (libjpeg/ffmpeg behind a JNI or Pandas-UDF
+    * boundary) would drop into. Used by tests; not an oracle query (the
+    * typed path exists to exercise the Dataset API surface). */
+  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // One decoder instance per partition — the expensive-init seam where
+      // a real codec context would be created once and reused.
+      it.map { r =>
+        val len = r.payload.length
+        val crc = new java.util.zip.CRC32()
+        crc.update(r.payload, 0, math.min(len, 64))
+        MediaFeatures(r.doc_id, len, len % 640, (len * 7) % 480, len % 24 + 1,
+          crc.getValue)
+      }
+    }
+  }
+
+  /** documents → typed MediaRecord dataset (the ingest-side adapter). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"), col("lang"), col("n_chars"))
+      .as[MediaRecord]
+  }
+}

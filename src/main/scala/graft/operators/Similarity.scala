@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, 64-dim) — brute-force cosine top-k as the exactness
+  * baseline, a sign-LSH bucketed pair join for near-duplicate detection,
+  * and an IVF-style partition-probe top-k as the scale path.
+  *
+  * All vector math is Spark higher-order functions (`zip_with` +
+  * `aggregate` fold) evaluated in DOUBLE — codegen-adjacent, UDF-free, and
+  * bit-identical to the DuckDB oracle's `list_dot_product` (both fold the
+  * products in element order).
+  *
+  * Scale strategy (100 TB): brute-force is O(Q·N·d) — fine for small query
+  * sets because the corpus side streams (one scan, no shuffle; queries are
+  * broadcast). The pairwise near-dup query is only quadratic *within an
+  * LSH bucket* (8 sign bits → 256-way blocking). IVF probes one coarse
+  * partition per query (here the pre-assigned `label` plays the centroid
+  * id), cutting the scanned fraction to 1/k — the standard
+  * recall-for-throughput trade.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, folded in element order as
+    * DOUBLE. */
+  private def dot(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Corpus with the L2 norm precomputed once (reused by every query). */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dot("embedding", "embedding")))
+
+  // --- brute-force cosine top-k --------------------------------------------
+  /** For each query vector (vec_id < 5): scan the corpus, cosine against
+    * every vector, keep the top 10 by ranking window. Queries are broadcast
+    * so the corpus scan never shuffles; the row_number window partitions by
+    * query id. */
+  def annBruteForce(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus  = withNorm(Tables.embeddings(spark, dir))
+    val queries = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annBruteForceSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |         list_dot_product(c.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / (c.norm * q.q_norm) AS cos_sim
+      |  FROM c CROSS JOIN q
+      |  WHERE c.vec_id <> q.q_id
+      |)
+      |SELECT q_id, vec_id, cos_sim, rank FROM (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      |  FROM scored
+      |) WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  // --- sign-LSH bucketed near-duplicate pairs ------------------------------
+  /** Random-hyperplane-style LSH with the 8 leading dimension signs as the
+    * bucket code (256 buckets): only same-bucket pairs are compared, so the
+    * pair join is quadratic per bucket, not per corpus. Cosine ≥ 0.3 pairs
+    * survive. */
+  def embNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val code = expr(
+      "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), shiftleft(1, i), 0))")
+    val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", code)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("norm").as("norm1"), col("bucket"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("norm").as("norm2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", dot("e1", "e2") / (col("norm1") * col("norm2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("bucket"), col("v1"), col("v2"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("v1"), col("v2"))
+  }
+
+  val embNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+      |         list_sum(list_transform(range(0, 8),
+      |             i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << i) ELSE 0 END)) AS bucket
+      |  FROM embeddings
+      |)
+      |SELECT bucket, v1, v2, cos_sim FROM (
+      |  SELECT CAST(a.bucket AS INT) AS bucket, a.vec_id AS v1, b.vec_id AS v2,
+      |         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / (a.norm * b.norm) AS cos_sim
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |) WHERE cos_sim >= 0.3
+      |ORDER BY cos_sim DESC, v1, v2""".stripMargin
+
+  // --- IVF-style partition probe -------------------------------------------
+  /** IVF top-k: the corpus is pre-partitioned by a coarse quantizer (the
+    * fixture's `label` column stands in for the assigned centroid id); each
+    * query probes only its own partition's inverted list — 1/k of the
+    * corpus scanned per query. Same ranking-window shape as brute force, so
+    * swapping quantizers never touches the query. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val corpus  = withNorm(Tables.embeddings(spark, dir))
+    val queries = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(broadcast(queries), corpus("label") === queries("q_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annIvfSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, label, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, label AS q_label
+      |  FROM c WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |         list_dot_product(c.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / (c.norm * q.q_norm) AS cos_sim
+      |  FROM c JOIN q ON c.label = q.q_label
+      |  WHERE c.vec_id <> q.q_id
+      |)
+      |SELECT q_id, vec_id, cos_sim, rank FROM (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      |  FROM scored
+      |) WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+}
