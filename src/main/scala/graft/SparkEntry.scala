@@ -62,6 +62,9 @@ object SparkEntry {
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     // -- multimodal binary-column plumbing --
     "mm_features"        -> ((s, d) => Multimodal.mmFeatures(s, d)),
+    // -- event-time / sessionization (streaming batch twins) --
+    "event_window_agg"   -> ((s, d) => graft.streaming.EventStream.eventWindowAgg(s, d)),
+    "sessionize"         -> ((s, d) => graft.streaming.EventStream.sessionize(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -102,5 +105,7 @@ object SparkEntry {
     "emb_neardup"        -> Similarity.embNearDupSql,
     "ann_ivf"            -> Similarity.annIvfSql,
     "mm_features"        -> Multimodal.mmFeaturesSql,
+    "event_window_agg"   -> graft.streaming.EventStream.eventWindowAggSql,
+    "sessionize"         -> graft.streaming.EventStream.sessionizeSql,
   )
 }

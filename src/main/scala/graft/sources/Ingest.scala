@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Capture ingest — the reference's poll-loop pipeline (SURVEY §2.9 T1-T5,
+  * process.py:450-473) rebuilt as Spark batch + Structured Streaming.
+  *
+  * The reference parses each capture JSON on a single driver with pandas
+  * (its scalability cliff, SURVEY §3.1) and bulk-inserts into MySQL. Here
+  * the schema is explicit (schema-on-read — never inferred in production,
+  * SURVEY §1.3), parsing is distributed across executors, and the fact
+  * table is Parquet partitioned by `session_id` so every downstream
+  * analytic prunes to its session.
+  *
+  * Exactly-once: the reference marks `captures.processed` and never
+  * retries failures (process.py:251-264). Structured Streaming's
+  * checkpoint (offset log + file-source commit log) gives the same
+  * no-reprocess guarantee natively — restart resumes from the checkpoint
+  * (T2/T5).
+  */
+object Ingest {
+
+  /** The dynamic `message` JSON document (FIXTURES.md §1: reference
+    * process.py:147-204). `pos` is a struct, not a map — fixed x,y,z. */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("clientId", LongType),
+    StructField("entityType", IntegerType),
+    StructField("interactionType", IntegerType),
+    StructField("pos", StructType(Seq(
+      StructField("x", DoubleType),
+      StructField("y", DoubleType),
+      StructField("z", DoubleType)))),
+    StructField("strokeType", IntegerType),
+    StructField("strokeId", IntegerType)))
+
+  /** One capture record (the `data` fact-table row, SURVEY §1.2). */
+  val captureSchema: StructType = StructType(Seq(
+    StructField("capture_id", StringType),   // forced string (process.py:239)
+    StructField("session_id", IntegerType),
+    StructField("client_id", IntegerType),
+    StructField("type", StringType),
+    StructField("ts", LongType),             // epoch ms
+    StructField("seq", LongType),
+    StructField("message", messageSchema)))
+
+  /** Batch ingest of one-or-many capture JSON files (S1): distributed
+    * parse with the explicit schema; `session_id`/`start_ms` recovered
+    * from the `{session}_{startMs}` capture_id convention (reference
+    * process.py:460-461, X6). */
+  def readCaptures(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(captureSchema).json(path)
+      .withColumn("session_from_id", split(col("capture_id"), "_").getItem(0).cast("int"))
+      .withColumn("start_ms", split(col("capture_id"), "_").getItem(1).cast("long"))
+
+  /** Append to the fact table (S2): Parquet partitioned by session — the
+    * layout every per-session analytic prunes on. */
+  def appendToFactTable(df: DataFrame, tableDir: String): Unit =
+    df.write.mode("append").partitionBy("session_id").parquet(tableDir)
+
+  /** Streaming ingest (T1): file source over the captures directory,
+    * 10-second micro-batches (the reference's poll interval,
+    * process.py:469), checkpointed parquet sink. A capture becomes
+    * visible to the source only when its file is fully committed —
+    * the analog of the reference's `end IS NOT NULL` readiness gate. */
+  def streamCaptures(spark: SparkSession, inputDir: String, tableDir: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    spark.readStream
+      .schema(captureSchema)
+      .json(inputDir)
+      .writeStream
+      .format("parquet")
+      .option("path", tableDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("session_id")
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Event-time processing over the `events` stream (SURVEY §2.9 extension:
+  * the reference's only stream is its ingest control loop — watermarked
+  * windows and stateful operators are the category-coverage additions).
+  *
+  * Each operator has two forms where it makes sense: the Structured
+  * Streaming form (readStream-composable, watermarked) and a batch twin
+  * registered in SparkEntry with a DuckDB oracle — identical semantics,
+  * so the streaming path is testable against the batch result.
+  */
+object EventStream {
+
+  /** nanos-long `ts` (Tables.events) → proper event-time column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  // --- watermarked tumbling-window aggregation (streaming form) -----------
+  /** 1-hour tumbling windows per event_type with a 10-minute watermark:
+    * the standard late-data-tolerant streaming aggregation. Works on any
+    * DataFrame with `event_time`/`event_type`/`value` — batch or stream. */
+  def windowedCounts(eventsWithTime: DataFrame): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+
+  // --- batch twin with oracle ----------------------------------------------
+  /** Same tumbling aggregation, arithmetic hour buckets (exact integer
+    * math on epoch ms — no timezone semantics to diverge on). */
+  def eventWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket_ms", expr("(ts_ms div 3600000)") * 3600000L)
+      .groupBy(col("bucket_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy(col("bucket_ms"), col("event_type"))
+
+  val eventWindowAggSql: String =
+    Tables.eventsOracleCte +
+      """
+        |SELECT (ts_ms // 3600000) * 3600000 AS bucket_ms, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev
+        |GROUP BY 1, 2
+        |ORDER BY bucket_ms, event_type""".stripMargin
+
+  // --- batch sessionization (gap-based, window-function form) --------------
+  /** Sessionize each user's stream with a 30-minute inactivity gap: a new
+    * session starts where the gap from the previous event exceeds the
+    * threshold; the session index is a running sum of those boundaries —
+    * two partitioned windows, no state store needed in batch. */
+  def sessionize(spark: SparkSession, dir: String, gapMs: Long = 1800000L): DataFrame = {
+    val byUser  = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap     = col("ts_ms") - lag("ts_ms", 1).over(byUser)
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_ms")).as("start_ms"),
+           max(col("ts_ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val sessionizeSql: String =
+    Tables.eventsOracleCte +
+      """, flagged AS (
+        |  SELECT user_id, event_id, ts_ms,
+        |         CASE WHEN ts_ms - lag(ts_ms, 1) OVER w IS NULL
+        |                OR ts_ms - lag(ts_ms, 1) OVER w > 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), indexed AS (
+        |  SELECT user_id, ts_ms,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id
+        |                                ORDER BY ts_ms, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM indexed
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+
+  // --- stateful streaming (mapGroupsWithState) ------------------------------
+  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Running per-user event counts with explicit keyed state — the
+    * mapGroupsWithState shape a custom stateful operator (sessionization
+    * with timeouts, CEP, enrichment caches) drops into. Update output
+    * mode; state is one long per user. */
+  def runningUserCounts(evs: Dataset[Ev]): Dataset[UserCount] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val next = state.getOption.getOrElse(0L) + it.size
+          state.update(next)
+          UserCount(uid, next)
+      }
+  }
+}

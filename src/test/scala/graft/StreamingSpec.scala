@@ -1,0 +1,86 @@
+package graft
+
+import graft.sources.{Dispatch, Ingest}
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch twin eventWindowAgg equals the streaming windowedCounts result") {
+    val batch = EventStream.eventWindowAgg(spark, sf)
+      .select(col("bucket_ms"), col("event_type"), col("n_events"), col("sum_value"))
+    val viaWindow = EventStream.windowedCounts(
+        EventStream.withEventTime(Tables.events(spark, sf)))
+      .select(expr("unix_millis(window.start)").as("bucket_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    assert(batch.except(viaWindow).count() === 0)
+    assert(viaWindow.except(batch).count() === 0)
+  }
+
+  test("stateful runningUserCounts over a memory stream accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.runningUserCounts(input.toDS())
+      .writeStream.format("memory").queryName("counts").outputMode("update").start()
+    try {
+      input.addData(EventStream.Ev(1, 1000, 1.0), EventStream.Ev(1, 2000, 2.0),
+        EventStream.Ev(2, 1000, 3.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Ev(1, 3000, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("counts").groupBy("user_id")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last(1L) === 3L) // state carried across micro-batches
+      assert(last(2L) === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming ingest: file lands once, restart does not reprocess (T2)") {
+    val in = tmp("captures"); val out = tmp("fact"); val ck = tmp("ckpt")
+    val rec =
+      """{"capture_id":"126_1630443513898","session_id":126,"client_id":5,
+        |"type":"sync","ts":1630443513898,"seq":1,
+        |"message":{"clientId":5,"entityType":0,"interactionType":1,
+        |"pos":{"x":1.0,"y":2.0,"z":3.0},"strokeType":null,"strokeId":null}}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(java.nio.file.Paths.get(s"$in/c1.json"), rec)
+
+    val q1 = Ingest.streamCaptures(spark, in, out, ck, Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 1)
+
+    // restart over the same checkpoint: nothing new → still exactly one row
+    val q2 = Ingest.streamCaptures(spark, in, out, ck, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() === 1)
+
+    val row = spark.read.parquet(out).selectExpr("message.pos.x").first()
+    assert(row.getDouble(0) === 1.0)
+  }
+
+  test("dispatch: routes known functions, ignores unknown, ledger prevents rerun") {
+    import spark.implicits._
+    val outDir = tmp("csv"); val ledgerDir = tmp("ledger") + "/ledger"
+    val requests = Seq(
+      (1L, "aggregate_interaction_type", 0),
+      (2L, "no_such_function", 0),
+      (3L, "user_energy", 0)
+    ).toDF("request_id", "aggregation_function", "is_it_fulfilled")
+
+    val done = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
+    assert(done.map(_._1).toSet === Set(1L, 3L)) // unknown fn silently skipped
+    assert(new java.io.File(s"$outDir/request_1").exists())
+
+    // second pass: ledger marks them fulfilled → nothing runs
+    val again = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
+    assert(again.isEmpty)
+  }
+}
