@@ -29,6 +29,17 @@ object Dedup {
           |  sequence(1, size(split(text, ' ')) - 2),
           |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("shingles"))
 
+  /** Exploded distinct (doc_id, shingle) rows. The token array is bound to
+    * a column first so the lambda does three O(1) element lookups instead
+    * of re-splitting the text per position. */
+  private def shingleRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .as("shingle"))
+      .distinct()
+
   // --- exact dedup (hash-groupBy) ------------------------------------------
   /** Exact duplicate groups keyed on md5(text): one shuffle on the hash,
     * keeper = min(doc_id). `dropDuplicates` is the one-liner form; this
@@ -98,37 +109,65 @@ object Dedup {
       |ORDER BY jaccard DESC, d1, d2""".stripMargin
 
   // --- MinHash + LSH (scalable near-dup candidates; rows-only check) -------
-  /** 64 minhashes per document (xxhash64 seeded by slot), banded 32×2:
-    * documents agreeing on both hashes of any band land in the same LSH
-    * bucket and become a candidate pair; candidates are then verified with
-    * the exact Jaccard on the shingle arrays. Everything before the
+  /** 64 minhashes per document (xxhash64 seeded by slot), banded 16×4:
+    * documents agreeing on all four hashes of any band land in the same
+    * LSH bucket and become a candidate pair; candidates are then verified
+    * with the exact Jaccard on the shingle arrays. Everything before the
     * candidate join is a linear scan; the join is keyed on (band,
     * band_key) so the shuffle fan-out is bounded by bucket sizes.
-    * xxhash64 is engine-specific → no DuckDB oracle (rows-only check). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(Tables.documents(spark, dir))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 63), s -> array_min(transform(shingles, x -> xxhash64(x, s))))"))
-    val bands = sig.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 31), b -> named_struct(
-        |  'band', b,
-        |  'band_key', xxhash64(concat_ws(':',
-        |      transform(slice(sig, b * 2 + 1, 2), x -> CAST(x AS STRING))))))""".stripMargin))
-      .as("bk"))
+    *
+    * Tuning matters at scale: 4-row bands make a random low-similarity
+    * pair's per-band collision probability j^4 (negligible below j≈0.5)
+    * while j≥0.9 near-dups still collide with probability ≈1 — with 2-row
+    * bands this corpus produced a quadratic candidate explosion (measured
+    * 170 s vs 2 s at sf0.1). Oversized buckets (degenerate keys, e.g.
+    * boilerplate-heavy shingle sets) are dropped entirely — the standard
+    * LSH skew defense; their members are still reachable through their
+    * other 15 bands. xxhash64 is engine-specific → no DuckDB oracle
+    * (rows-only check). */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 maxBucket: Int = 50): DataFrame = {
+    // Exploded distinct (doc_id, shingle) rows — every stage below is a
+    // plain projection/aggregation over this, so the whole pipeline stays
+    // inside whole-stage codegen (an earlier array-lambda formulation ran
+    // interpreted and was ~100x slower at sf0.1).
+    val sh = shingleRows(Tables.documents(spark, dir))
+    // 64 minhash slots as 64 codegen'd min(xxhash64(shingle, seed)) aggs.
+    val minhashes = (0 until 64).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"m$s"))
+    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    // 16 bands x 4 rows: band key = hash of the band's four slots.
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as("band_key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val smallBuckets = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_key"))
+    val pruned = bands.join(smallBuckets, Seq("band", "band_key"))
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sh = sig.select(col("doc_id"), col("shingles"))
-    cand
-      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+    // Exact verification on candidates only: shared-shingle counts via two
+    // equi-joins (the same inverted-index shape as ngramJaccard).
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))).cast("double")).as("jaccard"))
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(1000)
   }
