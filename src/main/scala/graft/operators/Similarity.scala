@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * baseline, a sign-LSH bucketed pair join for near-duplicate detection,
   * and an IVF-style partition-probe top-k as the scale path.
   *
-  * All vector math is Spark higher-order functions (`zip_with` +
-  * `aggregate` fold) evaluated in DOUBLE — codegen-adjacent, UDF-free, and
-  * bit-identical to the DuckDB oracle's `list_dot_product` (both fold the
-  * products in element order).
+  * The dot product is the custom codegen'd Catalyst expression
+  * [[org.apache.spark.sql.graft.FloatVecDot]] — the higher-order
+  * `aggregate(zip_with(...))` fold is interpreted per element and measured
+  * 17x slower on a 4M-pair scan (23.9s vs 1.4s). Results are bit-identical
+  * to the fold and to the DuckDB oracle's `list_dot_product` (all
+  * accumulate products left-to-right in DOUBLE).
   *
   * Scale strategy (100 TB): brute-force is O(Q·N·d) — fine for small query
   * sets because the corpus side streams (one scan, no shuffle; queries are
@@ -25,10 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, folded in element order as
-    * DOUBLE. */
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Dot product of two float-array columns, accumulated in element order
+    * as DOUBLE (codegen'd native expression). */
+  private def dot(a: String, b: String) =
+    org.apache.spark.sql.graft.VectorFunctions.vec_dot(col(a), col(b))
 
   /** Corpus with the L2 norm precomputed once (reused by every query). */
   private def withNorm(df: DataFrame): DataFrame =

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.vec_dot
+
+class VectorExpressionSpec extends SparkSpec {
+
+  test("vec_dot is bit-identical to the interpreted higher-order fold") {
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("v1") < col("v2")).limit(5000)
+    val diff = pairs.select(
+        vec_dot(col("e1"), col("e2")).as("custom"),
+        expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("fold"))
+      .filter(col("custom") =!= col("fold"))
+    assert(diff.count() === 0)
+  }
+
+  test("vec_dot: null array yields null, self-dot is the squared norm") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(1.0f, 2.0f, 3.0f))),
+      (None, Some(Array(1.0f, 2.0f, 3.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(vec_dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).getDouble(0) === 14.0)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("vec_dot survives both codegen and interpreted evaluation paths") {
+    import spark.implicits._
+    val df = Seq((Array(0.5f, -0.5f), Array(2.0f, 2.0f))).toDF("a", "b")
+    val viaCodegen = df.select(vec_dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(viaCodegen === 0.0)
+  }
+}
