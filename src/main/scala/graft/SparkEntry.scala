@@ -65,6 +65,13 @@ object SparkEntry {
     // -- event-time / sessionization (streaming batch twins) --
     "event_window_agg"   -> ((s, d) => graft.streaming.EventStream.eventWindowAgg(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.EventStream.sessionize(s, d)),
+    // -- second coverage wave --
+    "pivot_status"       -> ((s, d) => Extras.pivotStatus(s, d)),
+    "stats_agg"          -> ((s, d) => Extras.statsAgg(s, d)),
+    "regex_funcs"        -> ((s, d) => Extras.regexFuncs(s, d)),
+    "array_funcs"        -> ((s, d) => Extras.arrayFuncs(s, d)),
+    "sql_q3"             -> ((s, d) => Extras.sqlQ3(s, d)),
+    "date_arith"         -> ((s, d) => Extras.dateArith(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -107,5 +114,11 @@ object SparkEntry {
     "mm_features"        -> Multimodal.mmFeaturesSql,
     "event_window_agg"   -> graft.streaming.EventStream.eventWindowAggSql,
     "sessionize"         -> graft.streaming.EventStream.sessionizeSql,
+    "pivot_status"       -> Extras.pivotStatusSql,
+    "stats_agg"          -> Extras.statsAggSql,
+    "regex_funcs"        -> Extras.regexFuncsSql,
+    "array_funcs"        -> Extras.arrayFuncsSql,
+    "sql_q3"             -> Extras.sqlQ3Sql,
+    "date_arith"         -> Extras.dateArithSql,
   )
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second coverage wave: pivot, shuffle-deterministic statistical
+  * aggregates, regex/array scalar functions, date arithmetic, and the
+  * SQL entry point (SURVEY §2.8 function-category coverage + §3's
+  * spark.sql lifecycle).
+  */
+object Extras {
+
+  // --- pivot ----------------------------------------------------------------
+  /** Orders count per (priority × status) as a pivoted wide table. Pivot
+    * values are pinned (no discovery pass) so the plan is a single
+    * aggregation; absent cells are 0, matching the oracle's conditional
+    * counts. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      |       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- shuffle-deterministic statistics ------------------------------------
+  /** mean / variance / stddev / correlation per group, derived from EXACT
+    * decimal power sums (n, Σx, Σx², Σxy) with the float math applied once
+    * at the end. Spark's built-in var_samp/corr accumulate running moments
+    * in doubles, so their last bits depend on partition merge order — this
+    * algebraic form is deterministic under any parallelism, which is what
+    * makes it oracle-checkable (and reproducible run-to-run at 100 TB). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agged = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").as("sx"),
+        expr("sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))").as("sxx"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("sy"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("syy"),
+        expr("sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("sxy"))
+    agged.select(
+        col("l_returnflag"),
+        col("n"),
+        expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
+        expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)").as("var_qty"),
+        expr("sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))").as("stddev_qty"),
+        expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              |(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              | sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsAggSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem
+      |  GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      |       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
+      |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- regex scalar functions ----------------------------------------------
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_type").rlike("BRASS|STEEL"))
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("last_word"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"))
+      .orderBy(col("p_partkey"))
+
+  val regexFuncsSql: String =
+    """SELECT p_partkey,
+      |       regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+      |       regexp_extract(p_type, '(\w+)$', 1) AS last_word,
+      |       translate(p_brand, '#', '-') AS brand_dashed
+      |FROM part
+      |WHERE regexp_matches(p_type, 'BRASS|STEEL')
+      |ORDER BY p_partkey""".stripMargin
+
+  // --- array scalar functions ----------------------------------------------
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        array_contains(col("toks"), "the").as("has_the"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("first3"),
+        element_at(array_sort(array_distinct(col("toks"))), 1).as("min_token"),
+        element_at(col("toks"), -1).as("last_token"))
+      .orderBy(col("doc_id"))
+
+  val arrayFuncsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       list_contains(string_split(text, ' '), 'the') AS has_the,
+      |       array_to_string((string_split(text, ' '))[1:3], ' ') AS first3,
+      |       list_sort(list_distinct(string_split(text, ' ')))[1] AS min_token,
+      |       (string_split(text, ' '))[-1] AS last_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- SQL entry point (TPC-H Q3 shape over temp views) --------------------
+  /** The spark.sql lifecycle: register the tables as views, run ANSI SQL
+    * through Catalyst's parser — same text DuckDB executes, minus the
+    * view registration. Demonstrates the engine's SQL front door
+    * (SURVEY §3: the reference's "IR" is SQL text). */
+  def sqlQ3(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlQ3Text)
+  }
+
+  private val sqlQ3Text: String =
+    """SELECT o_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  val sqlQ3Sql: String = sqlQ3Text
+
+  // --- date arithmetic ------------------------------------------------------
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_98"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("due_date"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("order_month_start"))
+      .orderBy(col("o_orderkey"))
+
+  val dateArithSql: String =
+    """SELECT o_orderkey,
+      |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+      |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+      |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+}
