@@ -72,6 +72,8 @@ object SparkEntry {
     "array_funcs"        -> ((s, d) => Extras.arrayFuncs(s, d)),
     "sql_q3"             -> ((s, d) => Extras.sqlQ3(s, d)),
     "date_arith"         -> ((s, d) => Extras.dateArith(s, d)),
+    "percentile_agg"     -> ((s, d) => Extras.percentileAgg(s, d)),
+    "skew_salted_join"   -> ((s, d) => Skew.saltedJoinAgg(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -120,5 +122,7 @@ object SparkEntry {
     "array_funcs"        -> Extras.arrayFuncsSql,
     "sql_q3"             -> Extras.sqlQ3Sql,
     "date_arith"         -> Extras.dateArithSql,
+    "percentile_agg"     -> Extras.percentileAggSql,
+    "skew_salted_join"   -> Skew.saltedJoinAggSql,
   )
 }

@@ -153,6 +153,32 @@ object Extras {
 
   val sqlQ3Sql: String = sqlQ3Text
 
+  // --- exact percentiles ----------------------------------------------------
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`, both linear interpolation over the sorted
+    * values). The approximate path for 100 TB is `approx_percentile`
+    * (KLL-sketch-based, engine-specific → covered rows-only by
+    * approx_distinct's precedent). */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val percentileAggSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |       min(l_quantity) AS min_qty,
+      |       max(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // --- date arithmetic ------------------------------------------------------
   def dateArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
