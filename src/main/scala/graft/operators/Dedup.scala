@@ -19,19 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-trigram shingle set per document, as one array column.
-    * Documents with <3 tokens have no trigram (the `sequence` guard
-    * mirrors DuckDB's empty `range(1, n-1)` for n<3). */
-  private def shingled(df: DataFrame): DataFrame =
-    df.filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(
-          |  sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin).as("shingles"))
-
   /** Exploded distinct (doc_id, shingle) rows. The token array is bound to
     * a column first so the lambda does three O(1) element lookups instead
-    * of re-splitting the text per position. */
+    * of re-splitting the text per position; documents with <3 tokens have
+    * no trigram (the `sequence` guard mirrors DuckDB's empty
+    * `range(1, n-1)` for n<3). */
   private def shingleRows(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -66,7 +58,7 @@ object Dedup {
     * unblocked corpora go through [[minhashLsh]] instead. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.02): DataFrame = {
     val docs  = Tables.documents(spark, dir).filter(col("source") === "src0")
-    val sh    = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sh    = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -130,18 +122,25 @@ object Dedup {
     // Exploded distinct (doc_id, shingle) rows — every stage below is a
     // plain projection/aggregation over this, so the whole pipeline stays
     // inside whole-stage codegen (an earlier array-lambda formulation ran
-    // interpreted and was ~100x slower at sf0.1).
-    val sh = shingleRows(Tables.documents(spark, dir))
-    // 64 minhash slots as 64 codegen'd min(xxhash64(shingle, seed)) aggs.
+    // interpreted and was ~100x slower at sf0.1). Persisted: the DAG
+    // references it from the signature build and both verification joins,
+    // and at any scale the shingle table is the artifact you materialize
+    // once per corpus.
+    val sh = shingleRows(Tables.documents(spark, dir)).persist()
+    // 64 minhash slots as 64 codegen'd min(xxhash64(shingle, seed)) aggs;
+    // the set size rides along in the same aggregation (no separate pass).
     val minhashes = (0 until 64).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"m$s"))
+      min(xxhash64(col("shingle"), lit(s))).as(s"m$s")) :+
+      count(lit(1)).as("set_n")
     val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     // 16 bands x 4 rows: band key = hash of the band's four slots.
     val bandStructs = (0 until 16).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as("band_key"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val sigCached = sig.persist()
+    val bands = sigCached
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val smallBuckets = bands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -155,16 +154,17 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     // Exact verification on candidates only: shared-shingle counts via two
-    // equi-joins (the same inverted-index shape as ngramJaccard).
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // equi-joins (the same inverted-index shape as ngramJaccard); set
+    // sizes come from the cached signature table, not another scan.
+    val sizes = sigCached.select(col("doc_id"), col("set_n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("set_n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("set_n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
           .as("jaccard"))

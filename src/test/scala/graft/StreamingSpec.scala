@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(row.getDouble(0) === 1.0)
   }
 
+  test("watermark: late data beyond the threshold is dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_time", "event_type", "value")
+    val agg = EventStream.windowedCounts(events)
+    val q = agg.writeStream.format("memory").queryName("wm")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    try {
+      // hour-0 events, then advance the watermark far past hour 0
+      input.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(300), "click", 3.0)) // 05:00 → watermark 04:50
+      q.processAllAvailable()
+      // hour-0 window is finalized and emitted with exactly 2 events
+      val hour0 = spark.table("wm")
+        .filter(expr("window.start = TIMESTAMP '2024-01-01 00:00:00'")).collect()
+      assert(hour0.length === 1)
+      assert(hour0(0).getAs[Long]("n_events") === 2L)
+      // a straggler arriving for hour 0 after the watermark must be dropped
+      input.addData((ts(30), "click", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("wm")
+        .filter(expr("window.start = TIMESTAMP '2024-01-01 00:00:00'")).collect()
+      assert(after.length === 1 && after(0).getAs[Long]("n_events") === 2L)
+    } finally q.stop()
+  }
+
   test("dispatch: routes known functions, ignores unknown, ledger prevents rerun") {
     import spark.implicits._
     val outDir = tmp("csv"); val ledgerDir = tmp("ledger") + "/ledger"
