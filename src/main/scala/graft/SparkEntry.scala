@@ -74,6 +74,7 @@ object SparkEntry {
     "date_arith"         -> ((s, d) => Extras.dateArith(s, d)),
     "percentile_agg"     -> ((s, d) => Extras.percentileAgg(s, d)),
     "skew_salted_join"   -> ((s, d) => Skew.saltedJoinAgg(s, d)),
+    "txt_tokenize_regex" -> ((s, d) => TextAnalytics.tokenizeRegex(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -124,5 +125,6 @@ object SparkEntry {
     "date_arith"         -> Extras.dateArithSql,
     "percentile_agg"     -> Extras.percentileAggSql,
     "skew_salted_join"   -> Skew.saltedJoinAggSql,
+    "txt_tokenize_regex" -> TextAnalytics.tokenizeRegexSql,
   )
 }

@@ -125,6 +125,28 @@ object TextAnalytics {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  // --- regex (BPE-ish) tokenization ----------------------------------------
+  /** Tokenization by extraction rather than splitting: word pieces =
+    * alphabetic runs, digit runs, or single punctuation — the regex
+    * skeleton a BPE pre-tokenizer uses (swap the pattern for a merges
+    * table upstream). Counts per document plus the piece-length sum show
+    * the two shapes every tokenizer-budget pipeline needs. */
+  def tokenizeRegex(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(pieces).as("n_pieces"),
+        expr("CAST(length(regexp_replace(text, '\\\\s', '')) AS INT)").as("n_nonspace_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenizeRegexSql: String =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_pieces,
+      |       CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_nonspace_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // --- document fingerprinting ---------------------------------------------
   /** Two content fingerprints: raw md5 (byte-exact identity) and a
     * bag-of-words fingerprint (md5 of the sorted distinct token set) that

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests for the algebraic laws the operators rely on
+  * (SURVEY §5 test strategy). Each property drives the real Spark
+  * expressions on generated frames — not reimplementations. Uses
+  * scalacheck's runner directly (the scalatest bridge artifact isn't in
+  * the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: lag-distance (energy numerator) is never negative") {
+    import spark.implicits._
+    val posGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(-100.0, 100.0),
+        Gen.chooseNum(-100.0, 100.0)))
+    check(Prop.forAll(posGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((x, y, z), i) => (i.toLong, x, y, z) }
+        .toDF("seq", "x", "y", "z")
+      val w = Window.orderBy("seq")
+      val dx = col("x") - lag("x", 1).over(w)
+      val dy = col("y") - lag("y", 1).over(w)
+      val dz = col("z") - lag("z", 1).over(w)
+      df.select(sqrt(dx * dx + dy * dy + dz * dz).as("dist"))
+        .filter(col("dist").isNotNull)
+        .filter(col("dist") < 0).count() == 0L
+    })
+  }
+
+  test("property: semi + anti joins partition the left input") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0, 20)),
+      Gen.listOf(Gen.chooseNum(0, 20)))
+    check(Prop.forAll(gen) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+      val r = rs.toDF("k")
+      val semi = l.join(r, Seq("k"), "left_semi")
+      val anti = l.join(r, Seq("k"), "left_anti")
+      semi.count() + anti.count() == l.count() && semi.except(l).count() == 0L
+    })
+  }
+
+  test("property: decimal-sum-then-double equals the exact rational sum") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 99999))) { cents =>
+      val df = cents.map(c => c / 100.0).toDF("x")
+      val viaDecimal = df
+        .agg(expr("CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)")).first().getDouble(0)
+      viaDecimal == (BigDecimal(cents.map(_.toLong).sum) / 100).toDouble
+    })
+  }
+
+  test("property: session boundary count = 1 + number of over-gap jumps") {
+    import spark.implicits._
+    val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000000L))
+    check(Prop.forAll(tsGen) { ts =>
+      val gapMs = 1800000L
+      val sorted = ts.sorted
+      val expected = 1 + sorted.zip(sorted.drop(1)).count { case (a, b) => b - a > gapMs }
+      val df = sorted.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+        .toDF("user_id", "event_id", "ts_ms")
+      val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val gap = col("ts_ms") - lag("ts_ms", 1).over(byUser)
+      val n = df.withColumn("new_session", when(gap.isNull || gap > gapMs, 1).otherwise(0))
+        .agg(sum("new_session")).first().getLong(0)
+      n == expected.toLong
+    })
+  }
+}

@@ -66,6 +66,20 @@ class StreamingSpec extends SparkSpec {
     assert(row.getDouble(0) === 1.0)
   }
 
+  test("session_window aggregation matches the batch gap-sessionize twin") {
+    // Spark's built-in session_window (gap-based merge) must agree with the
+    // two-window batch formulation on session count and sizes.
+    val ev = EventStream.withEventTime(Tables.events(spark, sf))
+    val viaSessionWindow = ev
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val viaBatch = EventStream.sessionize(spark, sf)
+      .select(col("user_id"), col("n_events"))
+    assert(viaSessionWindow.except(viaBatch).count() === 0)
+    assert(viaBatch.except(viaSessionWindow).count() === 0)
+  }
+
   test("watermark: late data beyond the threshold is dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
