@@ -75,6 +75,8 @@ object SparkEntry {
     "percentile_agg"     -> ((s, d) => Extras.percentileAgg(s, d)),
     "skew_salted_join"   -> ((s, d) => Skew.saltedJoinAgg(s, d)),
     "txt_tokenize_regex" -> ((s, d) => TextAnalytics.tokenizeRegex(s, d)),
+    "asof_join"          -> ((s, d) => Extras.asofJoin(s, d)),
+    "sample_per_source"  -> ((s, d) => Sampling.samplePerSource(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -126,5 +128,7 @@ object SparkEntry {
     "percentile_agg"     -> Extras.percentileAggSql,
     "skew_salted_join"   -> Skew.saltedJoinAggSql,
     "txt_tokenize_regex" -> TextAnalytics.tokenizeRegexSql,
+    "asof_join"          -> Extras.asofJoinSql,
+    "sample_per_source"  -> Sampling.samplePerSourceSql,
   )
 }

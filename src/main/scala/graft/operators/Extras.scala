@@ -153,6 +153,43 @@ object Extras {
 
   val sqlQ3Sql: String = sqlQ3Text
 
+  // --- as-of join -----------------------------------------------------------
+  /** Point-in-time (as-of) join: each 'click' event picks the most recent
+    * 'view' timestamp of the same user at-or-before it. Composed from
+    * built-ins per the custom-operator preference order — union the two
+    * streams (they're one table here), then `last(..., ignoreNulls)` over
+    * an unbounded-preceding window per user. One shuffle on user_id, no
+    * range-join blowup; the same shape covers trade-vs-quote style
+    * as-of joins at any scale. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viewTs = when(col("event_type") === "view", col("ts_ms"))
+    Tables.events(spark, dir)
+      .withColumn("last_view_ms", last(viewTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("last_view_ms"),
+        (col("ts_ms") - col("last_view_ms")).as("ms_since_view"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    Tables.eventsOracleCte +
+      """, marked AS (
+        |  SELECT user_id, event_id, ts_ms, event_type,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts_ms END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ms
+        |  FROM ev
+        |)
+        |SELECT user_id, event_id, ts_ms, last_view_ms,
+        |       ts_ms - last_view_ms AS ms_since_view
+        |FROM marked
+        |WHERE event_type = 'click'
+        |ORDER BY user_id, event_id""".stripMargin
+
   // --- exact percentiles ----------------------------------------------------
   /** Exact interpolated percentiles per group (Spark `percentile` ≡
     * DuckDB `quantile_cont`, both linear interpolation over the sorted
