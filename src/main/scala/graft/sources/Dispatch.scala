@@ -3,6 +3,8 @@ package graft.sources
 import graft.operators.Komodo
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
 
 /** Request-queue dispatch — the reference's `aggregation_file_download`
   * loop (SURVEY §2.9 T3, process.py:320-367) rebuilt without mutable
@@ -64,4 +66,32 @@ object Dispatch {
         .write.mode(SaveMode.Append).parquet(ledgerDir)
     fulfilled
   }
+
+  /** The `data_requests` row shape (reference DDL process.py:282-295). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("request_id", LongType),
+    StructField("processed_capture_id", StringType),
+    StructField("who_requested", IntegerType),
+    StructField("aggregation_function", StringType),
+    StructField("is_it_fulfilled", IntegerType),
+    StructField("url", StringType)))
+
+  /** The reference's whole serving loop as ONE streaming query: watch the
+    * requests directory, and for each micro-batch of new request records
+    * run the dispatcher (T1's 10-second poll + T3's dispatch fused).
+    * `foreachBatch` + the checkpoint give each request exactly-once
+    * processing across restarts; the ledger remains the audit trail. */
+  def streamRequests(spark: SparkSession, requestsDir: String, sfDir: String,
+                     outDir: String, ledgerDir: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    spark.readStream
+      .schema(requestSchema)
+      .json(requestsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        run(spark, sfDir, batch, outDir, ledgerDir); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }

@@ -109,6 +109,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dispatch: request file arrives, CSV + ledger appear, restart is a no-op") {
+    val reqDir = tmp("reqs"); val outDir = tmp("csvout")
+    val ledgerDir = tmp("led") + "/ledger"; val ck = tmp("dck")
+    Files.writeString(java.nio.file.Paths.get(s"$reqDir/r1.json"),
+      """{"request_id":7,"processed_capture_id":"126_1","who_requested":1,
+        |"aggregation_function":"aggregate_user","is_it_fulfilled":0,"url":""}"""
+        .stripMargin.replace("\n", ""))
+    val q1 = Dispatch.streamRequests(spark, reqDir, sf, outDir, ledgerDir, ck,
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(new java.io.File(s"$outDir/request_7").exists())
+    assert(spark.read.parquet(ledgerDir).count() === 1)
+    // restart over the same checkpoint: request not re-run, ledger unchanged
+    val q2 = Dispatch.streamRequests(spark, reqDir, sf, outDir, ledgerDir, ck,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(spark.read.parquet(ledgerDir).count() === 1)
+  }
+
   test("dispatch: routes known functions, ignores unknown, ledger prevents rerun") {
     import spark.implicits._
     val outDir = tmp("csv"); val ledgerDir = tmp("ledger") + "/ledger"
