@@ -32,6 +32,8 @@ object SparkEntry {
     "part_join_agg"      -> ((s, d) => Relational.partJoinAgg(s, d)),
     "semi_join_customers" -> ((s, d) => Relational.semiJoinCustomers(s, d)),
     "anti_join_customers" -> ((s, d) => Relational.antiJoinCustomers(s, d)),
+    "left_join_orders"   -> ((s, d) => Relational.leftJoinOrders(s, d)),
+    "full_outer_join"    -> ((s, d) => Relational.fullOuterJoin(s, d)),
     "rollup_pricing"     -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_orders"        -> ((s, d) => Relational.cubeOrders(s, d)),
     "window_topk_orders" -> ((s, d) => Relational.windowTopkOrders(s, d)),
@@ -91,6 +93,8 @@ object SparkEntry {
     "part_join_agg"      -> Relational.partJoinAggSql,
     "semi_join_customers" -> Relational.semiJoinCustomersSql,
     "anti_join_customers" -> Relational.antiJoinCustomersSql,
+    "left_join_orders"   -> Relational.leftJoinOrdersSql,
+    "full_outer_join"    -> Relational.fullOuterJoinSql,
     "rollup_pricing"     -> Relational.rollupPricingSql,
     "cube_orders"        -> Relational.cubeOrdersSql,
     "window_topk_orders" -> Relational.windowTopkOrdersSql,

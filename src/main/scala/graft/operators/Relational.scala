@@ -127,6 +127,53 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // --- outer joins ----------------------------------------------------------
+  /** Left outer + aggregation: every customer with their order count —
+    * customers without orders surface with count 0 (count of a null join
+    * column), the classic null-preserving outer-join shape. */
+  def leftJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir)
+      .join(ord, Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val leftJoinOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer between two per-customer aggregates (finished vs open
+    * order counts): either side may be absent → coalesce to 0. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_f"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_o"))
+    f.join(o, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("n_f"), lit(0L)).as("n_finished"),
+        coalesce(col("n_o"), lit(0L)).as("n_open"))
+      .orderBy(col("custkey"))
+  }
+
+  val fullOuterJoinSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_f FROM orders
+      |  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+      |), o AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_o FROM orders
+      |  WHERE o_orderstatus = 'O' GROUP BY o_custkey
+      |)
+      |SELECT coalesce(f.custkey, o.custkey) AS custkey,
+      |       coalesce(n_f, 0) AS n_finished,
+      |       coalesce(n_o, 0) AS n_open
+      |FROM f FULL OUTER JOIN o ON f.custkey = o.custkey
+      |ORDER BY custkey""".stripMargin
+
   // --- grouping sets: rollup / cube ---------------------------------------
   /** Subtotal rows surface as NULL group keys; both engines agree, and the
     * output coalesces them to '(all)' so ordering is total and unambiguous
