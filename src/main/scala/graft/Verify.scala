@@ -34,8 +34,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Self-contained oracle SQL: rewrite bare fixture-table references to
+    // read_parquet over the actual verify dir, so the DuckDB side works
+    // whether or not the harness registered views for every table
+    // (documents/embeddings are not in TESTDATA.md's table list).
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val absDir = new java.io.File(sfDir).getAbsolutePath
+    def inline(sql: String): String =
+      tables.foldLeft(sql) { (s, t) =>
+        s.replaceAll(s"(?i)\\b(FROM|JOIN)\\s+$t\\b",
+          s"$$1 read_parquet('$absDir/$t.parquet') AS $t")
+      }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(inline(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
