@@ -79,6 +79,8 @@ object SparkEntry {
     "txt_tokenize_regex" -> ((s, d) => TextAnalytics.tokenizeRegex(s, d)),
     "asof_join"          -> ((s, d) => Extras.asofJoin(s, d)),
     "sample_per_source"  -> ((s, d) => Sampling.samplePerSource(s, d)),
+    "rank_funcs"         -> ((s, d) => Extras.rankFuncs(s, d)),
+    "correlated_max"     -> ((s, d) => Extras.correlatedMax(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -134,5 +136,7 @@ object SparkEntry {
     "txt_tokenize_regex" -> TextAnalytics.tokenizeRegexSql,
     "asof_join"          -> Extras.asofJoinSql,
     "sample_per_source"  -> Sampling.samplePerSourceSql,
+    "rank_funcs"         -> Extras.rankFuncsSql,
+    "correlated_max"     -> Extras.correlatedMaxSql,
   )
 }

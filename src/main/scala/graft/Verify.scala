@@ -38,6 +38,9 @@ object Verify {
     // read_parquet over the actual verify dir, so the DuckDB side works
     // whether or not the harness registered views for every table
     // (documents/embeddings are not in TESTDATA.md's table list).
+    // Constraint on oracle authors: reference fixture tables UNALIASED
+    // ("FROM orders", never "FROM orders o") — the rewrite appends
+    // "AS <table>"; alias through a CTE when correlation names are needed.
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val absDir = new java.io.File(sfDir).getAbsolutePath

@@ -216,6 +216,62 @@ object Extras {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --- ranking-window function coverage ------------------------------------
+  /** rank / dense_rank / ntile / lead in one partitioned window over a
+    * unique total order (totalprice ties broken by orderkey, so every
+    * function is deterministic). */
+  def rankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .filter(col("price_rank") <= 100)
+      .orderBy(col("o_orderstatus"), col("price_rank"))
+  }
+
+  val rankFuncsSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |       CAST(price_rank AS INT) AS price_rank,
+      |       CAST(price_dense_rank AS INT) AS price_dense_rank,
+      |       CAST(quartile AS INT) AS quartile,
+      |       next_orderkey
+      |FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |         rank() OVER w AS price_rank,
+      |         dense_rank() OVER w AS price_dense_rank,
+      |         ntile(4) OVER w AS quartile,
+      |         lead(o_orderkey, 1) OVER w AS next_orderkey
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus
+      |               ORDER BY o_totalprice DESC, o_orderkey)
+      |)
+      |WHERE price_rank <= 100
+      |ORDER BY o_orderstatus, price_rank""".stripMargin
+
+  // --- correlated scalar subquery ------------------------------------------
+  /** Each customer's most expensive order via a correlated scalar subquery
+    * (TPC-H Q2's shape). Catalyst decorrelates this into an aggregate +
+    * join — expressed through the SQL front door since the DataFrame API
+    * has no native correlated-subquery builder. */
+  def correlatedMax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(correlatedMaxSql)
+  }
+
+  // fixture tables are referenced unaliased (Verify inlines read_parquet
+  // over them); the correlation aliases live on a CTE instead.
+  val correlatedMaxSql: String =
+    """WITH ord AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders)
+      |SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM ord o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM ord o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // --- date arithmetic ------------------------------------------------------
   def dateArith(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
