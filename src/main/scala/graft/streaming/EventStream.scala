@@ -99,6 +99,8 @@ object EventStream {
   // --- stateful streaming (mapGroupsWithState) ------------------------------
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class UserCount(user_id: Long, n_events: Long)
+  case class SessionState(start_ms: Long, last_ms: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
   /** Running per-user event counts with explicit keyed state — the
     * mapGroupsWithState shape a custom stateful operator (sessionization
@@ -112,6 +114,39 @@ object EventStream {
           val next = state.getOption.getOrElse(0L) + it.size
           state.update(next)
           UserCount(uid, next)
+      }
+  }
+
+  /** Streaming gap-sessionization with explicit keyed state
+    * (flatMapGroupsWithState): per user, events extend the open session
+    * while the gap stays under the threshold; an over-gap event closes
+    * and EMITS the previous session and opens a new one. The batch twin
+    * is [[sessionize]] — same gap rule, windows instead of state. Closed
+    * sessions are emitted as they close (append mode); the final open
+    * session stays in state (a production run would close it via an
+    * event-time timeout once the watermark passes the gap). */
+  def sessionizeStateful(evs: Dataset[Ev], gapMs: Long = 1800000L): Dataset[ClosedSession] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.value))
+        val closed = Seq.newBuilder[ClosedSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+              cur = Some(s.copy(last_ms = e.ts_ms, n = s.n + 1))
+            case Some(s) =>
+              closed += ClosedSession(uid, s.start_ms, s.last_ms, s.n)
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+            case None =>
+              cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+          }
+        }
+        cur.foreach(state.update)
+        closed.result().iterator
       }
   }
 }

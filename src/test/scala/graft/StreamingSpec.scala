@@ -109,6 +109,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions across micro-batches at the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800000L
+    val input = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionizeStateful(input.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: two events 1 min apart (one open session)
+      input.addData(EventStream.Ev(1, 0, 1.0), EventStream.Ev(1, 60000, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0) // still open
+      // batch 2: an event past the gap closes session 1 (2 events)
+      input.addData(EventStream.Ev(1, gap + 120000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[EventStream.ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed(0).n_events === 2 && closed(0).start_ms === 0 && closed(0).end_ms === 60000)
+    } finally q.stop()
+  }
+
   test("streaming dispatch: request file arrives, CSV + ledger appear, restart is a no-op") {
     val reqDir = tmp("reqs"); val outDir = tmp("csvout")
     val ledgerDir = tmp("led") + "/ledger"; val ck = tmp("dck")
