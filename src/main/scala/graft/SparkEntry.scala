@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_ivf"            -> ((s, d) => Similarity.annIvf(s, d)),
     // -- multimodal binary-column plumbing --
     "mm_features"        -> ((s, d) => Multimodal.mmFeatures(s, d)),
+    "mm_frame_sample"    -> ((s, d) => Multimodal.mmFrameSample(s, d)),
     // -- event-time / sessionization (streaming batch twins) --
     "event_window_agg"   -> ((s, d) => graft.streaming.EventStream.eventWindowAgg(s, d)),
     "sessionize"         -> ((s, d) => graft.streaming.EventStream.sessionize(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "emb_neardup"        -> Similarity.embNearDupSql,
     "ann_ivf"            -> Similarity.annIvfSql,
     "mm_features"        -> Multimodal.mmFeaturesSql,
+    "mm_frame_sample"    -> Multimodal.mmFrameSampleSql,
     "event_window_agg"   -> graft.streaming.EventStream.eventWindowAggSql,
     "sessionize"         -> graft.streaming.EventStream.sessionizeSql,
     "pivot_status"       -> Extras.pivotStatusSql,

@@ -58,6 +58,40 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- frame sampling (1→N expansion) --------------------------------------
+  /** Frame-sample the payload: one output row per sampled frame, offsets
+    * at a fixed stride, each carrying a hex window of the bytes at its
+    * offset (the stand-in for a decoded frame). The explode keeps memory
+    * bounded per row — the shape a video pipeline uses to fan a clip out
+    * to per-frame records for downstream featurizers. */
+  def mmFrameSample(spark: SparkSession, dir: String, stride: Int = 64,
+                    maxFrames: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        least(floor(octet_length(col("payload")) / stride) + 1, lit(maxFrames)).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr(s"sequence(0, n_frames - 1)")).as(Seq("pos", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * stride).cast("int").as("byte_offset"),
+        substring(hex(col("payload")), 1, 2 * 8).as("header_hex"),
+        expr(s"substring(hex(payload), frame_idx * $stride * 2 + 1, 16)").as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmFrameSampleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text::BLOB AS payload,
+      |         CAST(least(octet_length(text::BLOB) // 64 + 1, 4) AS INT) AS n_frames
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(u.frame_idx AS INT) AS frame_idx,
+      |       CAST(u.frame_idx * 64 AS INT) AS byte_offset,
+      |       substring(hex(payload), 1, 16) AS header_hex,
+      |       substring(hex(payload), u.frame_idx * 64 * 2 + 1, 16) AS frame_hex
+      |FROM p, unnest(range(0, n_frames)) AS u(frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // --- typed decode pipeline (mapPartitions batch shape) -------------------
   /** The decode path a real deployment would run: partition-wise batches of
     * [[MediaRecord]] through a decoder into [[MediaFeatures]]. The decoder
