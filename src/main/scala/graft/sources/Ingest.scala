@@ -60,6 +60,31 @@ object Ingest {
   def appendToFactTable(df: DataFrame, tableDir: String): Unit =
     df.write.mode("append").partitionBy("session_id").parquet(tableDir)
 
+  /** Compact a partition's small files — the operational counterpart of a
+    * 10-second micro-batch sink, which at scale writes one file per
+    * trigger per partition and degrades every downstream scan. Rewrites
+    * the named session partitions to `targetFiles` files each through
+    * Spark's dynamic partition overwrite (staged write + commit, so
+    * concurrent readers see the old or the new file set, never a mix of
+    * halves; untouched partitions are left alone). Row content is
+    * preserved exactly — see the spec's checksum assertion. */
+  def compactSessions(spark: SparkSession, tableDir: String,
+                      sessionIds: Seq[Int], targetFiles: Int = 1): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(tableDir)
+        .filter(col("session_id").isin(sessionIds: _*))
+        .repartition(targetFiles)
+        .write.mode("overwrite").partitionBy("session_id").parquet(tableDir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Streaming ingest (T1): file source over the captures directory,
     * 10-second micro-batches (the reference's poll interval,
     * process.py:469), checkpointed parquet sink. A capture becomes

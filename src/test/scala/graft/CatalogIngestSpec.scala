@@ -58,6 +58,29 @@ class CatalogIngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).filter(col("session_id") === 126).count() === 1)
   }
 
+  test("compaction shrinks a partition's file count, preserves rows, leaves others alone") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("compact").toString + "/fact"
+    // simulate 12 micro-batch appends into session 1, plus a session 2
+    (1 to 12).foreach { i =>
+      Seq((1, i.toLong, s"p$i")).toDF("session_id", "seq", "payload")
+        .write.mode("append").partitionBy("session_id").parquet(out)
+    }
+    Seq((2, 99L, "other")).toDF("session_id", "seq", "payload")
+      .write.mode("append").partitionBy("session_id").parquet(out)
+    def files(p: Int) = new java.io.File(s"$out/session_id=$p")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(out).agg(sum("seq")).first().getLong(0)
+    assert(files(1) === 12)
+
+    Ingest.compactSessions(spark, out, Seq(1), targetFiles = 1)
+
+    assert(files(1) === 1)                  // compacted
+    assert(files(2) === 1)                  // untouched partition intact
+    assert(spark.read.parquet(out).agg(sum("seq")).first().getLong(0) === before)
+    assert(spark.read.parquet(out).count() === 13)
+  }
+
   test("malformed capture records surface as nulls, not job failures") {
     val in = Files.createTempDirectory("bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$in/bad.json"),
