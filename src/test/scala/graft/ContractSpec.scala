@@ -1,0 +1,29 @@
+package graft
+
+/** Guards the driver contract itself: every oracle key maps to a
+  * registered query, and every registered query runs end-to-end on the
+  * smallest fixture (catches a broken query before the round gate does). */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rows-only queries are the documented engine-specific three") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("approx_distinct", "dedup_minhash_lsh", "dedup_simhash"))
+  }
+
+  test("every registered query executes on sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows and matches the registered flagship") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
