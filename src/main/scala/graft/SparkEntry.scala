@@ -36,6 +36,7 @@ object SparkEntry {
     "full_outer_join"    -> ((s, d) => Relational.fullOuterJoin(s, d)),
     "rollup_pricing"     -> ((s, d) => Relational.rollupPricing(s, d)),
     "cube_orders"        -> ((s, d) => Relational.cubeOrders(s, d)),
+    "grouping_sets"      -> ((s, d) => Relational.groupingSets(s, d)),
     "window_topk_orders" -> ((s, d) => Relational.windowTopkOrders(s, d)),
     "window_running_sum" -> ((s, d) => Relational.windowRunningSum(s, d)),
     "set_union"          -> ((s, d) => Relational.setUnion(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "full_outer_join"    -> Relational.fullOuterJoinSql,
     "rollup_pricing"     -> Relational.rollupPricingSql,
     "cube_orders"        -> Relational.cubeOrdersSql,
+    "grouping_sets"      -> Relational.groupingSetsSql,
     "window_topk_orders" -> Relational.windowTopkOrdersSql,
     "window_running_sum" -> Relational.windowRunningSumSql,
     "set_union"          -> Relational.setUnionSql,

@@ -198,6 +198,23 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Arbitrary GROUPING SETS (not the rollup/cube hierarchies): per-flag
+    * totals alongside per-status totals in one pass over the data —
+    * Catalyst plans a single Expand + aggregation, not two scans. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |       coalesce(l_linestatus, '(all)') AS linestatus,
+      |       count(*) AS n_rows,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
