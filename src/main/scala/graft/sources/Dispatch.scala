@@ -53,11 +53,19 @@ object Dispatch {
       .collect()
     val fulfilled = todo.flatMap { row =>
       val id = row.getLong(0)
-      route(row.getString(1)).map { fn =>
-        val path = s"$outDir/request_$id"
-        fn(spark, sfDir).coalesce(1)
-          .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-        id -> path
+      route(row.getString(1)).flatMap { fn =>
+        // A failing request must not abort the pass (the reference loop
+        // continues past failures); unledgered failures retry next pass.
+        try {
+          val path = s"$outDir/request_$id"
+          fn(spark, sfDir).coalesce(1)
+            .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+          Some(id -> path)
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[dispatch] request $id failed: ${e.getMessage}")
+            None
+        }
       }
     }.toSeq
     if (fulfilled.nonEmpty)
