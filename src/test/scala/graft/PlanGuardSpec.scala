@@ -1,0 +1,27 @@
+package graft
+
+/** Scale-hazard guard over every registered query's physical plan:
+  * no CartesianProduct, no single-partition exchange (a window or sort
+  * missing its PARTITION BY serializes the job onto one task), and
+  * broadcast-nested-loop only where a broadcast cross join is the design
+  * (ann_brute_force streams the corpus against broadcast queries).
+  * Catches the reference's unpartitioned-window hazard (SURVEY §4.2)
+  * ever re-entering the codebase. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val bnljAllowed = Set("ann_brute_force")
+
+  test("no query plan contains a cartesian product or single-partition exchange") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      Seq(
+        if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
+        if (plan.contains("Exchange SinglePartition"))
+          Some(s"$name: Exchange SinglePartition") else None,
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+      ).flatten
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
