@@ -23,14 +23,17 @@ object Dedup {
     * a column first so the lambda does three O(1) element lookups instead
     * of re-splitting the text per position; documents with <3 tokens have
     * no trigram (the `sequence` guard mirrors DuckDB's empty
-    * `range(1, n-1)` for n<3). */
+    * `range(1, n-1)` for n<3). Dedup happens map-side via `array_distinct`
+    * on the per-document array BEFORE exploding — a row-level `.distinct()`
+    * here would be a full shuffle of every (doc, shingle) pair, while the
+    * per-doc array dedup is free at any corpus size (a document's shingles
+    * are always co-located by construction). */
   private def shingleRows(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
         .as("shingle"))
-      .distinct()
 
   // --- exact dedup (hash-groupBy) ------------------------------------------
   /** Exact duplicate groups keyed on md5(text): one shuffle on the hash,
@@ -127,12 +130,22 @@ object Dedup {
     // and at any scale the shingle table is the artifact you materialize
     // once per corpus.
     val sh = shingleRows(Tables.documents(spark, dir)).persist()
-    // 64 minhash slots as 64 codegen'd min(xxhash64(shingle, seed)) aggs;
-    // the set size rides along in the same aggregation (no separate pass).
+    // 64 minhash slots from TWO string hashes per shingle (h1, h2), slot
+    // i's hash = h1 XOR rotl(h2, i) — a double-hashing-style derived
+    // family in the spirit of Kirsch-Mitzenmacher, but built from shifts
+    // and XOR because ANSI mode (Spark 4 default) makes wraparound
+    // multiply/add throw on overflow. The aggs are then 64 codegen'd
+    // min() over trivial bit ops instead of 64 full xxhash64(shingle,
+    // seed) string hashes per row — string hashing dominated the
+    // signature stage. Set size rides along in the same aggregation.
+    val hashed = sh.withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(col("shingle"), lit(1)))
+    def rotl(c: org.apache.spark.sql.Column, s: Int) =
+      if (s == 0) c else shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
     val minhashes = (0 until 64).map(s =>
-      min(xxhash64(col("shingle"), lit(s))).as(s"m$s")) :+
+      min(col("h1").bitwiseXOR(rotl(col("h2"), s))).as(s"m$s")) :+
       count(lit(1)).as("set_n")
-    val sig = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val sig = hashed.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     // 16 bands x 4 rows: band key = hash of the band's four slots.
     val bandStructs = (0 until 16).map { b =>
       struct(lit(b).as("band"),
@@ -142,11 +155,14 @@ object Dedup {
     val bands = sigCached
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val smallBuckets = bands.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_n"))
+    // Bucket-size cap as a window count over (band, band_key): one shuffle
+    // that both counts and filters, replacing the round-1
+    // groupBy + semi-join-back shape (two exchanges over the band table).
+    val wbk = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    val pruned = bands
+      .withColumn("bucket_n", count(lit(1)).over(wbk))
       .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("band_key"))
-    val pruned = bands.join(smallBuckets, Seq("band", "band_key"))
+      .drop("bucket_n")
     val cand = pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -176,18 +192,23 @@ object Dedup {
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its
     * xxhash64; the fingerprint takes the sign. Near-dups = pairs within
     * Hamming distance ≤ 8, found by the 4×16-bit band trick (any identical
-    * 16-bit chunk → candidate), then exact popcount verification. */
+    * 16-bit chunk → candidate), then exact popcount verification.
+    *
+    * The per-bit vote is accumulated as a plain ones-count (shift-mask-sum,
+    * no conditional): ±1 sum > 0 ⟺ 2·ones > n, so the fingerprint is
+    * decided against the token count from the same aggregation — half the
+    * generated code per bit vs the when/otherwise form. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
-    }
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")
+    } :+ count(lit(1)).as("n_toks")
     val sig = toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until 64).map(b => when(col(s"b$b") * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (simhash >> (c * 16)) & 65535))"))

@@ -151,26 +151,31 @@ object Komodo {
 
   // --- J1+A4+W2+F4+O1-2: user_proximity (process.py:418-434) ---------------
   /** Restrict the stream to time buckets where >1 distinct user was present
-    * (the reference's IN-subquery, which Catalyst plans as a left-semi
-    * join — RewritePredicateSubquery), then LAG-distance between adjacent
+    * (the reference's IN-subquery), then LAG-distance between adjacent
     * rows ordered inside each bucket, range-filter on the derived distance
-    * (F4 post-window filter), sort by distance. Window partitioned by
-    * bucket → parallel at any scale. */
+    * (F4 post-window filter), sort by distance.
+    *
+    * Single-pass form: ">1 distinct user in the bucket" is decided as
+    * `min(user_id) ≠ max(user_id)` over a whole-bucket window frame — the
+    * same partitioning the LAG window already shuffles on, so the whole
+    * query is ONE scan and ONE shuffle (the round-1 formulation was the
+    * literal semi-join: a second scan, a countDistinct aggregation and a
+    * join exchange, ~2x this plan's wall time; at 100 TB it also re-read
+    * the fact table). Catalyst stacks both window specs over the same
+    * exchange. */
   def userProximity(spark: SparkSession, dir: String, diameter: Double = 50.0): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("bucket_ms", expr(s"ts_ms div $HourMs") * HourMs)
-    val multi = ev.groupBy(col("bucket_ms"))
-      .agg(countDistinct(col("user_id")).as("nc"))
-      .filter(col("nc") > 1)
-      .select(col("bucket_ms"))
+    val wb = Window.partitionBy("bucket_ms")
     val w  = Window.partitionBy("bucket_ms").orderBy("ts_ms", "event_id")
     val dx = col("x") - lag("x", 1).over(w)
     val dy = col("y") - lag("y", 1).over(w)
     val dz = col("z") - lag("z", 1).over(w)
-    ev.join(multi, Seq("bucket_ms"), "left_semi")
-      .select(col("bucket_ms"), col("event_id"), col("user_id"),
-        sqrt(dx * dx + dy * dy + dz * dz).as("distance"))
-      .filter(col("distance") > 0 && col("distance") < lit(diameter))
+    ev.select(col("bucket_ms"), col("event_id"), col("user_id"),
+        sqrt(dx * dx + dy * dy + dz * dz).as("distance"),
+        (min(col("user_id")).over(wb) =!= max(col("user_id")).over(wb)).as("multi_user"))
+      .filter(col("multi_user") && col("distance") > 0 && col("distance") < lit(diameter))
+      .select(col("bucket_ms"), col("event_id"), col("user_id"), col("distance"))
       .orderBy(col("distance"), col("event_id"))
   }
 

@@ -25,7 +25,12 @@ object Skew {
       pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash: a salted join exists to spread hot keys across
+    // partitions, and a hash join consumes each (now well-balanced)
+    // partition without sorting either side — sort-merge would pay an
+    // O(n log n) sort on the N-fold replicated right side for ordering
+    // nothing downstream uses (measured ~2x this join's wall time).
+    saltedLeft.hint("shuffle_hash").join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
   /** Oracle-checked proof of equivalence: salted lineitem ⋈ orders
