@@ -83,6 +83,20 @@ object SparkEntry {
     "sample_per_source"  -> ((s, d) => Sampling.samplePerSource(s, d)),
     "rank_funcs"         -> ((s, d) => Extras.rankFuncs(s, d)),
     "correlated_max"     -> ((s, d) => Extras.correlatedMax(s, d)),
+    // -- third coverage wave --
+    "window_lead_nth"    -> ((s, d) => WindowFns.windowLeadNth(s, d)),
+    "window_percent_rank" -> ((s, d) => WindowFns.windowPercentRank(s, d)),
+    "window_range_frame" -> ((s, d) => WindowFns.windowRangeFrame(s, d)),
+    "listagg_status"     -> ((s, d) => Relational2.listaggStatus(s, d)),
+    "bitbool_aggs"       -> ((s, d) => Relational2.bitboolAggs(s, d)),
+    "q18_having"         -> ((s, d) => Relational2.q18Having(s, d)),
+    "unpivot_status"     -> ((s, d) => Relational2.unpivotStatus(s, d)),
+    "json_funcs"         -> ((s, d) => Relational2.jsonFuncs(s, d)),
+    "time_pair_join"     -> ((s, d) => Relational2.timePairJoin(s, d)),
+    "dedup_chunk"        -> ((s, d) => Dedup.chunkDedup(s, d)),
+    "dedup_groups_cc"    -> ((s, d) => Dedup.dedupGroups(s, d)),
+    "txt_pos_tokens"     -> ((s, d) => TextAnalytics.posTokens(s, d)),
+    "txt_pii_scrub"      -> ((s, d) => TextAnalytics.piiScrub(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -142,5 +156,18 @@ object SparkEntry {
     "sample_per_source"  -> Sampling.samplePerSourceSql,
     "rank_funcs"         -> Extras.rankFuncsSql,
     "correlated_max"     -> Extras.correlatedMaxSql,
+    "window_lead_nth"    -> WindowFns.windowLeadNthSql,
+    "window_percent_rank" -> WindowFns.windowPercentRankSql,
+    "window_range_frame" -> WindowFns.windowRangeFrameSql,
+    "listagg_status"     -> Relational2.listaggStatusSql,
+    "bitbool_aggs"       -> Relational2.bitboolAggsSql,
+    "q18_having"         -> Relational2.q18HavingSql,
+    "unpivot_status"     -> Relational2.unpivotStatusSql,
+    "json_funcs"         -> Relational2.jsonFuncsSql,
+    "time_pair_join"     -> Relational2.timePairJoinSql,
+    "dedup_chunk"        -> Dedup.chunkDedupSql,
+    "dedup_groups_cc"    -> Dedup.dedupGroupsSql,
+    "txt_pos_tokens"     -> TextAnalytics.posTokensSql,
+    "txt_pii_scrub"      -> TextAnalytics.piiScrubSql,
   )
 }

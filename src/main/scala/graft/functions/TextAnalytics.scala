@@ -147,6 +147,62 @@ object TextAnalytics {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- positional tokenization (posexplode / lateral) -----------------------
+  /** First five tokens of every document with their 0-based positions —
+    * the generator/UDTF surface (`posexplode` ≡ LATERAL unnest WITH
+    * ORDINALITY). Truncating before the explode keeps the expansion
+    * bounded per document at any corpus size. */
+  def posTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(slice(toks, 1, 5)))
+      .withColumnRenamed("col", "tok")
+      .orderBy(col("doc_id"), col("pos"))
+
+  val posTokensSql: String =
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS pos, t[i + 1] AS tok
+      |FROM dd, LATERAL (SELECT unnest(range(least(len(t), 5))) AS i)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // --- PII scrubbing ---------------------------------------------------------
+  /** Email/phone redaction: detect with `regexp_extract_all`, redact with
+    * `regexp_replace`, report counts plus a fingerprint of the scrubbed
+    * text. The corpus is synthetic, so deterministic PII is injected into
+    * every 10th document AS PART OF THE QUERY (both engines inject the
+    * same suffix) — the scrub logic then provably finds and removes it.
+    * Patterns stay in the regex subset Java and RE2 share. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z]+@[a-z]+\\.[a-z]+"
+    val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+    Tables.documents(spark, dir)
+      .withColumn("t2",
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact alice@example.com or 555-123-4567")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(phonePat), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 0
+      |              THEN text || ' contact alice@example.com or 555-123-4567'
+      |              ELSE text END AS t2
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t2, '[a-z]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(t2, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phones,
+      |       md5(regexp_replace(regexp_replace(t2, '[a-z]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |           '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM inj
+      |ORDER BY doc_id""".stripMargin
+
   // --- document fingerprinting ---------------------------------------------
   /** Two content fingerprints: raw md5 (byte-exact identity) and a
     * bag-of-words fingerprint (md5 of the sorted distinct token set) that

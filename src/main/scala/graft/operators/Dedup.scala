@@ -188,6 +188,136 @@ object Dedup {
       .limit(1000)
   }
 
+  // --- sub-document (chunk-level) exact dedup -------------------------------
+  /** 10-token chunk fingerprints: every non-overlapping 10-token span is
+    * hashed, and chunks appearing in more than one document are reported
+    * with their occurrence/document counts — the paragraph-level exact
+    * dedup an LLM pipeline runs to strip boilerplate that document-level
+    * hashing misses. One explode + one hash aggregation; linear at any
+    * corpus size. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
+        .as("chunk"))
+    ch.groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("keeper_id"), col("chunk_md5"))
+  }
+
+  val chunkDedupSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |), ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(t) // 10),
+      |                i -> array_to_string(t[i*10+1 : i*10+10], ' '))) AS chunk
+      |  FROM dd
+      |)
+      |SELECT md5(chunk) AS chunk_md5, count(*) AS n_occurrences,
+      |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_id
+      |FROM ch
+      |GROUP BY md5(chunk)
+      |HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY keeper_id, chunk_md5""".stripMargin
+
+  // --- near-dup clustering: connected components over rare-shingle edges ----
+  /** Duplicate GROUPS, not just pairs: documents sharing a rare trigram
+    * (one appearing in 2-3 documents — the classic rare-token blocking
+    * key) are edges of a similarity graph, and each document is labeled
+    * with its connected component's minimum doc_id. Components are
+    * computed by distributed min-label propagation — each round joins the
+    * current labels across the symmetric edge set and keeps the per-node
+    * minimum, converging in O(graph diameter) rounds (the driver loop
+    * checks a changed-row count, the standard Spark iterative-algorithm
+    * shape; every round is two shuffles over the edge table, never a
+    * driver-side graph). Both the edge table and each round's labels are
+    * `localCheckpoint`ed: an iterative dataflow MUST truncate lineage,
+    * otherwise round N's logical plan nests all N-1 predecessors and
+    * analysis/optimization time grows without bound (measured: minutes at
+    * round ~7 vs seconds checkpointed; on a real cluster this would be
+    * `checkpoint` to reliable storage). The DuckDB oracle states the same
+    * fixpoint as a recursive CTE — same components, declarative
+    * formulation. */
+  def dedupGroups(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    val sh = shingleRows(Tables.documents(spark, dir))
+    // Per-shingle doc count AND per-shingle min doc in one window pass:
+    // the min seeds each node's label, so every single-shingle clique is
+    // already converged before the first propagation round — rounds are
+    // then only needed for chains that thread through multiple shingles.
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val rare = sh.withColumn("nd", count(lit(1)).over(wsh))
+      .withColumn("bucket_min", min(col("doc_id")).over(wsh))
+      .filter(col("nd").between(2, 3)).drop("nd")
+    val edges = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val sym0 = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // Rare-token blocking shrinks the graph by orders of magnitude versus
+    // the corpus, so the loop's tables get their own partition count sized
+    // from the actual edge cardinality (~100k edges per partition) instead
+    // of inheriting the corpus-sized shuffle width — at sf0.1 that is ONE
+    // partition (2.4k edges) and every round is a single-task job; a
+    // 100 TB corpus with 10^8 surviving edges gets ~1000.
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (sym0.count() / 100000L).toInt))
+    val sym = sym0.repartition(nParts, col("src")).localCheckpoint(true)
+    var labels = rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
+      .repartition(nParts, col("doc_id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("doc_id"))
+        .select(sym("src").as("doc_id"), col("lab"))
+      val next = labels.select(col("doc_id"), col("lab")).union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
+        .filter(col("lab") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lab").as("component"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  val dedupGroupsSql: String =
+    """WITH RECURSIVE dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |    FROM dd)
+      |), rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 3
+      |), edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), reach(n, m) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT r.n, s.dst FROM reach r JOIN sym s ON s.src = r.m
+      |)
+      |SELECT n AS doc_id, min(m) AS component
+      |FROM reach
+      |GROUP BY n
+      |ORDER BY component, doc_id""".stripMargin
+
   // --- SimHash (rows-only check) -------------------------------------------
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its
     * xxhash64; the fingerprint takes the sign. Near-dups = pairs within
