@@ -96,6 +96,34 @@ object EventStream {
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin
 
+  // --- streaming dedup (state-store keyed) ----------------------------------
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped by the state store; state for ids older
+    * than the watermark is evicted (bounded memory — the property that
+    * makes streaming dedup viable at all; an unwatermarked dropDuplicates
+    * would grow state forever). The batch twin is the dedup_exact
+    * operator family. */
+  def dedupStream(eventsWithTime: DataFrame): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- stream-stream interval join ------------------------------------------
+  /** Watermarked stream-stream join: each click pairs with the same user's
+    * views from the preceding 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so the state store can
+    * expire rows once the other side's watermark passes — the canonical
+    * interval-join shape (ad attribution, trade-vs-quote). The batch twin
+    * is the time_pair_join / asof_join family. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_time", "10 minutes")
+    val v = views.withWatermark("view_time", "10 minutes")
+    c.join(v,
+      expr("""click_user = view_user AND
+             |click_time >= view_time AND
+             |click_time <= view_time + interval 30 minutes""".stripMargin))
+  }
+
   // --- stateful streaming (mapGroupsWithState) ------------------------------
   case class Ev(user_id: Long, ts_ms: Long, value: Double)
   case class UserCount(user_id: Long, n_events: Long)

@@ -130,6 +130,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("event_time", "event_id")
+    val q = EventStream.dedupStream(events)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    try {
+      input.addData((ts(1), 100L), (ts(1), 100L), (ts(2), 200L))
+      q.processAllAvailable()
+      // same id again in a later micro-batch, still inside the watermark
+      input.addData((ts(3), 100L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(100L, 200L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with preceding views per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val viewsIn = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = clicksIn.toDF().toDF("click_time", "click_user")
+    val views = viewsIn.toDF().toDF("view_time", "view_user")
+    val q = EventStream.clickViewJoin(clicks, views)
+      .writeStream.format("memory").queryName("cv").outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0${min / 60}:${min % 60}%02d:00")
+    try {
+      viewsIn.addData((ts(0), 1L), (ts(5), 2L))
+      clicksIn.addData((ts(10), 1L))  // 10 min after user 1's view → match
+      clicksIn.addData((ts(50), 2L))  // 45 min after user 2's view → outside bound
+      q.processAllAvailable()
+      val rows = spark.table("cv").select("click_user").as[Long].collect()
+      assert(rows.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming dispatch: request file arrives, CSV + ledger appear, restart is a no-op") {
     val reqDir = tmp("reqs"); val outDir = tmp("csvout")
     val ledgerDir = tmp("led") + "/ledger"; val ck = tmp("dck")
