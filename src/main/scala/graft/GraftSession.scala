@@ -23,6 +23,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
 
   /** Local session for tests/tools: `local[cores]`, shuffle = cores. */
   def local(cores: Int, appName: String = "graft"): SparkSession =

@@ -255,10 +255,13 @@ object Dedup {
     val rare = sh.withColumn("nd", count(lit(1)).over(wsh))
       .withColumn("bucket_min", min(col("doc_id")).over(wsh))
       .filter(col("nd").between(2, 3)).drop("nd")
+    // No edge dedup: a pair sharing k rare shingles appears k times, and
+    // min-label propagation is idempotent under duplicate edges — the
+    // distinct() this replaces was a full shuffle of the edge table spent
+    // removing rows the groupBy(min) absorbs for free.
     val edges = rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
     val sym0 = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     // Rare-token blocking shrinks the graph by orders of magnitude versus

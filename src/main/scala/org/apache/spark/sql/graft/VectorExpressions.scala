@@ -71,4 +71,23 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** Registry entry shared by [[graft.GraftExtensions]] (new sessions via
+    * `spark.sql.extensions`) and [[registerSql]] (existing sessions). */
+  val vecDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+
+  /** Make `vec_dot` callable from SQL text in an already-built session —
+    * the session-state registry is `private[sql]`, which this package
+    * placement exists to reach. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (ident, info, builder) = vecDotDescription
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
 }

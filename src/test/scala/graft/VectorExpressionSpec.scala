@@ -34,4 +34,20 @@ class VectorExpressionSpec extends SparkSpec {
     val viaCodegen = df.select(vec_dot(col("a"), col("b"))).collect()(0).getDouble(0)
     assert(viaCodegen === 0.0)
   }
+
+  test("vec_dot is callable from SQL text once registered (extensions path)") {
+    // GraftExtensions injects the same description into sessions built
+    // through GraftSession; registerSql applies it to an existing one.
+    org.apache.spark.sql.graft.VectorFunctions.registerSql(spark)
+    val v = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(v === 11.0)
+    // the injected plan is the native expression, not a UDF wrapper
+    val plan = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)))")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("vec_dot"))
+  }
 }
