@@ -97,6 +97,9 @@ object SparkEntry {
     "dedup_groups_cc"    -> ((s, d) => Dedup.dedupGroups(s, d)),
     "txt_pos_tokens"     -> ((s, d) => TextAnalytics.posTokens(s, d)),
     "txt_pii_scrub"      -> ((s, d) => TextAnalytics.piiScrub(s, d)),
+    "emb_centroids"      -> ((s, d) => Similarity.embCentroids(s, d)),
+    "doc_filter_pipeline" -> ((s, d) => TextAnalytics.docFilterPipeline(s, d)),
+    "corpus_stats"       -> ((s, d) => TextAnalytics.corpusStats(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -169,5 +172,8 @@ object SparkEntry {
     "dedup_groups_cc"    -> Dedup.dedupGroupsSql,
     "txt_pos_tokens"     -> TextAnalytics.posTokensSql,
     "txt_pii_scrub"      -> TextAnalytics.piiScrubSql,
+    "emb_centroids"      -> Similarity.embCentroidsSql,
+    "doc_filter_pipeline" -> TextAnalytics.docFilterPipelineSql,
+    "corpus_stats"       -> TextAnalytics.corpusStatsSql,
   )
 }

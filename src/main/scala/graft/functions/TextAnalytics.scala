@@ -203,6 +203,71 @@ object TextAnalytics {
       |FROM inj
       |ORDER BY doc_id""".stripMargin
 
+  // --- end-to-end quality filter pipeline ------------------------------------
+  /** The composite keep/drop decision an LLM data pipeline materializes:
+    * exact-dup keeper check (first rule — a duplicate is dropped whatever
+    * its quality), then length bounds, then stopword-ratio floor, with the
+    * FIRST failing rule as the verdict's reason code. One scan, one window
+    * over the content hash, no joins; adding a rule is adding a `when`
+    * branch. */
+  def docFilterPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val n      = size(toks)
+    val stop   = expr("size(filter(split(text, ' '), t -> t IN ('the','and','of','to','a','in','is')))").cast("double")
+    val keeper = min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        n.as("n_tokens"),
+        (stop / n.cast("double")).as("stop_ratio"),
+        when(col("doc_id") =!= keeper, "duplicate")
+          .when(n < 20, "too_short")
+          .when(n > 200, "too_long")
+          .when(stop / n.cast("double") < 0.05, "low_stopword")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFilterPipelineSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |               t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS stop_ratio,
+      |         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, stop_ratio,
+      |       CASE WHEN doc_id <> keeper THEN 'duplicate'
+      |            WHEN n_tokens < 20 THEN 'too_short'
+      |            WHEN n_tokens > 200 THEN 'too_long'
+      |            WHEN stop_ratio < 0.05 THEN 'low_stopword'
+      |            ELSE 'keep' END AS verdict
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin
+
+  // --- per-source corpus budgeting report -----------------------------------
+  /** The corpus report a data pipeline publishes per source: document and
+    * token counts plus the median document length — the numbers token
+    * budgets and mixing weights are computed from. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("total_tokens"),
+        expr("percentile(size(split(text, ' ')), 0.5)").as("p50_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+
+  val corpusStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |       quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+      |       max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --- document fingerprinting ---------------------------------------------
   /** Two content fingerprints: raw md5 (byte-exact identity) and a
     * bag-of-words fingerprint (md5 of the sorted distinct token set) that

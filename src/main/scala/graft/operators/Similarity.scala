@@ -112,6 +112,42 @@ object Similarity {
       |) WHERE cos_sim >= 0.3
       |ORDER BY cos_sim DESC, v1, v2""".stripMargin
 
+  // --- per-label centroids (k-means M-step) ---------------------------------
+  /** Mean vector per label — the M-step of a distributed k-means over the
+    * embedding table (the E-step is [[annIvf]]'s partition assignment).
+    * Long form (label, dim, value): one posexplode then a hash aggregation
+    * keyed on (label, dim) — fully shuffle-parallel, no driver math, and
+    * at any corpus size the output is k×d rows, not k full arrays.
+    * Values are quantized to 6 decimals BEFORE summation and accumulated
+    * in DECIMAL: the quantization is part of the operator's contract in
+    * both engines, which makes the mean exactly order-independent (a raw
+    * double sum's last bits would depend on partition merge order; a tie
+    * at the 6th decimal would need v·10⁶ ≡ 0.5 exactly, impossible for a
+    * binary fraction). */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        round(col("col").cast("double"), 6).as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (expr("CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)") / count(lit(1)))
+          .as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
+  val embCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT label, i AS dim, round(CAST(embedding[i+1] AS DOUBLE), 6) AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      |)
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |       CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,
+      |       count(*) AS n_vectors
+      |FROM x
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   // --- IVF-style partition probe -------------------------------------------
   /** IVF top-k: the corpus is pre-partitioned by a coarse quantizer (the
     * fixture's `label` column stands in for the assigned centroid id); each

@@ -107,6 +107,28 @@ class CoverageWave3Spec extends SparkSpec {
     assert(df.groupBy(col("doc_id")).count().filter(col("count") > 5).count() === 0)
   }
 
+  test("embedding centroids: one row per (label, dim), bounded by data range") {
+    val df = graft.operators.Similarity.embCentroids(spark, sf).cache()
+    val dims = df.groupBy(col("label")).count()
+    assert(dims.filter(col("count") =!= 64).count() === 0)
+    // a mean of standard-normal-ish components stays well inside ±1
+    assert(df.filter(abs(col("centroid")) > 1.0).count() === 0)
+  }
+
+  test("doc filter pipeline: verdict honors rule order, keeps majority") {
+    val df = TextAnalytics.docFilterPipeline(spark, sf).cache()
+    assert(df.filter(col("verdict") === "keep" &&
+      (col("n_tokens") < 20 || col("n_tokens") > 200)).count() === 0)
+    assert(df.filter(col("verdict") === "keep" && col("stop_ratio") < 0.05).count() === 0)
+    assert(df.filter(col("verdict") === "keep").count() > 0)
+  }
+
+  test("corpus stats: token totals and medians are consistent") {
+    val df = TextAnalytics.corpusStats(spark, sf).cache()
+    assert(df.filter(col("total_tokens") < col("n_docs")).count() === 0)
+    assert(df.filter(col("p50_tokens") <= 0).count() === 0)
+  }
+
   test("listagg produces sorted distinct status strings") {
     val rows = Relational2.listaggStatus(spark, sf).collect()
     rows.foreach { r =>
