@@ -252,9 +252,13 @@ object Dedup {
     // already converged before the first propagation round — rounds are
     // then only needed for chains that thread through multiple shingles.
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // persisted: read by both sides of the edge self-join and the label
+    // seeding — without it the shingle explode + window pipeline runs
+    // three times per invocation.
     val rare = sh.withColumn("nd", count(lit(1)).over(wsh))
       .withColumn("bucket_min", min(col("doc_id")).over(wsh))
       .filter(col("nd").between(2, 3)).drop("nd")
+      .persist()
     // No edge dedup: a pair sharing k rare shingles appears k times, and
     // min-label propagation is idempotent under duplicate edges — the
     // distinct() this replaces was a full shuffle of the edge table spent
@@ -275,6 +279,7 @@ object Dedup {
     val sym = sym0.repartition(nParts, col("src")).localCheckpoint(true)
     var labels = rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
       .repartition(nParts, col("doc_id")).localCheckpoint(true)
+    rare.unpersist() // both consumers are materialized (eager checkpoints)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {

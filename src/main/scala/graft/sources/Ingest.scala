@@ -60,6 +60,29 @@ object Ingest {
   def appendToFactTable(df: DataFrame, tableDir: String): Unit =
     df.write.mode("append").partitionBy("session_id").parquet(tableDir)
 
+  /** Batch ingest with malformed-record quarantine (T2: the reference
+    * marks a failed capture `processed = 0` and never retries it,
+    * process.py:255-258). PERMISSIVE parse keeps the raw text of any
+    * record that fails the schema in `_corrupt_record`; good rows go to
+    * the fact table, corrupt raw lines to a quarantine path for offline
+    * inspection — the load succeeds for everything parseable instead of
+    * failing the capture wholesale. */
+  def readCapturesWithQuarantine(spark: SparkSession, path: String,
+                                 quarantineDir: String): DataFrame = {
+    val parsed = spark.read
+      .schema(captureSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark requires referencing _corrupt_record via a cached/materialized frame
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    bad.write.mode("append").text(quarantineDir)
+    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      .withColumn("session_from_id", split(col("capture_id"), "_").getItem(0).cast("int"))
+      .withColumn("start_ms", split(col("capture_id"), "_").getItem(1).cast("long"))
+  }
+
   /** Compact a partition's small files — the operational counterpart of a
     * 10-second micro-batch sink, which at scale writes one file per
     * trigger per partition and degrades every downstream scan. Rewrites

@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
     assert(row.getDouble(0) === 1.0)
   }
 
+  test("ingest quarantine: malformed capture lines are parked, good rows land") {
+    val in = tmp("qin"); val quarantine = tmp("qbad") + "/bad"
+    val good =
+      """{"capture_id":"10_1000","session_id":10,"client_id":1,"type":"sync",
+        |"ts":1000,"seq":1,"message":{"clientId":1,"entityType":0,
+        |"interactionType":1,"pos":{"x":1.0,"y":2.0,"z":3.0}}}"""
+        .stripMargin.replace("\n", "")
+    val bad = """{"capture_id":"11_2000","session_id":"not-a-number","ts":{{{"""
+    Files.writeString(java.nio.file.Paths.get(s"$in/mixed.json"), s"$good\n$bad\n")
+
+    val rows = Ingest.readCapturesWithQuarantine(spark, in, quarantine)
+    assert(rows.count() === 1)
+    assert(rows.select("session_from_id").first().getInt(0) === 10)
+    val parked = spark.read.text(quarantine)
+    assert(parked.count() === 1)
+    assert(parked.first().getString(0).contains("not-a-number"))
+  }
+
   test("session_window aggregation matches the batch gap-sessionize twin") {
     // Spark's built-in session_window (gap-based merge) must agree with the
     // two-window batch formulation on session count and sizes.
