@@ -100,6 +100,7 @@ object SparkEntry {
     "emb_centroids"      -> ((s, d) => Similarity.embCentroids(s, d)),
     "doc_filter_pipeline" -> ((s, d) => TextAnalytics.docFilterPipeline(s, d)),
     "corpus_stats"       -> ((s, d) => TextAnalytics.corpusStats(s, d)),
+    "price_histogram"    -> ((s, d) => Relational2.priceHistogram(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -175,5 +176,6 @@ object SparkEntry {
     "emb_centroids"      -> Similarity.embCentroidsSql,
     "doc_filter_pipeline" -> TextAnalytics.docFilterPipelineSql,
     "corpus_stats"       -> TextAnalytics.corpusStatsSql,
+    "price_histogram"    -> Relational2.priceHistogramSql,
   )
 }

@@ -150,6 +150,32 @@ object Relational2 {
       |)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- fixed-width histogram -------------------------------------------------
+  /** Price distribution as a 10-bucket fixed-width histogram: one scan,
+    * one aggregation keyed on the computed bucket (bounded cardinality at
+    * any scale — the reason fixed-width beats exact quantiles for
+    * monitoring dashboards). Engine-neutral arithmetic (floor + least)
+    * instead of width_bucket so the bucket edges are identical in the
+    * oracle. */
+  def priceHistogram(spark: SparkSession, dir: String, width: Double = 10000.0): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(least(floor(col("l_extendedprice") / width), lit(9)).cast("int").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  val priceHistogramSql: String =
+    """SELECT CAST(least(floor(l_extendedprice / 10000.0), 9) AS INT) AS bucket,
+      |       count(*) AS n,
+      |       min(l_extendedprice) AS lo,
+      |       max(l_extendedprice) AS hi
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   // --- time-range pair join via bucketing -----------------------------------
   /** Pairs of events from different users within ±2 minutes of each other,
     * counted per user pair. The |Δt| ≤ W predicate is NOT an equi-join, so

@@ -56,6 +56,23 @@ class FormatsSpec extends SparkSpec {
     assert(firstLine === "event_id,user_id,event_type,value,ts_ms")
   }
 
+  test("parquet schema evolution: widened writes merge, old rows null-extend") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    // v1 of the fact table: two columns
+    Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type")
+      .write.mode("append").parquet(dir)
+    // v2 adds a column (the long-lived-table reality at 100 TB: schema
+    // grows; historical files stay untouched)
+    Seq((3L, "click", 0.5)).toDF("event_id", "event_type", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("event_id", "event_type", "score"))
+    assert(merged.count() === 3)
+    assert(merged.filter(col("score").isNull).count() === 2)
+    assert(merged.filter(col("event_id") === 3L).select("score").first().getDouble(0) === 0.5)
+  }
+
   test("map and generator functions: build, merge, extract, explode_outer") {
     import spark.implicits._
     val df = Seq(
