@@ -101,6 +101,9 @@ object SparkEntry {
     "doc_filter_pipeline" -> ((s, d) => TextAnalytics.docFilterPipeline(s, d)),
     "corpus_stats"       -> ((s, d) => TextAnalytics.corpusStats(s, d)),
     "price_histogram"    -> ((s, d) => Relational2.priceHistogram(s, d)),
+    "set_except_all"     -> ((s, d) => Relational2.setExceptAll(s, d)),
+    "rollup_grouping"    -> ((s, d) => Relational2.rollupGrouping(s, d)),
+    "variant_funcs"      -> ((s, d) => Relational2.variantFuncs(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -177,5 +180,8 @@ object SparkEntry {
     "doc_filter_pipeline" -> TextAnalytics.docFilterPipelineSql,
     "corpus_stats"       -> TextAnalytics.corpusStatsSql,
     "price_histogram"    -> Relational2.priceHistogramSql,
+    "set_except_all"     -> Relational2.setExceptAllSql,
+    "rollup_grouping"    -> Relational2.rollupGroupingSql,
+    "variant_funcs"      -> Relational2.variantFuncsSql,
   )
 }

@@ -150,6 +150,81 @@ object Relational2 {
       |)
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- multiset EXCEPT ALL ----------------------------------------------------
+  /** Bag-semantics difference: each occurrence counts, so a supplier key
+    * appearing 5 times on the left and twice on the right survives 3
+    * times — the semantics a pipeline needs when row multiplicity IS the
+    * signal (e.g. subtracting an already-exported batch). Output is
+    * aggregated per key so the multiset result is order-free. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir).filter(col("l_quantity") > 40)
+      .select(col("l_suppkey").as("k"))
+    val b = Tables.lineitem(spark, dir).filter(col("l_discount") > 0.08)
+      .select(col("l_suppkey").as("k"))
+    a.exceptAll(b)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_surviving"))
+      .orderBy(col("k"))
+  }
+
+  val setExceptAllSql: String =
+    """SELECT k, count(*) AS n_surviving FROM (
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+      |  EXCEPT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_discount > 0.08
+      |)
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
+  // --- GROUPING() markers on rollup ------------------------------------------
+  /** Rollup with explicit GROUPING() flags: the standard way downstream
+    * consumers distinguish "NULL because subtotal" from "NULL in the
+    * data" — rollup_pricing's coalesce trick works only when the data has
+    * no NULLs; the flags are the general contract. */
+  def rollupGrouping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '(all)') AS s,
+        |       coalesce(o_orderpriority, '(all)') AS p,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY s, p""".stripMargin)
+  }
+
+  val rollupGroupingSql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS s,
+      |       coalesce(o_orderpriority, '(all)') AS p,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY s, p""".stripMargin
+
+  // --- VARIANT semi-structured access ----------------------------------------
+  /** Spark 4 VARIANT for truly dynamic documents: parse once, extract
+    * typed values by path — the modern form of the reference's JSON
+    * `message` column when the schema is NOT known up front (from_json
+    * with a StructType, used everywhere else, is the known-schema path).
+    * The oracle reads the same paths with DuckDB's JSON functions. */
+  def variantFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("CAST(variant_get(v, '$.k', 'int') AS INT)").as("k_typed"),
+        expr("variant_get(v, '$.missing', 'string')").as("absent"))
+      .orderBy(col("event_id"))
+
+  val variantFuncsSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+      |       json_extract_string(props, '$.missing') AS absent
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // --- fixed-width histogram -------------------------------------------------
   /** Price distribution as a 10-bucket fixed-width histogram: one scan,
     * one aggregation keyed on the computed bucket (bounded cardinality at
