@@ -104,6 +104,8 @@ object SparkEntry {
     "set_except_all"     -> ((s, d) => Relational2.setExceptAll(s, d)),
     "rollup_grouping"    -> ((s, d) => Relational2.rollupGrouping(s, d)),
     "variant_funcs"      -> ((s, d) => Relational2.variantFuncs(s, d)),
+    "hll_distinct_check" -> ((s, d) => Sketches.hllDistinctCheck(s, d)),
+    "approx_pctl_check"  -> ((s, d) => Sketches.approxPercentileCheck(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -183,5 +185,7 @@ object SparkEntry {
     "set_except_all"     -> Relational2.setExceptAllSql,
     "rollup_grouping"    -> Relational2.rollupGroupingSql,
     "variant_funcs"      -> Relational2.variantFuncsSql,
+    "hll_distinct_check" -> Sketches.hllDistinctCheckSql,
+    "approx_pctl_check"  -> Sketches.approxPercentileCheckSql,
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch operators — the approximate path every 100 TB
+  * pipeline needs where exact distinct/quantiles would shuffle the
+  * world. Sketch internals are engine-specific, so the oracle contract
+  * is a BOUND: each query emits the exact value alongside a boolean
+  * "approximation within tolerance", and the DuckDB twin computes the
+  * same exact value with the boolean stated literally — a hash-checkable
+  * assertion that the sketch ran and landed inside its error envelope
+  * (both sketches are deterministic algorithms for fixed input, so the
+  * check is stable, not flaky).
+  */
+object Sketches {
+
+  // --- HLL sketch: build, merge, estimate -----------------------------------
+  /** Distinct users per event_type via DataSketches HLL, with the
+    * mergeability property demonstrated in-query: the stream is split in
+    * two halves, each half sketched independently, the halves merged with
+    * hll_union_agg — exactly what partial aggregation does across 1000
+    * executors — and the estimate checked against the exact distinct
+    * count (default lgConfigK=12 → ~1.6% standard error; 5% bound). */
+  def hllDistinctCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val halves = ev.groupBy(col("event_type"), (col("event_id") % 2).as("half"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = halves.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllDistinctCheckSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |       true AS within_5pct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // --- KLL-style quantile sketch --------------------------------------------
+  /** Median price per return flag via approx_percentile (rank error ≤
+    * 1/accuracy = 0.01% of rows), checked against the exact interpolated
+    * percentile within 1% of its value. The sketch is the operator a
+    * 100 TB quantile query actually runs — exact percentile sorts every
+    * group. */
+  def approxPercentileCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+      .select(col("l_returnflag"), col("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          abs(col("p50_exact")) * lit(0.01)).as("within_1pct"))
+      .orderBy(col("l_returnflag"))
+
+  val approxPercentileCheckSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      |       true AS within_1pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}
