@@ -23,6 +23,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m.filter(col("d1") >= col("d2")).count() === 0)
   }
 
+  test("minhash-lsh recall: finds every exact jaccard >= 0.9 pair") {
+    // Ground truth: exact trigram jaccard over the whole corpus via the
+    // inverted-index join (cheap at sf0.001; 27 true near-dup pairs).
+    val sh = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+        .as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty) // fixture is known to contain near-dup pairs
+    // A j≥0.9 pair misses a 4-row band with prob ≤ 1-0.9^4 ≈ 0.34, all 16
+    // bands with ≤ 0.34^16 ≈ 3e-8 — and the hash family is fixed, so on
+    // this fixed corpus the outcome is deterministic, not flaky.
+    val found = graft.operators.Dedup.minhashLsh(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(found),
+      s"missed ${truth -- found} of ${truth.size} true near-dup pairs")
+  }
+
   test("simhash: identical docs would be hamming 0; all pairs within cutoff") {
     val s = Dedup.simhash(spark, sf)
     assert(s.filter(col("hamming") > 8 || col("hamming") < 0).count() === 0)
