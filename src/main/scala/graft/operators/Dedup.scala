@@ -155,14 +155,19 @@ object Dedup {
     val bands = sigCached
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    // Bucket-size cap as a window count over (band, band_key): one shuffle
-    // that both counts and filters, replacing the round-1
-    // groupBy + semi-join-back shape (two exchanges over the band table).
-    val wbk = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
-    val pruned = bands
-      .withColumn("bucket_n", count(lit(1)).over(wbk))
+    // Bucket-size cap via aggregate + semi-join rather than a window
+    // count: the cap exists to defend against DEGENERATE buckets, and a
+    // window partition cannot be split — a million-row boilerplate bucket
+    // would serialize through one window task before the filter discards
+    // it. The groupBy shape partial-aggregates map-side (a hot key
+    // reduces to one count per input partition before the shuffle) and
+    // the join is AQE-skew-splittable, so the pathological input the cap
+    // is designed for stays parallel.
+    val smallBuckets = bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+      .select(col("band"), col("band_key"))
+    val pruned = bands.join(smallBuckets, Seq("band", "band_key"))
     val cand = pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -260,23 +265,26 @@ object Dedup {
       .filter(col("nd").between(2, 3)).drop("nd")
       .persist()
     // No edge dedup: a pair sharing k rare shingles appears k times, and
-    // min-label propagation is idempotent under duplicate edges — the
-    // distinct() this replaces was a full shuffle of the edge table spent
+    // min-label propagation is idempotent under duplicate edges — a
+    // distinct() here would be a full shuffle of the edge table spent
     // removing rows the groupBy(min) absorbs for free.
     val edges = rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    val sym0 = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
     // Rare-token blocking shrinks the graph by orders of magnitude versus
     // the corpus, so the loop's tables get their own partition count sized
     // from the actual edge cardinality (~100k edges per partition) instead
     // of inheriting the corpus-sized shuffle width — at sf0.1 that is ONE
     // partition (2.4k edges) and every round is a single-task job; a
-    // 100 TB corpus with 10^8 surviving edges gets ~1000.
+    // 100 TB corpus with 10^8 surviving edges gets ~1000. The count reads
+    // the self-join off the cached `rare` table, so sizing costs one cheap
+    // job instead of a second checkpointed copy of the edge table.
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (sym0.count() / 100000L).toInt))
-    val sym = sym0.repartition(nParts, col("src")).localCheckpoint(true)
+      (edges.count() / 100000L).toInt))
+    // Symmetric edges partitioned on dst — the key every loop join probes
+    // — so the per-round join never re-shuffles the edge table.
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(nParts, col("dst")).localCheckpoint(true)
     var labels = rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
       .repartition(nParts, col("doc_id")).localCheckpoint(true)
     rare.unpersist() // both consumers are materialized (eager checkpoints)
@@ -294,6 +302,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a >maxIters-diameter chain
+    // would silently split one true duplicate group into several) — fail
+    // loudly instead of returning them.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups did not converge within $maxIters rounds — graph diameter exceeds the cap; raise maxIters")
     labels.select(col("doc_id"), col("lab").as("component"))
       .orderBy(col("component"), col("doc_id"))
   }

@@ -30,7 +30,9 @@ object Skew {
     // partition without sorting either side — sort-merge would pay an
     // O(n log n) sort on the N-fold replicated right side for ordering
     // nothing downstream uses (measured ~2x this join's wall time).
-    saltedLeft.hint("shuffle_hash").join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    // The hint sits on the RIGHT side so the per-task hash map is built
+    // over the documented smaller input, never the skewed fact side.
+    saltedLeft.join(saltedRight.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Oracle-checked proof of equivalence: salted lineitem ⋈ orders

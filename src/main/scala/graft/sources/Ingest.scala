@@ -66,7 +66,13 @@ object Ingest {
     * record that fails the schema in `_corrupt_record`; good rows go to
     * the fact table, corrupt raw lines to a quarantine path for offline
     * inspection — the load succeeds for everything parseable instead of
-    * failing the capture wholesale. */
+    * failing the capture wholesale.
+    *
+    * The quarantine write is an eager append and the result is
+    * materialized before return: call once per capture load. Re-running a
+    * load appends the same corrupt lines again — an at-least-once
+    * quarantine LOG (dedupe on inspection by content), chosen over
+    * overwrite so a retry can never erase earlier evidence. */
   def readCapturesWithQuarantine(spark: SparkSession, path: String,
                                  quarantineDir: String): DataFrame = {
     val parsed = spark.read
@@ -75,12 +81,15 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .cache() // Spark requires referencing _corrupt_record via a cached/materialized frame
-    val bad = parsed.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw"))
-    bad.write.mode("append").text(quarantineDir)
-    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-      .withColumn("session_from_id", split(col("capture_id"), "_").getItem(0).cast("int"))
-      .withColumn("start_ms", split(col("capture_id"), "_").getItem(1).cast("long"))
+    try {
+      parsed.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw"))
+        .write.mode("append").text(quarantineDir)
+      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+        .withColumn("session_from_id", split(col("capture_id"), "_").getItem(0).cast("int"))
+        .withColumn("start_ms", split(col("capture_id"), "_").getItem(1).cast("long"))
+        .localCheckpoint(true) // materialize so the scan cache can be released
+    } finally parsed.unpersist()
   }
 
   /** Compact a partition's small files — the operational counterpart of a

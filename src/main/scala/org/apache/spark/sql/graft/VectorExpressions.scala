@@ -80,7 +80,12 @@ object VectorFunctions {
   val vecDotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"vec_dot expects exactly 2 arguments, got ${children.length}")
+        FloatVecDot(children.head, children(1))
+      })
 
   /** Make `vec_dot` callable from SQL text in an already-built session —
     * the session-state registry is `private[sql]`, which this package
