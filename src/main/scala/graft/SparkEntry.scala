@@ -106,6 +106,7 @@ object SparkEntry {
     "variant_funcs"      -> ((s, d) => Relational2.variantFuncs(s, d)),
     "hll_distinct_check" -> ((s, d) => Sketches.hllDistinctCheck(s, d)),
     "approx_pctl_check"  -> ((s, d) => Sketches.approxPercentileCheck(s, d)),
+    "kmeans_assign"      -> ((s, d) => Similarity.kmeansAssign(s, d)),
   )
 
   /** DuckDB oracle twins (same column names, same row order). */
@@ -187,5 +188,6 @@ object SparkEntry {
     "variant_funcs"      -> Relational2.variantFuncsSql,
     "hll_distinct_check" -> Sketches.hllDistinctCheckSql,
     "approx_pctl_check"  -> Sketches.approxPercentileCheckSql,
+    "kmeans_assign"      -> Similarity.kmeansAssignSql,
   )
 }

@@ -148,6 +148,66 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // --- k-means E-step: assign to nearest learned centroid -------------------
+  /** One full distributed k-means iteration closed end to end: the
+    * centroids learned by [[embCentroids]] (M-step) are assembled into
+    * per-label vectors, broadcast, and every embedding is assigned to its
+    * nearest centroid by squared L2 (E-step). Corpus side streams — one
+    * scan, no shuffle before the per-vector ranking window; the k×d
+    * centroid table is always broadcastable.
+    *
+    * The distance fold uses the higher-order `aggregate(zip_with(...))`
+    * deliberately: it evaluates left-to-right in DOUBLE exactly like the
+    * oracle's list fold, so distances are bit-identical and the argmin is
+    * stable across engines. The interpreted-lambda cost is bounded by
+    * k·n·d (k=10 here), not n²; a hot-path deployment would swap in a
+    * codegen'd expression like [[org.apache.spark.sql.graft.FloatVecDot]]. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cent = embCentroids(spark, dir)
+      .groupBy(col("label").as("c_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("cl"))
+    val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(cent))
+      .withColumn("d", expr(
+        "aggregate(zip_with(embedding, cl, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("orig_label"),
+        col("c_label").cast("int").as("assigned_label"),
+        (col("label") === col("c_label")).as("is_same"))
+      .orderBy(col("vec_id"))
+  }
+
+  // fixture tables must be referenced unaliased (Verify's read_parquet
+  // inliner appends its own alias) — `emb` re-aliases through a CTE.
+  val kmeansAssignSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |), x AS (
+      |  SELECT label, i AS dim, round(CAST(embedding[i+1] AS DOUBLE), 6) AS v
+      |  FROM emb, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      |), cmean AS (
+      |  SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT label AS c_label, list(c ORDER BY dim) AS cl FROM cmean GROUP BY 1
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, c.c_label,
+      |         list_sum(list_transform(range(len(e.embedding)),
+      |           i -> (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM emb e CROSS JOIN cent c
+      |), ranked AS (
+      |  SELECT vec_id, label, c_label,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |  FROM scored
+      |)
+      |SELECT vec_id, label AS orig_label, CAST(c_label AS INT) AS assigned_label,
+      |       label = c_label AS is_same
+      |FROM ranked WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   // --- IVF-style partition probe -------------------------------------------
   /** IVF top-k: the corpus is pre-partitioned by a coarse quantizer (the
     * fixture's `label` column stands in for the assigned centroid id); each

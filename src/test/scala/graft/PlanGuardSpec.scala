@@ -9,7 +9,9 @@ package graft
   * ever re-entering the codebase. */
 class PlanGuardSpec extends SparkSpec {
 
-  private val bnljAllowed = Set("ann_brute_force")
+  // broadcast cross joins that ARE the design: a streamed corpus scan
+  // against a broadcast query/centroid table (no shuffle of the big side)
+  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign")
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
