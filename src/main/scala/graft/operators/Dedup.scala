@@ -293,8 +293,21 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val viaNeighbors = sym.join(labels, sym("dst") === labels("doc_id"))
         .select(sym("src").as("doc_id"), col("lab"))
-      val next = labels.select(col("doc_id"), col("lab")).union(viaNeighbors)
+      val prelim = labels.select(col("doc_id"), col("lab")).union(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+      // Pointer jumping: follow the label's OWN label (labels are always
+      // node ids, so `lab` resolves in the same table). Neighbor-min alone
+      // converges in O(diameter) rounds; chasing label-of-label each round
+      // squares the propagation distance — O(log diameter) rounds, the
+      // GraphX-style shortcut. Both steps only ever replace a label with a
+      // smaller one reachable in the same component, so the fixpoint is
+      // unchanged: the component minimum.
+      // (the lookup side is keyed on the unique doc_id, so this join is
+      // N:1 — one output row per node, no re-aggregation needed)
+      val next = prelim.as("p")
+        .join(prelim.select(col("doc_id").as("lab"), col("lab").as("lab2")).as("q"),
+          Seq("lab"), "left")
+        .select(col("doc_id"), coalesce(col("lab2"), col("lab")).as("lab"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
         .filter(col("lab") =!= col("prev")).count()
