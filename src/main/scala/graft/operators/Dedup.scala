@@ -131,19 +131,28 @@ object Dedup {
     // once per corpus.
     val sh = shingleRows(Tables.documents(spark, dir)).persist()
     // 64 minhash slots from TWO string hashes per shingle (h1, h2), slot
-    // i's hash = h1 XOR rotl(h2, i) — a double-hashing-style derived
-    // family in the spirit of Kirsch-Mitzenmacher, but built from shifts
-    // and XOR because ANSI mode (Spark 4 default) makes wraparound
-    // multiply/add throw on overflow. The aggs are then 64 codegen'd
-    // min() over trivial bit ops instead of 64 full xxhash64(shingle,
-    // seed) string hashes per row — string hashing dominated the
-    // signature stage. Set size rides along in the same aggregation.
+    // i's hash = h1 XOR rotl(h2, i) XOR (h2 >>> ((i+17) mod 64)) — a
+    // double-hashing-style derived family in the spirit of
+    // Kirsch-Mitzenmacher, but built from shifts and XOR because ANSI
+    // mode (Spark 4 default) makes wraparound multiply/add throw on
+    // overflow. Caveat: any XOR-of-shifts family is linear in (h1, h2) —
+    // g_i XOR g_j never depends on h1 — so pairwise slot independence is
+    // weaker than the h1 + i*h2 original; the extra unsigned-shift term
+    // breaks the single-rotation structure (g_i XOR g_j mixes two
+    // different shifted views of h2 instead of one), and the mandatory
+    // exact-Jaccard verification stage below means weaker independence
+    // can only cost recall on adversarial corpora, never precision. The
+    // aggs are then 64 codegen'd min() over trivial bit ops instead of
+    // 64 full xxhash64(shingle, seed) string hashes per row — string
+    // hashing dominated the signature stage. Set size rides along in the
+    // same aggregation.
     val hashed = sh.withColumn("h1", xxhash64(col("shingle")))
       .withColumn("h2", xxhash64(col("shingle"), lit(1)))
     def rotl(c: org.apache.spark.sql.Column, s: Int) =
       if (s == 0) c else shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
     val minhashes = (0 until 64).map(s =>
-      min(col("h1").bitwiseXOR(rotl(col("h2"), s))).as(s"m$s")) :+
+      min(col("h1").bitwiseXOR(rotl(col("h2"), s))
+        .bitwiseXOR(shiftrightunsigned(col("h2"), (s + 17) % 64))).as(s"m$s")) :+
       count(lit(1)).as("set_n")
     val sig = hashed.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     // 16 bands x 4 rows: band key = hash of the band's four slots.

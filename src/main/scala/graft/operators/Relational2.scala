@@ -232,7 +232,11 @@ object Relational2 {
     * monitoring dashboards). Engine-neutral arithmetic (floor + least)
     * instead of width_bucket so the bucket edges are identical in the
     * oracle. */
-  def priceHistogram(spark: SparkSession, dir: String, width: Double = 10000.0): DataFrame =
+  /** Default bucket width; shared with the oracle SQL below so a
+    * non-default call site cannot silently diverge from the DuckDB twin. */
+  val PriceHistogramWidth: Double = 10000.0
+
+  def priceHistogram(spark: SparkSession, dir: String, width: Double = PriceHistogramWidth): DataFrame =
     Tables.lineitem(spark, dir)
       .select(least(floor(col("l_extendedprice") / width), lit(9)).cast("int").as("bucket"),
         col("l_extendedprice"))
@@ -243,7 +247,7 @@ object Relational2 {
       .orderBy(col("bucket"))
 
   val priceHistogramSql: String =
-    """SELECT CAST(least(floor(l_extendedprice / 10000.0), 9) AS INT) AS bucket,
+    s"""SELECT CAST(least(floor(l_extendedprice / $PriceHistogramWidth), 9) AS INT) AS bucket,
       |       count(*) AS n,
       |       min(l_extendedprice) AS lo,
       |       max(l_extendedprice) AS hi
@@ -261,7 +265,11 @@ object Relational2 {
     * cell distance ≤ 1, and each pair meets in exactly one cell (the
     * unreplicated side's own), so no dedup pass is needed. The oracle
     * states the range predicate directly — same rows, different plan. */
-  def timePairJoin(spark: SparkSession, dir: String, windowMs: Long = 120000L): DataFrame = {
+  /** Default pairing window; shared with the oracle SQL below so a
+    * non-default call site cannot silently diverge from the DuckDB twin. */
+  val TimePairWindowMs: Long = 120000L
+
+  def timePairJoin(spark: SparkSession, dir: String, windowMs: Long = TimePairWindowMs): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts_ms"))
     val a = ev.withColumn("cell", explode(array(
       expr(s"ts_ms div $windowMs - 1"), expr(s"ts_ms div $windowMs"), expr(s"ts_ms div $windowMs + 1"))))
@@ -283,8 +291,9 @@ object Relational2 {
       """
         |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_close
         |FROM ev a JOIN ev b
-        |  ON b.ts_ms BETWEEN a.ts_ms - 120000 AND a.ts_ms + 120000
+        |  ON b.ts_ms BETWEEN a.ts_ms - TPJ_WINDOW_MS AND a.ts_ms + TPJ_WINDOW_MS
         | AND a.user_id < b.user_id
         |GROUP BY 1, 2
         |ORDER BY n_close DESC, u1, u2""".stripMargin
+        .replace("TPJ_WINDOW_MS", TimePairWindowMs.toString)
 }
