@@ -286,4 +286,120 @@ object TextAnalytics {
       |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_md5
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // --- overlapping chunking (LLM context-window prep) -----------------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val ChunkSize: Int = 200
+  val ChunkStride: Int = 150
+
+  /** Sliding-window document chunking: fixed-size character chunks at a
+    * fixed stride (overlap = size - stride), the shape every LLM training
+    * pipeline cuts documents into. One generator per document (sequence +
+    * posexplode), each chunk identified by (doc_id, chunk_idx) with an md5
+    * content key — all codegen'd, 1→N fan-out bounded by doc length /
+    * stride. Tail chunks shorter than the overlap duplicate covered text;
+    * that is inherent to fixed-stride chunking and downstream exact-dedup
+    * (dedup_chunk) removes them. */
+  def docChunks(spark: SparkSession, dir: String,
+                chunkSize: Int = ChunkSize, stride: Int = ChunkStride): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"sequence(0, int((length(text) - 1) div $stride))"))
+          .as(Seq("pos", "chunk_idx")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("chunk_start"),
+        length(expr(s"substring(text, chunk_idx * $stride + 1, $chunkSize)")).as("chunk_len"),
+        md5(expr(s"substring(text, chunk_idx * $stride + 1, $chunkSize)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunksSql: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents)
+       |SELECT doc_id,
+       |       CAST(i AS INT) AS chunk_idx,
+       |       CAST(i * $ChunkStride AS INT) AS chunk_start,
+       |       CAST(length(substring(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkSize)) AS INT) AS chunk_len,
+       |       md5(substring(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkSize)) AS chunk_md5
+       |FROM d, LATERAL unnest(range((length(text) - 1) // $ChunkStride + 1)) AS t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- repetition scoring (Gopher-style quality rule) -----------------------
+  /** Within-document repetition: duplicate-token ratio and top-token
+    * dominance — the cheap repetition filters (Gopher rules) that catch
+    * degenerate generated/boilerplate text. Computed from exploded rows
+    * (codegen'd two-level aggregation with map-side partials), not array
+    * lambdas; ratios are single divisions of exact counts, so the oracle
+    * matches bit-for-bit. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"),
+        (col("max_c").cast("double") / col("n_tokens").cast("double")).as("top_tok_frac"))
+      .orderBy(col("doc_id"))
+
+  val repetitionScoreSql: String =
+    """WITH pt AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id,
+      |         CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct,
+      |         CAST(max(c) AS BIGINT) AS max_c
+      |  FROM pt GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio,
+      |       CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_tok_frac
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
+  // --- corpus bigram frequencies --------------------------------------------
+  /** Top bigrams corpus-wide: positional tokens (posexplode) paired with
+    * their successor via a lead window per document, then one hash
+    * aggregation. The window partitions by doc_id, so bigram formation is
+    * embarrassingly parallel; only the (bounded-cardinality) bigram counts
+    * shuffle. N-gram LMs, collocation mining, and tokenizer training all
+    * start from exactly this table. */
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val BigramTopK: Int = 30
+
+  def bigramFreq(spark: SparkSession, dir: String, topK: Int = BigramTopK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  val bigramFreqSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, i AS pos, l[i + 1] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |       LATERAL unnest(range(len(l))) AS t(i)
+      |), bg AS (
+      |  SELECT tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |  FROM toks
+      |)
+      |SELECT bigram, count(*) AS n
+      |FROM bg
+      |WHERE bigram IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, bigram
+      |LIMIT $BigramTopK""".stripMargin
 }

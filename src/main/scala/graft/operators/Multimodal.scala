@@ -123,4 +123,51 @@ object Multimodal {
         lit("text/plain").as("mime"), col("lang"), col("n_chars"))
       .as[MediaRecord]
   }
+
+  // --- audio-style fixed-frame segmentation (oracle-checked) ----------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val AudioChunkBytes: Int = 256
+  /** Fake decode parameter: bytes-per-millisecond of the stubbed codec
+    * (16 kHz mono 8-bit → 16 bytes/ms). */
+  val AudioBytesPerMs: Int = 16
+
+  /** Segment each payload into fixed-size byte frames covering the WHOLE
+    * payload (unlike mm_frame_sample's capped probe): per-chunk offset,
+    * length, an md5 fingerprint of the chunk bytes (via the hex view —
+    * byte-identical across engines), and a stubbed duration from a fake
+    * sample rate. This is the fan-out shape of audio pipelines (VAD,
+    * diarization, ASR batching): 1→N bounded by payload_len/chunk, all
+    * codegen'd, no decoder on the hot path. */
+  def mmAudioChunks(spark: SparkSession, dir: String,
+                    chunkBytes: Int = AudioChunkBytes): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("blen", octet_length(col("payload")))
+      .select(col("doc_id"), col("payload"), col("blen"),
+        posexplode(expr(s"sequence(0, int((blen + $chunkBytes - 1) div $chunkBytes) - 1)"))
+          .as(Seq("pos", "chunk_idx")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).cast("int").as("byte_off"),
+        least(lit(chunkBytes), col("blen") - col("chunk_idx") * chunkBytes)
+          .cast("int").as("chunk_len"),
+        md5(expr(s"substring(hex(payload), chunk_idx * $chunkBytes * 2 + 1, ${2 * chunkBytes})"))
+          .as("chunk_md5"),
+        // -- stubbed decode: duration from the fake sample rate --
+        expr(s"int(least($chunkBytes, blen - chunk_idx * $chunkBytes) div $AudioBytesPerMs)")
+          .as("chunk_ms"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val mmAudioChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS blen
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(i AS INT) AS chunk_idx,
+       |       CAST(i * $AudioChunkBytes AS INT) AS byte_off,
+       |       CAST(least($AudioChunkBytes, blen - i * $AudioChunkBytes) AS INT) AS chunk_len,
+       |       md5(substring(hx, CAST(i * $AudioChunkBytes * 2 + 1 AS INT), ${2 * AudioChunkBytes})) AS chunk_md5,
+       |       CAST(least($AudioChunkBytes, blen - i * $AudioChunkBytes) // $AudioBytesPerMs AS INT) AS chunk_ms
+       |FROM d, LATERAL unnest(range((blen + ${AudioChunkBytes - 1}) // $AudioChunkBytes)) AS t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

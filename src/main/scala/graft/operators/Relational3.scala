@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 relational coverage wave: distribution window functions,
+  * map-type round trip, second string-function battery, median/IQR,
+  * stratified systematic sampling, TPC-H Q5, and generator edge semantics
+  * (explode_outer). Every query keeps the DuckDB float-parity rules:
+  * identical expression shape, DECIMAL partial sums for order-independent
+  * totals, integer-exact math everywhere else.
+  */
+object Relational3 {
+
+  // --- distribution window functions (ntile / cume_dist) --------------------
+  /** Quartile bucket + cumulative distribution of order value within each
+    * order status. The tie-break key (o_orderkey) makes both functions
+    * deterministic; one shuffle on the partition key, then a per-partition
+    * sort — the standard distribution-ranking shape. */
+  def ntileCume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cum_frac", cume_dist().over(w))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val ntileCumeSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       ntile(4) OVER w AS quartile,
+      |       cume_dist() OVER w AS cum_frac
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- first/last/nth value with IGNORE NULLS -------------------------------
+  /** Null-skipping value window functions over a synthetically-nulled
+    * measure (every third payload key): running first non-null, whole-
+    * partition last and 2nd non-null. The running form needs only the
+    * default growing frame; last/nth need the full-partition frame in both
+    * engines — mixed frames over one logical window. */
+  def firstLastWindow(spark: SparkSession, dir: String): DataFrame = {
+    val wRun  = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val wFull = wRun.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("nv", when(col("k") % 3 === 0, lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        first(col("nv"), ignoreNulls = true).over(wRun).as("first_nv"),
+        last(col("nv"), ignoreNulls = true).over(wFull).as("last_nv"),
+        nth_value(col("nv"), 2, ignoreNulls = true).over(wFull).as("second_nv"))
+      .orderBy(col("event_id"))
+  }
+
+  val firstLastWindowSql: String =
+    Tables.eventsOracleCte +
+      """, nulled AS (
+        |  SELECT event_id, user_id, ts_ms,
+        |         CASE WHEN k % 3 = 0 THEN NULL ELSE value END AS nv
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id,
+        |       first_value(nv IGNORE NULLS) OVER w AS first_nv,
+        |       last_value(nv IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_nv,
+        |       nth_value(nv, 2 IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nv
+        |FROM nulled
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY event_id""".stripMargin
+
+  // --- map type round trip --------------------------------------------------
+  /** Per-user event-type histogram packed into a MapType column
+    * (map_from_entries over a sorted entry list — insertion order is
+    * iteration order, so the later explode is deterministic) and unpacked
+    * back to rows, with the map's size riding along. Exercises Spark's
+    * map construction/inspection surface; the oracle is the plain
+    * relational equivalent, so the round trip is proven lossless. */
+  def mapRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.table(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"), size(col("m")).as("n_types"),
+        explode(col("m")).as(Seq("event_type", "n")))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val mapRoundtripSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |       CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_types,
+      |       event_type,
+      |       CAST(n AS BIGINT) AS n
+      |FROM c
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // --- string function battery 2 -------------------------------------------
+  /** Edit distance, padding, character translation, reversal, repetition,
+    * substring search, codepoint probe — all codegen'd built-ins, all with
+    * exact DuckDB twins (instr ≡ instr, ascii ≡ ascii, hex-identical
+    * semantics throughout). */
+  def strFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        translate(col("c_name"), "#", "-").as("translated"),
+        reverse(col("c_mktsegment")).as("rev_seg"),
+        repeat(col("c_mktsegment"), 2).as("double_seg"),
+        instr(col("c_name"), "1").as("pos1"),
+        ascii(col("c_mktsegment")).as("seg_ascii"),
+        substring(col("c_name"), 1, 8).as("prefix8"))
+      .orderBy(col("c_custkey"))
+
+  val strFuncs2Sql: String =
+    """SELECT c_custkey,
+      |       CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev,
+      |       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+      |       translate(c_name, '#', '-') AS translated,
+      |       reverse(c_mktsegment) AS rev_seg,
+      |       repeat(c_mktsegment, 2) AS double_seg,
+      |       CAST(instr(c_name, '1') AS INT) AS pos1,
+      |       CAST(ascii(c_mktsegment) AS INT) AS seg_ascii,
+      |       substring(c_name, 1, 8) AS prefix8
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- median / IQR ---------------------------------------------------------
+  /** Exact median plus interquartile range per line status: Spark's
+    * `median` and array-form `percentile` against DuckDB's `median` /
+    * `quantile_cont` — both interpolate identically (validated previously
+    * by approx_pctl_check's exact side). Exact quantiles sort each group;
+    * the sketch path (approx_percentile) is the 100 TB default and is
+    * covered by approx_pctl_check. */
+  def medianIqr(spark: SparkSession, dir: String): DataFrame = {
+    val qs = expr("percentile(l_extendedprice, array(0.25D, 0.75D))")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("median(l_extendedprice)").as("med"), qs.as("qs"))
+      .select(col("l_linestatus"), col("med"),
+        element_at(col("qs"), 1).as("q1"),
+        element_at(col("qs"), 2).as("q3"),
+        (element_at(col("qs"), 2) - element_at(col("qs"), 1)).as("iqr"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val medianIqrSql: String =
+    """SELECT l_linestatus,
+      |       median(l_extendedprice) AS med,
+      |       quantile_cont(l_extendedprice, 0.25) AS q1,
+      |       quantile_cont(l_extendedprice, 0.75) AS q3,
+      |       quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqr
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_linestatus""".stripMargin
+
+  // --- stratified systematic sampling --------------------------------------
+  /** Every 50th order within each order status by key rank — systematic
+    * sampling that parallelizes across strata (each stratum is one window
+    * partition; no global sort). Complements sample_per_source's weighted
+    * bottom-k: systematic is the right tool when the frame is already
+    * ordered and a fixed sampling fraction per stratum is wanted. */
+  def sampleSystematic(spark: SparkSession, dir: String, every: Int = 50): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % every === 0)
+      .select(col("o_orderstatus"), ((col("rn") - 1) / every).cast("int").as("sample_idx"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("sample_idx"))
+  }
+
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val SampleEvery: Int = 50
+
+  val sampleSystematicSql: String =
+    s"""WITH ranked AS (
+       |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+       |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+       |  FROM orders
+       |)
+       |SELECT o_orderstatus,
+       |       CAST((rn - 1) / $SampleEvery AS INT) AS sample_idx,
+       |       o_orderkey, o_totalprice
+       |FROM ranked
+       |WHERE (rn - 1) % $SampleEvery = 0
+       |ORDER BY o_orderstatus, sample_idx""".stripMargin
+
+  // --- TPC-H Q5 (local-supplier volume) ------------------------------------
+  /** Six-way join: region → nation → (customer, supplier) → orders →
+    * lineitem with the c_nationkey = s_nationkey "local supplier"
+    * condition, revenue per nation for one region-year. At scale the three
+    * dimension tables broadcast (Catalyst picks this from size estimates);
+    * the big join is lineitem ⋈ orders on the shared orderkey. Same
+    * DECIMAL-partial-sum revenue idiom as sql_q3. */
+  def sqlQ5(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("region")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlQ5Text)
+  }
+
+  private val sqlQ5Text: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  val sqlQ5Sql: String = sqlQ5Text
+
+  // --- explode_outer (generator null-preservation) --------------------------
+  /** Token matches with left-preservation: documents whose text contains
+    * no match still emit one null row (explode_outer), so downstream
+    * per-document joins don't silently drop them — the generator edge case
+    * a filter-then-explode pipeline gets wrong. The match set ('q'-tokens)
+    * is rare enough in the fixture vocabulary that both branches are
+    * exercised. */
+  def explodeOuterTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("filter(split(text, ' '), t -> t LIKE '%q%')").as("hits"))
+      .select(col("doc_id"), explode_outer(col("hits")).as("tok"))
+      .orderBy(col("doc_id"), col("tok"))
+
+  val explodeOuterTokensSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents)
+      |SELECT d.doc_id, t.tok
+      |FROM d LEFT JOIN LATERAL (
+      |  SELECT unnest(list_filter(string_split(d.text, ' '), x -> x LIKE '%q%')) AS tok
+      |) t ON true
+      |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
+}

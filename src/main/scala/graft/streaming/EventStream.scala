@@ -53,6 +53,52 @@ object EventStream {
         |GROUP BY 1, 2
         |ORDER BY bucket_ms, event_type""".stripMargin
 
+  // --- sliding (hopping) window aggregation ---------------------------------
+  /** 2-hour windows hopping every hour per event_type — each event lands
+    * in exactly two windows. Streaming form; works on batch frames too. */
+  def slidingCounts(eventsWithTime: DataFrame): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+
+  /** Batch twin of [[slidingCounts]] with an oracle: the native sliding
+    * `window()` function (epoch-aligned, timezone-independent), window
+    * starts exposed as epoch ms. The oracle replicates each event to its
+    * two covering windows via the range-unnest idiom — same rows, and a
+    * proof that the built-in assignment is exactly the replicate-join
+    * expansion a hand-rolled plan would do. */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(Tables.events(spark, dir))
+      .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("start_ms"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("start_ms"), col("event_type"))
+
+  val slidingWindowAggSql: String =
+    Tables.eventsOracleCte +
+      """
+        |SELECT (ts_ms // 3600000 - i) * 3600000 AS start_ms, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev, LATERAL unnest(range(2)) AS t(i)
+        |GROUP BY 1, 2
+        |ORDER BY start_ms, event_type""".stripMargin
+
+  // --- session windows (native, streaming-capable) ---------------------------
+  /** Gap-based session windows via the native `session_window` function —
+    * the streaming-capable form of [[sessionize]] (state-store-backed under
+    * `writeStream`; in batch it merges overlapping per-event windows).
+    * Cross-validated against the window-function sessionize in specs. */
+  def sessionWindowCounts(eventsWithTime: DataFrame, gap: String = "30 minutes"): DataFrame =
+    eventsWithTime
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   // --- batch sessionization (gap-based, window-function form) --------------
   /** Sessionize each user's stream with a 30-minute inactivity gap: a new
     * session starts where the gap from the previous event exceeds the
