@@ -288,11 +288,15 @@ object Dedup {
     // 100 TB corpus with 10^8 surviving edges gets ~1000. The count reads
     // the self-join off the cached `rare` table, so sizing costs one cheap
     // job instead of a second checkpointed copy of the edge table.
+    // Materialize the self-join ONCE (eager checkpoint), then size the
+    // loop from a cheap scan of the materialized edges — previously the
+    // sizing count and the sym build each executed the join.
+    val edgesCk = edges.localCheckpoint(true)
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (edges.count() / 100000L).toInt))
+      (edgesCk.count() / 100000L).toInt))
     // Symmetric edges partitioned on dst — the key every loop join probes
     // — so the per-round join never re-shuffles the edge table.
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = edgesCk.union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(nParts, col("dst")).localCheckpoint(true)
     var labels = rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
       .repartition(nParts, col("doc_id")).localCheckpoint(true)
@@ -300,10 +304,16 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // The node's own row carries its pre-round label in `prev` (exactly
+      // one self row per doc, so max() just restores it through the
+      // aggregation); neighbor rows carry null. The convergence check then
+      // reads `lab != prev` off the checkpointed result — no extra join
+      // job per round for the changed-count.
       val viaNeighbors = sym.join(labels, sym("dst") === labels("doc_id"))
-        .select(sym("src").as("doc_id"), col("lab"))
-      val prelim = labels.select(col("doc_id"), col("lab")).union(viaNeighbors)
-        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+        .select(sym("src").as("doc_id"), col("lab"), lit(null).cast("long").as("prev"))
+      val prelim = labels.select(col("doc_id"), col("lab"), col("lab").as("prev"))
+        .union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
       // Pointer jumping: follow the label's OWN label (labels are always
       // node ids, so `lab` resolves in the same table). Neighbor-min alone
       // converges in O(diameter) rounds; chasing label-of-label each round
@@ -316,13 +326,15 @@ object Dedup {
       val next = prelim.as("p")
         .join(prelim.select(col("doc_id").as("lab"), col("lab").as("lab2")).as("q"),
           Seq("lab"), "left")
-        .select(col("doc_id"), coalesce(col("lab2"), col("lab")).as("lab"))
+        .select(col("doc_id"), coalesce(col("lab2"), col("lab")).as("lab"), col("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lab", "prev"), "doc_id")
-        .filter(col("lab") =!= col("prev")).count()
-      labels = next
+      // cheap scan of the just-materialized checkpoint, not a join
+      val changed = next.filter(col("lab") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("lab"))
       converged = changed == 0
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC round $iter changed=$changed")
     }
     // Unconverged labels are WRONG labels (a >maxIters-diameter chain
     // would silently split one true duplicate group into several) — fail
