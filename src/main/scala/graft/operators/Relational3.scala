@@ -248,4 +248,111 @@ object Relational3 {
       |  SELECT unnest(list_filter(string_split(d.text, ' '), x -> x LIKE '%q%')) AS tok
       |) t ON true
       |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
+
+  // --- schema-evolution union (unionByName) ---------------------------------
+  /** Union of two generations of the same table — a legacy projection
+    * missing the `source` column and the modern full one — via
+    * `unionByName(allowMissingColumns = true)`: columns align by NAME, the
+    * missing one null-fills. This is the schema-evolution read path of a
+    * long-lived lake table (positional union would silently mis-bind).
+    * The oracle states the null-filled union explicitly. */
+  def unionByNameEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val legacy = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+    val modern = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+    legacy.unionByName(modern, allowMissingColumns = true)
+      .orderBy(col("doc_id"))
+  }
+
+  val unionByNameEvolvedSql: String =
+    """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // --- try_* error-safe functions -------------------------------------------
+  /** ANSI-mode-safe expression forms: `try_divide` (null, not error, on a
+    * zero divisor), `try_cast` (null on unparsable input), `try_element_at`
+    * (null out of bounds). Spark 4 defaults to ANSI, where the plain forms
+    * THROW — the try_ family is how a production pipeline encodes
+    * "quarantine, don't crash" per value. The oracle states the same
+    * semantics via nullif / TRY_CAST / native-null indexing. */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("try_divide(event_id, k % 5)").as("safe_div"),
+        expr("try_cast(CASE WHEN k % 2 = 0 THEN CAST(k AS STRING) ELSE event_type END AS INT)")
+          .as("maybe_int"),
+        expr("try_element_at(split(event_type, 'i'), 2)").as("second_piece"))
+      .orderBy(col("event_id"))
+
+  val tryFuncsSql: String =
+    Tables.eventsOracleCte +
+      """
+        |SELECT event_id,
+        |       event_id / nullif(k % 5, 0) AS safe_div,
+        |       TRY_CAST(CASE WHEN k % 2 = 0 THEN CAST(k AS VARCHAR) ELSE event_type END AS INT) AS maybe_int,
+        |       string_split(event_type, 'i')[2] AS second_piece
+        |FROM ev
+        |ORDER BY event_id""".stripMargin
+
+  // --- max_by / min_by ------------------------------------------------------
+  /** Selector aggregates: the user behind each event type's highest- and
+    * lowest-valued event in ONE hash aggregation — no window, no
+    * self-join, the shape that replaces "top-1 per group" row_number
+    * pipelines when only the argmax row's companion column is needed. The
+    * struct ordering key makes ties deterministic (event_id is unique);
+    * the oracle expresses the same argmax as ordered-first aggregates. */
+  def maxbyMinby(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("value"), col("event_id"))).as("top_user"),
+        min_by(col("user_id"), struct(col("value"), col("event_id"))).as("bottom_user"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .orderBy(col("event_type"))
+
+  val maxbyMinbySql: String =
+    Tables.eventsOracleCte +
+      """
+        |SELECT event_type,
+        |       first(user_id ORDER BY value DESC, event_id DESC) AS top_user,
+        |       first(user_id ORDER BY value, event_id) AS bottom_user,
+        |       max(value) AS max_value,
+        |       min(value) AS min_value
+        |FROM ev
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+
+  // --- ROWS-frame moving aggregates -----------------------------------------
+  /** Trailing 4-row moving sum/average per user (ROWS BETWEEN 3 PRECEDING
+    * AND CURRENT ROW) — the physical-row frame that RANGE can't express
+    * (window_range_frame covers the value-distance frame). The sum runs
+    * through DECIMAL so the sliding accumulation is association-free and
+    * engine-exact; the average is one double division of exact values. */
+  def windowRowsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(expr("CAST(value AS DECIMAL(18,2))")).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg", col("mov_sum") / col("mov_n").cast("double"))
+      .orderBy(col("event_id"))
+  }
+
+  val windowRowsFrameSql: String =
+    Tables.eventsOracleCte +
+      """
+        |SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+        |       count(*) OVER w AS mov_n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
 }

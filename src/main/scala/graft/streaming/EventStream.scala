@@ -142,6 +142,54 @@ object EventStream {
         |GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin
 
+  // --- time-series gap fill + forward fill -----------------------------------
+  /** Regularize each user's stream onto an hourly grid: generate the full
+    * hour series between the user's first and last event (sequence +
+    * explode — bounded per user, no global calendar table), left-join the
+    * per-hour aggregates, zero-fill counts, and forward-fill the last
+    * observed value across empty hours (ignore-nulls last over the hour
+    * order) — the locf/gap-fill operator every monitoring / feature
+    * pipeline needs. Scale shape: one shuffle to the per-hour grain, one
+    * partitioned window; series width is bounded by each user's own span. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("hour", expr("ts_ms div 3600000"))
+    val perHour = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("last_val"))
+    val series = ev.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val wFill = Window.partitionBy("user_id").orderBy("hour")
+    series.join(perHour, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_val"), ignoreNulls = true).over(wFill).as("filled_val"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val gapFillSql: String =
+    Tables.eventsOracleCte +
+      """, eh AS (
+        |  SELECT user_id, ts_ms // 3600000 AS hour, value, ts_ms, event_id FROM ev
+        |), ph AS (
+        |  SELECT user_id, hour, count(*) AS n_events,
+        |         first(value ORDER BY ts_ms DESC, event_id DESC) AS last_val
+        |  FROM eh GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM eh GROUP BY 1
+        |), series AS (
+        |  SELECT user_id, i AS hour FROM bounds, LATERAL unnest(range(h0, h1 + 1)) AS t(i)
+        |), j AS (
+        |  SELECT s.user_id, s.hour,
+        |         CAST(coalesce(p.n_events, 0) AS BIGINT) AS n_events, p.last_val
+        |  FROM series s LEFT JOIN ph p ON s.user_id = p.user_id AND s.hour = p.hour
+        |)
+        |SELECT user_id, hour, n_events,
+        |       last_value(last_val IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY hour) AS filled_val
+        |FROM j
+        |ORDER BY user_id, hour""".stripMargin
+
   // --- streaming dedup (state-store keyed) ----------------------------------
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped by the state store; state for ids older

@@ -138,6 +138,50 @@ class CoverageWave4Spec extends SparkSpec {
       2L * Tables.table(spark, sf, "events").count())
   }
 
+  test("union_by_name: schema evolution null-fills only the legacy half") {
+    val df = Relational3.unionByNameEvolved(spark, sf).cache()
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(col("doc_id") % 2 === 0 && col("source").isNotNull).count() === 0)
+    assert(df.filter(col("doc_id") % 2 === 1 && col("source").isNull).count() === 0)
+  }
+
+  test("try_funcs: null exactly where the unsafe form would error") {
+    val df = Relational3.tryFuncs(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(df.filter(col("safe_div").isNull).count() ===
+      ev.filter(col("k") % 5 === 0 || col("k").isNull).count())
+    assert(df.filter(col("maybe_int").isNull).count() ===
+      ev.filter(col("k") % 2 =!= 0 || col("k").isNull).count())
+  }
+
+  test("maxby_minby: selected users really own the group extremes") {
+    val df = Relational3.maxbyMinby(spark, sf)
+    val check = df.join(Tables.events(spark, sf), Seq("event_type"))
+      .groupBy(col("event_type"), col("top_user"), col("max_value"))
+      .agg(max(col("value")).as("true_max"))
+    assert(check.filter(col("max_value") =!= col("true_max")).count() === 0)
+  }
+
+  test("window_rows_frame: mov_n capped at 4 and mov_avg = mov_sum/mov_n") {
+    val df = Relational3.windowRowsFrame(spark, sf).cache()
+    assert(df.filter(col("mov_n") < 1 || col("mov_n") > 4).count() === 0)
+    assert(df.filter(abs(col("mov_avg") * col("mov_n") - col("mov_sum")) > 1e-6).count() === 0)
+  }
+
+  test("gap_fill: grid is dense per user, zero-filled hours carry a forward value") {
+    val df = EventStream.gapFill(spark, sf).cache()
+    // dense grid: per user, rows = h1 - h0 + 1 and hours are consecutive
+    val grid = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("rows"), (max(col("hour")) - min(col("hour")) + 1).as("span"))
+    assert(grid.filter(col("rows") =!= col("span")).count() === 0)
+    // events are conserved
+    assert(df.agg(sum("n_events")).first().getLong(0) ===
+      Tables.table(spark, sf, "events").count())
+    // forward fill: the first grid hour of each user has events by
+    // construction, so filled_val is never null
+    assert(df.filter(col("filled_val").isNull).count() === 0)
+  }
+
   test("streaming slidingCounts matches the batch twin on the same frame") {
     val batch = EventStream.slidingWindowAgg(spark, sf)
     val viaStreamShape = EventStream.slidingCounts(
