@@ -69,4 +69,34 @@ object Sketches {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // --- frequent-items sketch (approx_top_k) ---------------------------------
+  /** Corpus top-10 words via the DataSketches frequent-items aggregate
+    * (`approx_top_k`), checked against the exact counts. The fixture
+    * vocabulary (~31 words) fits far inside maxItemsTracked, so the sketch
+    * guarantees EXACT counts — the boolean is a hard equality, making this
+    * oracle-stable; at real scale the same query returns ±ε counts for
+    * heavy hitters with bounded memory, where the exact groupBy would
+    * shuffle the full token distribution. Tie order inside the sketch's
+    * own top-k is not contractual, so the query re-sorts deterministically
+    * (freq DESC, word) and takes k wide enough to cover the vocabulary. */
+  def approxTopkCheck(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val sketch = words.agg(expr("approx_top_k(word, 50, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("est_freq"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    exact.join(sketch, "word")
+      .select(col("word"), col("freq"), (col("est_freq") === col("freq")).as("sketch_exact"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(10)
+  }
+
+  val approxTopkCheckSql: String =
+    """SELECT word, count(*) AS freq, true AS sketch_exact
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY freq DESC, word
+      |LIMIT 10""".stripMargin
 }

@@ -182,6 +182,12 @@ class CoverageWave4Spec extends SparkSpec {
     assert(df.filter(col("filled_val").isNull).count() === 0)
   }
 
+  test("approx_topk_check: sketch counts are exact at fixture cardinality") {
+    val df = graft.operators.Sketches.approxTopkCheck(spark, sf)
+    assert(df.filter(!col("sketch_exact")).count() === 0)
+    assert(df.count() === 10)
+  }
+
   test("streaming slidingCounts matches the batch twin on the same frame") {
     val batch = EventStream.slidingWindowAgg(spark, sf)
     val viaStreamShape = EventStream.slidingCounts(

@@ -13,12 +13,18 @@ class PlanGuardSpec extends SparkSpec {
   // against a broadcast query/centroid table (no shuffle of the big side)
   private val bnljAllowed = Set("ann_brute_force", "kmeans_assign")
 
+  // single-partition exchanges that ARE the design: a global mergeable-
+  // sketch aggregation partial-aggregates map-side and exchanges only the
+  // per-partition sketch buffers (bytes, not rows) to one final merge —
+  // the canonical 1000-executor reduction, not a serialization hazard
+  private val spAllowed = Set("approx_topk_check")
+
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       Seq(
         if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
-        if (plan.contains("Exchange SinglePartition"))
+        if (plan.contains("Exchange SinglePartition") && !spAllowed(name))
           Some(s"$name: Exchange SinglePartition") else None,
         if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
           Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
