@@ -249,6 +249,70 @@ object Relational3 {
       |) t ON true
       |ORDER BY doc_id, tok NULLS FIRST""".stripMargin
 
+  // --- TPC-H Q7 (volume shipping, disjunctive join predicate) ---------------
+  /** Two-nation trade volume per direction per year: supplier nation and
+    * customer nation joined through lineitem/orders with the DISJUNCTIVE
+    * pair predicate ((n1,n2) = (A,B) OR (B,A)) — the join shape optimizers
+    * mishandle by falling back to a cross product; here both nation dims
+    * broadcast and the disjunction evaluates as a post-join filter on two
+    * tiny broadcast sides, never touching the fact-fact join keys. */
+  def sqlQ7(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(sqlQ7Text)
+  }
+
+  private val sqlQ7Text: String =
+    """WITH n1 AS (SELECT n_nationkey AS n1_key, n_name AS supp_nation FROM nation),
+      |     n2 AS (SELECT n_nationkey AS n2_key, n_name AS cust_nation FROM nation)
+      |SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM (
+      |  SELECT supp_nation, cust_nation,
+      |         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN n1 ON s_nationkey = n1_key
+      |  JOIN n2 ON c_nationkey = n2_key
+      |  WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
+      |     OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3')
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val sqlQ7Sql: String = sqlQ7Text
+
+  // --- multi-aggregate pivot ------------------------------------------------
+  /** Pivot with TWO aggregates per pivot value: order count and exact
+    * revenue per (priority × status) cell — one scan, one aggregation,
+    * column names fused as <status>_<agg>. The oracle states the same
+    * cells as conditional aggregates (the universal pivot encoding). */
+  def pivotMultiAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      .orderBy(col("o_orderpriority"))
+
+  val pivotMultiAggSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_total,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_total,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_total
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --- schema-evolution union (unionByName) ---------------------------------
   /** Union of two generations of the same table — a legacy projection
     * missing the `source` column and the modern full one — via

@@ -182,6 +182,24 @@ class CoverageWave4Spec extends SparkSpec {
     assert(df.filter(col("filled_val").isNull).count() === 0)
   }
 
+  test("sql_q7: directions are symmetric pairs over the two chosen nations") {
+    val df = Relational3.sqlQ7(spark, sf).cache()
+    import spark.implicits._
+    val pairs = df.select($"supp_nation", $"cust_nation").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+    assert(df.filter($"revenue" <= 0 || $"n_items" < 1).count() === 0)
+  }
+
+  test("pivot_multi_agg: cells reassemble to the order count and no double-counting") {
+    val df = Relational3.pivotMultiAgg(spark, sf)
+    val total = df.select(
+      (coalesce(col("F_n"), lit(0L)) + coalesce(col("O_n"), lit(0L)) +
+        coalesce(col("P_n"), lit(0L))).as("rowsum"))
+      .agg(sum("rowsum")).first().getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
   test("approx_topk_check: sketch counts are exact at fixture cardinality") {
     val df = graft.operators.Sketches.approxTopkCheck(spark, sf)
     assert(df.filter(!col("sketch_exact")).count() === 0)
