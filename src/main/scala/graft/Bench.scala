@@ -27,14 +27,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try {
-          fn(spark, sfDir).count() // warmup: codegen + JIT, untimed
+          val warmupT = timed(fn(spark, sfDir).count()) // warmup: codegen + JIT, untimed in the result
           val best2 = math.min(timed(fn(spark, sfDir).count()), timed(fn(spark, sfDir).count()))
           // Host-variance guard: this box shows intermittent multi-second
           // slow phases under identical plans; when both timed runs land
-          // above the band every query normally sits in, take one more
-          // sample so a transient stall isn't recorded as the query's cost
-          // (r2 artifact recorded hll_distinct_check at 6.09s vs 0.6s warm).
-          if (best2 > 2.0) math.min(best2, timed(fn(spark, sfDir).count()))
+          // well above even the compile-inclusive warmup run, that's a
+          // stall, not query cost — take one more sample (r2 artifact
+          // recorded hll_distinct_check at 6.09s vs 0.6s warm). Genuinely
+          // slow queries (warm cost > 2s, e.g. dedup_groups_cc) don't
+          // trigger it: their best2 stays below the warmup time.
+          if (best2 > 2.0 && best2 > 1.5 * warmupT)
+            math.min(best2, timed(fn(spark, sfDir).count()))
           else best2
         } catch { case _: Throwable => -1.0 }
       name -> t

@@ -142,15 +142,23 @@ object Multimodal {
                     chunkBytes: Int = AudioChunkBytes): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .withColumn("blen", octet_length(col("payload")))
-      .select(col("doc_id"), col("payload"), col("blen"),
+      // hex the payload ONCE per document, before the fan-out — inside the
+      // per-chunk projection it would re-hex the whole payload for every
+      // chunk row, O(len^2/chunk) per document (the oracle's CTE computes
+      // hx once for the same reason). Zero-length payloads emit no chunks
+      // (the filter also keeps the sequence upper bound non-negative —
+      // sequence(0, -1) would DESCEND and emit garbage rows).
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("blen"))
+      .filter(col("blen") > 0)
+      .select(col("doc_id"), col("hx"), col("blen"),
         posexplode(expr(s"sequence(0, int((blen + $chunkBytes - 1) div $chunkBytes) - 1)"))
           .as(Seq("pos", "chunk_idx")))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * chunkBytes).cast("int").as("byte_off"),
         least(lit(chunkBytes), col("blen") - col("chunk_idx") * chunkBytes)
           .cast("int").as("chunk_len"),
-        md5(expr(s"substring(hex(payload), chunk_idx * $chunkBytes * 2 + 1, ${2 * chunkBytes})"))
+        md5(expr(s"substring(hx, chunk_idx * $chunkBytes * 2 + 1, ${2 * chunkBytes})"))
           .as("chunk_md5"),
         // -- stubbed decode: duration from the fake sample rate --
         expr(s"int(least($chunkBytes, blen - chunk_idx * $chunkBytes) div $AudioBytesPerMs)")

@@ -166,7 +166,10 @@ object Relational3 {
     * partition; no global sort). Complements sample_per_source's weighted
     * bottom-k: systematic is the right tool when the frame is already
     * ordered and a fixed sampling fraction per stratum is wanted. */
-  def sampleSystematic(spark: SparkSession, dir: String, every: Int = 50): DataFrame = {
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val SampleEvery: Int = 50
+
+  def sampleSystematic(spark: SparkSession, dir: String, every: Int = SampleEvery): DataFrame = {
     val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
@@ -176,9 +179,6 @@ object Relational3 {
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderstatus"), col("sample_idx"))
   }
-
-  /** Shared with the oracle SQL so non-default call sites can't diverge. */
-  val SampleEvery: Int = 50
 
   val sampleSystematicSql: String =
     s"""WITH ranked AS (
@@ -301,13 +301,18 @@ object Relational3 {
         expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
       .orderBy(col("o_orderpriority"))
 
+  /** NB the counts are nullif-wrapped: with more than one aggregate Spark
+    * resolves pivot through the two-phase PivotFirst path, which NULL-fills
+    * a (priority, status) cell with no input rows — the oracle must state
+    * NULL, not 0, for an empty cell or the compare diverges the day a
+    * fixture has an absent combination. */
   val pivotMultiAggSql: String =
     """SELECT o_orderpriority,
-      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+      |       nullif(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F_n,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_total,
-      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+      |       nullif(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O_n,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_total,
-      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+      |       nullif(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P_n,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_total
       |FROM orders
       |GROUP BY o_orderpriority

@@ -155,11 +155,23 @@ class CoverageWave4Spec extends SparkSpec {
   }
 
   test("maxby_minby: selected users really own the group extremes") {
-    val df = Relational3.maxbyMinby(spark, sf)
-    val check = df.join(Tables.events(spark, sf), Seq("event_type"))
-      .groupBy(col("event_type"), col("top_user"), col("max_value"))
-      .agg(max(col("value")).as("true_max"))
-    assert(check.filter(col("max_value") =!= col("true_max")).count() === 0)
+    val df = Relational3.maxbyMinby(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    // the reported extremes are the true group extremes
+    val trueExt = ev.groupBy(col("event_type"))
+      .agg(max(col("value")).as("true_max"), min(col("value")).as("true_min"))
+    assert(df.join(trueExt, "event_type")
+      .filter(col("max_value") =!= col("true_max") ||
+        col("min_value") =!= col("true_min")).count() === 0)
+    // top_user/bottom_user actually own an event carrying that extreme value
+    val ownsMax = df.join(ev,
+      df("event_type") === ev("event_type") && df("top_user") === ev("user_id") &&
+        df("max_value") === ev("value"), "left_semi")
+    assert(ownsMax.count() === df.count())
+    val ownsMin = df.join(ev,
+      df("event_type") === ev("event_type") && df("bottom_user") === ev("user_id") &&
+        df("min_value") === ev("value"), "left_semi")
+    assert(ownsMin.count() === df.count())
   }
 
   test("window_rows_frame: mov_n capped at 4 and mov_avg = mov_sum/mov_n") {
