@@ -259,8 +259,15 @@ object Relational {
     * through DECIMAL so the cumulative sum is exact under any evaluation
     * association (Spark's incremental buffer vs DuckDB's segment tree). */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    // The fixture contains duplicate (l_orderkey, l_linenumber) pairs —
+    // at sf0.1 two rows can tie on the FULL (shipdate, orderkey,
+    // linenumber) key with different quantities, making the ROWS-frame
+    // prefix sum at the tied rows order-ambiguous in any engine (caught
+    // as an intermittent 1-row cross-engine diff). l_quantity completes
+    // the key: rows still tied after it contribute equal amounts, so
+    // every prefix value is well-defined.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .withColumn("running_qty",
@@ -273,7 +280,7 @@ object Relational {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
       |              OVER (PARTITION BY l_suppkey
-      |                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |            AS DOUBLE) AS running_qty
       |FROM lineitem
