@@ -35,6 +35,100 @@ object Dedup {
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
         .as("shingle"))
 
+  // --- incremental dedup (new batch vs existing corpus) ---------------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val IncrementalNewSource: String = "src19"
+
+  /** The ingest-time dedup every growing corpus runs: dedupe the incoming
+    * batch internally (min doc_id per content hash), then anti-join the
+    * surviving hashes against the existing corpus — only genuinely new
+    * content lands. One shuffle keyed on the content hash; at 100 TB the
+    * corpus side is a hash index you'd additionally front with a bloom
+    * filter so the anti-join only shuffles probable collisions. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       newSource: String = IncrementalNewSource): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusHashes = docs.filter(col("source") =!= newSource)
+      .select(md5(col("text")).as("h")).distinct()
+    val batchKeepers = docs.filter(col("source") === newSource)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+    batchKeepers.join(corpusHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("n_in_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH nh AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_in_batch
+       |  FROM documents WHERE source = '$IncrementalNewSource' GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(n_in_batch AS BIGINT) AS n_in_batch
+       |FROM nh
+       |WHERE h NOT IN (SELECT md5(text) FROM documents WHERE source <> '$IncrementalNewSource')
+       |ORDER BY doc_id""".stripMargin
+
+  // --- benchmark decontamination (cross-source n-gram overlap) --------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val ContaminationEvalSource: String = "src0"
+  val ContaminationMinShared: Int = 5
+
+  /** Decontamination scan: which training documents share suspiciously
+    * many trigram shingles with a held-out evaluation set (here one
+    * source plays the benchmark). Per (train_doc, eval_doc): the count of
+    * shared distinct shingles and its fraction of the train doc's
+    * shingles. The join keys on the shingle — the eval side is tiny at
+    * real scale (benchmarks are small), so it broadcasts and the train
+    * corpus streams through in one scan; the LLM-pipeline op behind
+    * "n-gram overlap decontamination" in every training-data report. */
+  def contamination(spark: SparkSession, dir: String,
+                    evalSource: String = ContaminationEvalSource,
+                    minShared: Int = ContaminationMinShared): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSh = shingleRows(docs.filter(col("source") === evalSource))
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    val trainSh = shingleRows(docs.filter(col("source") =!= evalSource))
+      .select(col("doc_id").as("train_doc"), col("shingle")).persist()
+    val trainSizes = trainSh.groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared.join(trainSizes, Seq("train_doc"))
+      .select(col("train_doc"), col("eval_doc"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double")).as("overlap_frac"))
+      .orderBy(col("overlap_frac").desc, col("train_doc"), col("eval_doc"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+       |), sh0 AS (
+       |  SELECT doc_id, source, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS shingle
+       |  FROM toks, LATERAL unnest(range(1, len(l) - 1)) AS t(i)
+       |  WHERE len(l) >= 3
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, source, shingle FROM sh0
+       |), tr AS (
+       |  SELECT doc_id AS train_doc, shingle FROM sh WHERE source <> '$ContaminationEvalSource'
+       |), ev AS (
+       |  SELECT doc_id AS eval_doc, shingle FROM sh WHERE source = '$ContaminationEvalSource'
+       |), sizes AS (
+       |  SELECT train_doc, count(*) AS n_shingles FROM tr GROUP BY 1
+       |), shared AS (
+       |  SELECT train_doc, eval_doc, count(*) AS n_shared
+       |  FROM tr JOIN ev USING (shingle)
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $ContaminationMinShared
+       |)
+       |SELECT train_doc, eval_doc,
+       |       CAST(n_shared AS BIGINT) AS n_shared,
+       |       CAST(n_shingles AS BIGINT) AS n_shingles,
+       |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+       |FROM shared JOIN sizes USING (train_doc)
+       |ORDER BY overlap_frac DESC, train_doc, eval_doc""".stripMargin
+
   // --- exact dedup (hash-groupBy) ------------------------------------------
   /** Exact duplicate groups keyed on md5(text): one shuffle on the hash,
     * keeper = min(doc_id). `dropDuplicates` is the one-liner form; this

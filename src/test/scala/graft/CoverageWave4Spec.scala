@@ -212,6 +212,29 @@ class CoverageWave4Spec extends SparkSpec {
     assert(total === Tables.orders(spark, sf).count())
   }
 
+  test("dedup_incremental: kept docs are new-batch keepers absent from the corpus") {
+    val df = graft.operators.Dedup.incrementalDedup(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    val newSrc = graft.operators.Dedup.IncrementalNewSource
+    // every kept doc really is in the new batch
+    assert(df.join(docs.filter(col("source") === newSrc), Seq("doc_id"), "left_anti")
+      .count() === 0)
+    // no kept doc's content exists in the prior corpus
+    val keptHashes = df.join(docs, "doc_id").select(md5(col("text")).as("h"))
+    val corpusHashes = docs.filter(col("source") =!= newSrc).select(md5(col("text")).as("h"))
+    assert(keptHashes.join(corpusHashes, Seq("h"), "left_semi").count() === 0)
+  }
+
+  test("txt_contamination: overlaps are valid fractions across the source split") {
+    val df = graft.operators.Dedup.contamination(spark, sf).cache()
+    assert(df.filter(col("overlap_frac") <= 0 || col("overlap_frac") > 1).count() === 0)
+    assert(df.filter(col("n_shared") > col("n_shingles")).count() === 0)
+    val docs = Tables.documents(spark, sf)
+    val evalSrc = graft.operators.Dedup.ContaminationEvalSource
+    assert(df.join(docs.filter(col("source") =!= evalSrc)
+      .select(col("doc_id").as("eval_doc")), Seq("eval_doc"), "left_semi").count() === 0)
+  }
+
   test("approx_topk_check: sketch counts are exact at fixture cardinality") {
     val df = graft.operators.Sketches.approxTopkCheck(spark, sf)
     assert(df.filter(!col("sketch_exact")).count() === 0)
