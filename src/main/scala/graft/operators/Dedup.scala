@@ -482,14 +482,26 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b")
+    // Lane-packed bit counting: aggregate k (k = 0..15) accumulates the
+    // counters of bits {k, k+16, k+32, k+48} in four 16-bit lanes of one
+    // long — 16 sum() aggregates instead of 64. Lanes can't carry into
+    // each other while every document stays under 65535 tokens (fixture
+    // max ~120; a real corpus would chunk first — dedup_chunk — long
+    // before a single doc hits 64k tokens). Same simhash bits, ~4x less
+    // aggregation state per group.
+    val laneSums = (0 until 16).map { k =>
+      val packed = (0 until 4).map { j =>
+        shiftleft(shiftright(col("h"), k + 16 * j).bitwiseAND(lit(1L)), 16 * j)
+      }.reduce(_ + _)
+      sum(packed).as(s"k$k")
     } :+ count(lit(1)).as("n_toks")
     val sig = toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(laneSums.head, laneSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until 64).map { b =>
+          val cnt = shiftright(col(s"k${b % 16}"), 16 * (b / 16)).bitwiseAND(lit(65535L))
+          when(cnt * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (simhash >> (c * 16)) & 65535))"))
       .as("cc"))
@@ -500,8 +512,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the dedup shuffle: a pair found via k of the
+      // 4 chunks appears k times, but only near-dup pairs survive to the
+      // distinct — the far-pair majority of the candidate set never
+      // shuffles
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy(col("hamming"), col("d1"), col("d2"))
       .limit(1000)
   }
