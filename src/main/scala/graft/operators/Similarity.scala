@@ -170,8 +170,12 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
     Tables.embeddings(spark, dir)
       .crossJoin(broadcast(cent))
-      .withColumn("d", expr(
-        "aggregate(zip_with(embedding, cl, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      // codegen'd native expression — the higher-order
+      // aggregate(zip_with(...)) form of this ran interpreted (the
+      // measured-17x trap); arithmetic is bit-identical (left-assoc
+      // (double(x)-c)^2 accumulation)
+      .withColumn("d",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("embedding"), col("cl")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label").as("orig_label"),

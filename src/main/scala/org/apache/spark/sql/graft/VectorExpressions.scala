@@ -66,11 +66,68 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance between a float vector and a double vector
+  * (an embedding against a computed centroid) — the k-means E-step hot
+  * loop. Same rationale as [[FloatVecDot]]: the higher-order
+  * `aggregate(zip_with(...))` formulation evaluates interpreted outside
+  * codegen. Semantics are exactly the fold's: per-element
+  * `(double(x_i) - c_i)^2` accumulated left-to-right in DOUBLE —
+  * bit-identical to the lambda it replaces and to the DuckDB oracle's
+  * `list_sum(list_transform(...))`. */
+case class FloatVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vec_dot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[FloatVecSqDist]]. */
+  def vec_sqdist(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVecSqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

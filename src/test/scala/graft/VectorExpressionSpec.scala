@@ -17,6 +17,26 @@ class VectorExpressionSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("vec_sqdist is bit-identical to the interpreted higher-order fold") {
+    import org.apache.spark.sql.graft.VectorFunctions.vec_sqdist
+    val e = Tables.embeddings(spark, sf)
+    // centroid side is array<double>, as in the k-means E-step
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.0000001)").as("c2"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("v1") < col("v2")).limit(5000)
+    val diff = pairs.select(
+        vec_sqdist(col("e1"), col("c2")).as("custom"),
+        expr("aggregate(zip_with(e1, c2, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("fold"))
+      .filter(col("custom") =!= col("fold"))
+    assert(diff.count() === 0)
+    // self-distance against own exact double copy is zero
+    val self = e.select(vec_sqdist(col("embedding"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as("d"))
+      .filter(col("d") =!= 0.0)
+    assert(self.count() === 0)
+  }
+
   test("vec_dot: null array yields null, self-dot is the squared norm") {
     import spark.implicits._
     val df = Seq(
