@@ -27,17 +27,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try {
-          val warmupT = timed(fn(spark, sfDir).count()) // warmup: codegen + JIT, untimed in the result
+          fn(spark, sfDir).count() // warmup: codegen + JIT, untimed
           val best2 = math.min(timed(fn(spark, sfDir).count()), timed(fn(spark, sfDir).count()))
           // Host-variance guard: this box shows intermittent multi-second
-          // slow phases under identical plans; when both timed runs land
-          // well above even the compile-inclusive warmup run, that's a
-          // stall, not query cost — take one more sample (r2 artifact
-          // recorded hll_distinct_check at 6.09s vs 0.6s warm). Genuinely
-          // slow queries (warm cost > 2s, e.g. dedup_groups_cc) don't
-          // trigger it: their best2 stays below the warmup time.
-          if (best2 > 2.0 && best2 > 1.5 * warmupT)
-            math.min(best2, timed(fn(spark, sfDir).count()))
+          // slow phases under identical plans (the r2 artifact recorded a
+          // 0.6s query at 6.09s). Any best-of-2 above 2s gets one more
+          // sample, unconditionally — a warmup-relative test would skip
+          // the case where the stall spans the warmup too. Cost: the one
+          // genuinely-slow query (dedup_groups_cc ~3s) is min-of-3 every
+          // run, a consistent policy worth the ~3s for stall immunity.
+          if (best2 > 2.0) math.min(best2, timed(fn(spark, sfDir).count()))
           else best2
         } catch { case _: Throwable => -1.0 }
       name -> t

@@ -58,14 +58,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // NOT EXISTS, not NOT IN: a NULL hash in the corpus list would turn
+  // every NOT IN comparison UNKNOWN (0 rows), while Spark's left_anti
+  // keeps non-matching rows — anti-join semantics must match exactly.
   val incrementalDedupSql: String =
-    s"""WITH nh AS (
+    s"""WITH corpus AS (
+       |  SELECT md5(text) AS ch FROM documents WHERE source <> '$IncrementalNewSource'
+       |), nh AS (
        |  SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_in_batch
        |  FROM documents WHERE source = '$IncrementalNewSource' GROUP BY 1
        |)
        |SELECT doc_id, CAST(n_in_batch AS BIGINT) AS n_in_batch
        |FROM nh
-       |WHERE h NOT IN (SELECT md5(text) FROM documents WHERE source <> '$IncrementalNewSource')
+       |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE ch = nh.h)
        |ORDER BY doc_id""".stripMargin
 
   // --- benchmark decontamination (cross-source n-gram overlap) --------------
@@ -87,8 +92,12 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val evalSh = shingleRows(docs.filter(col("source") === evalSource))
       .select(col("doc_id").as("eval_doc"), col("shingle"))
+    // eager checkpoint, not persist: both consumers (sizes + the overlap
+    // join) read the materialized blocks, and the blocks are released
+    // when the frame is GC'd — a bare persist() here would pin a shingle
+    // explosion in executor storage per invocation with no unpersist
     val trainSh = shingleRows(docs.filter(col("source") =!= evalSource))
-      .select(col("doc_id").as("train_doc"), col("shingle")).persist()
+      .select(col("doc_id").as("train_doc"), col("shingle")).localCheckpoint(true)
     val trainSizes = trainSh.groupBy(col("train_doc"))
       .agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(broadcast(evalSh), Seq("shingle"))

@@ -156,12 +156,13 @@ object Similarity {
     * scan, no shuffle before the per-vector ranking window; the k×d
     * centroid table is always broadcastable.
     *
-    * The distance fold uses the higher-order `aggregate(zip_with(...))`
-    * deliberately: it evaluates left-to-right in DOUBLE exactly like the
-    * oracle's list fold, so distances are bit-identical and the argmin is
-    * stable across engines. The interpreted-lambda cost is bounded by
-    * k·n·d (k=10 here), not n²; a hot-path deployment would swap in a
-    * codegen'd expression like [[org.apache.spark.sql.graft.FloatVecDot]]. */
+    * The distance is the codegen'd native expression
+    * [[org.apache.spark.sql.graft.FloatVecSqDist]] — it accumulates
+    * per-element `(double(x)-c)^2` left-to-right in DOUBLE exactly like
+    * the interpreted `aggregate(zip_with(...))` fold it replaced and like
+    * the oracle's list fold, so distances are bit-identical and the
+    * argmin is stable across engines, while the E-step scan stays inside
+    * whole-stage codegen. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val cent = embCentroids(spark, dir)
       .groupBy(col("label").as("c_label"))

@@ -73,7 +73,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   * codegen. Semantics are exactly the fold's: per-element
   * `(double(x_i) - c_i)^2` accumulated left-to-right in DOUBLE —
   * bit-identical to the lambda it replaces and to the DuckDB oracle's
-  * `list_sum(list_transform(...))`. */
+  * `list_sum(list_transform(...))` ON the embedding-table contract
+  * (non-null elements, equal lengths, same as [[FloatVecDot]]). Outside
+  * that contract the two differ: the fold NULL-propagates a null element
+  * or a zip length pad, while this expression reads null slots as 0 and
+  * truncates to the shorter length — don't feed it nullable-element
+  * arrays. */
 case class FloatVecSqDist(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
