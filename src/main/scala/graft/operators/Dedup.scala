@@ -92,12 +92,15 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val evalSh = shingleRows(docs.filter(col("source") === evalSource))
       .select(col("doc_id").as("eval_doc"), col("shingle"))
-    // eager checkpoint, not persist: both consumers (sizes + the overlap
-    // join) read the materialized blocks, and the blocks are released
-    // when the frame is GC'd — a bare persist() here would pin a shingle
-    // explosion in executor storage per invocation with no unpersist
+    // Deliberately NOT materialized: the two consumers (sizes + the
+    // overlap join) each re-run the split/explode scan instead. The
+    // shingle explosion is a multiple of corpus size, so at 100 TB
+    // materializing it (persist OR eager checkpoint) to executor
+    // storage/local disk is the scale-killer, while a second pass of a
+    // fully codegen'd narrow scan is just another read of the (pruned,
+    // two-column) parquet — the cheapest side of that trade by far.
     val trainSh = shingleRows(docs.filter(col("source") =!= evalSource))
-      .select(col("doc_id").as("train_doc"), col("shingle")).localCheckpoint(true)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
     val trainSizes = trainSh.groupBy(col("train_doc"))
       .agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(broadcast(evalSh), Seq("shingle"))
@@ -295,7 +298,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("d1"), col("set_n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("set_n").as("n2")), "d2")
       .select(col("d1"), col("d2"),
@@ -303,6 +306,16 @@ object Dedup {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(1000)
+    // Materialize the (≤1000-row) result eagerly, then RELEASE both cached
+    // inputs before returning — the dedupGroups pattern. A long-lived
+    // session (bench loop, serving JVM) calling this per-corpus would
+    // otherwise pin a shingle explosion + signature table in executor
+    // storage per invocation with no unpersist (the r3 review's storage
+    // leak, the likely mechanism behind BENCH_r03's inflated g–p band).
+    val out = result.localCheckpoint(true)
+    sh.unpersist()
+    sigCached.unpersist()
+    out
   }
 
   // --- sub-document (chunk-level) exact dedup -------------------------------

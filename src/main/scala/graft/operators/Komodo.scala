@@ -34,10 +34,14 @@ object Komodo {
     * session_id=:sid GROUP BY client_id` → per-user count of one
     * interaction class. Mapping: event_type='click' plays `session` scope,
     * `k % 10 = 3` plays the interactionType equality (F2/F5 parameterized
-    * predicate). */
-  def aggInteraction(spark: SparkSession, dir: String): DataFrame =
+    * predicate). Both predicates are REQUEST parameters in the reference
+    * (`:session_id`, `:interaction_type`, process.py:79-84) — exposed here
+    * so Dispatch (T3) can thread per-request values; the defaults are the
+    * fixture mapping the oracle checks. */
+  def aggInteraction(spark: SparkSession, dir: String,
+                     sessionType: String = "click", interactionType: Int = 3): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("event_type") === "click" && col("k") % 10 === 3)
+      .filter(col("event_type") === sessionType && col("k") % 10 === interactionType)
       .groupBy(col("user_id"))
       .agg(count(col("props")).as("interaction_count"))
       .orderBy(col("user_id"))
@@ -56,11 +60,14 @@ object Komodo {
     * type='sync' GROUP BY entity_type` plus the code→label decode. The
     * reference decodes via nested REPLACE *after* aggregation (corrupting
     * multi-digit codes, SURVEY F6); we decode per-code with when/otherwise,
-    * which is strictly more correct. */
-  def aggUser(spark: SparkSession, dir: String): DataFrame = {
+    * which is strictly more correct. `clientId`/`sessionType` are the
+    * reference's `:client_id`/`:session_id` request parameters
+    * (process.py:145-163), threaded through Dispatch. */
+  def aggUser(spark: SparkSession, dir: String,
+              sessionType: String = "view", clientId: Int = 5): DataFrame = {
     val code = col("k") % 4
     Tables.events(spark, dir)
-      .filter(col("user_id") === 5 && col("event_type") === "view")
+      .filter(col("user_id") === clientId && col("event_type") === sessionType)
       .withColumn("entity_type",
         when(code === 0, "head")
           .when(code === 1, "left_hand")
@@ -90,15 +97,28 @@ object Komodo {
     * reference's pre-filtered unpartitioned window, SURVEY §4.2); Δt=0
     * guarded to NULL (MySQL division semantics, SURVEY X4); the LAG
     * boundary row is NULL-filtered exactly like `WHERE energy IS NOT NULL`
-    * (process.py:209). */
-  def userEnergy(spark: SparkSession, dir: String): DataFrame = {
+    * (process.py:209).
+    *
+    * The reference's user_energy takes `client_id` and `entity_type`
+    * request parameters (process.py:194, validated non-null at
+    * process.py:361-363) — optional here (None = whole stream, the
+    * oracle-checked default; Some = the dispatch-threaded narrowing:
+    * clientId → user_id, entityType → the k%4 entity code). The filters
+    * sit BEFORE the window, so a narrowed request shuffles only the
+    * requested user's rows. */
+  def userEnergy(spark: SparkSession, dir: String,
+                 clientId: Option[Int] = None, entityType: Option[Int] = None): DataFrame = {
     val w  = Window.partitionBy("user_id").orderBy("event_id")
     val dx = col("x") - lag("x", 1).over(w)
     val dy = col("y") - lag("y", 1).over(w)
     val dz = col("z") - lag("z", 1).over(w)
     val dt = (col("ts_ms") - lag("ts_ms", 1).over(w)).cast("double")
+    val scoped = Seq(
+      clientId.map(c => col("user_id") === c),
+      entityType.map(e => col("k") % 4 === e)
+    ).flatten.foldLeft(col("event_type") === "view")(_ && _)
     Tables.events(spark, dir)
-      .filter(col("event_type") === "view")
+      .filter(scoped)
       .select(col("user_id"), col("event_id"), col("ts_ms"),
         when(dt === 0, lit(null))
           .otherwise(sqrt(dx * dx + dy * dy + dz * dz) / dt).as("energy"))

@@ -80,14 +80,39 @@ object Similarity {
   /** Random-hyperplane-style LSH with the 8 leading dimension signs as the
     * bucket code (256 buckets): only same-bucket pairs are compared, so the
     * pair join is quadratic per bucket, not per corpus. Cosine ≥ 0.3 pairs
-    * survive. */
-  def embNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val code = expr(
-      "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT), shiftleft(1, i), 0))")
-    val e = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", code)
-    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+    * survive.
+    *
+    * `maxBucket` is the degenerate-bucket defense (the minhashLsh cap
+    * pattern): with only 256 sign codes, a skewed encoder (e.g. all
+    * post-ReLU-positive embeddings → every row in bucket 255) would make
+    * the pair join quadratic in the CORPUS, not the bucket. Buckets above
+    * the cap are dropped wholesale before the self-join — a documented
+    * recall loss on pathological inputs, never a blowup. The cap count
+    * partial-aggregates map-side and the semi-join is AQE-skew-splittable,
+    * so the pathological input the cap defends against stays parallel. */
+  def embNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                 maxBucket: Int = 5000): DataFrame =
+    embNearDupFrom(Tables.embeddings(spark, dir), threshold, maxBucket)
+
+  /** Core of [[embNearDup]] over any (vec_id, embedding) frame — split out
+    * so the degenerate-bucket spec can feed a synthetic skewed corpus. */
+  private[graft] def embNearDupFrom(embs: DataFrame, threshold: Double,
+                                    maxBucket: Int): DataFrame = {
+    // Sign bits summed as 8 codegen'd WHENs — the equivalent
+    // aggregate(sequence(0,7), ...) higher-order fold runs INTERPRETED
+    // per row (the measured-100x-slower trap from the minhash rewrite).
+    val code = (0 until 8).map { i =>
+      when(element_at(col("embedding"), i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val e = withNorm(embs).withColumn("bucket", code)
+    val smallBuckets = e.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("bucket"))
+    val pruned = e.join(smallBuckets, Seq("bucket"))
+    val a = pruned.select(col("vec_id").as("v1"), col("embedding").as("e1"),
       col("norm").as("norm1"), col("bucket"))
-    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+    val b = pruned.select(col("vec_id").as("v2"), col("embedding").as("e2"),
       col("norm").as("norm2"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("v1") < col("v2"))

@@ -13,21 +13,57 @@ import org.apache.spark.sql.types._
   * The `data_requests` control table is tiny at any scale, so it is
   * collected to the driver and pattern-matched on `aggregation_function`
   * (exactly the reference's dispatch, including silently ignoring unknown
-  * function names, process.py:351-366). Each matched request builds a
-  * lazy DataFrame, writes one CSV (S4: single file, header), and appends
-  * a fulfillment row to an append-only ledger — the redesign of the
-  * reference's `UPDATE data_requests SET is_it_fulfilled = 1` (S9):
+  * function names, process.py:351-366). Per-request query parameters are
+  * extracted from the `message` JSON column the same way the reference's
+  * dispatch SELECT does (`message->'$.sessionId'` etc.,
+  * process.py:324-327) and validated per function before the analytic
+  * runs — a request with a missing/null required argument is complained
+  * about and SKIPPED WITHOUT being ledgered (the reference never marks it
+  * fulfilled, process.py:352-366 else-branches, so it stays pending; same
+  * observable behavior here). Each valid request builds a lazy DataFrame,
+  * writes one CSV (S4: single file, header, timestamped filename — the
+  * reference's `time.strftime('%Y-%m-%d %H-%S')`, process.py:101), and
+  * appends a fulfillment row to an append-only ledger — the redesign of
+  * the reference's `UPDATE data_requests SET is_it_fulfilled = 1` (S9):
   * current status = latest ledger row per request_id, no in-place writes.
   */
 object Dispatch {
 
-  /** Route one function name to its analytic. Unknown names → None
-    * (reference parity: silently skipped). */
-  def route(fn: String): Option[(SparkSession, String) => DataFrame] = fn match {
-    case "aggregate_interaction_type" => Some(Komodo.aggInteraction)
-    case "aggregate_user"             => Some(Komodo.aggUser)
-    case "user_energy"                => Some(Komodo.userEnergy)
-    case _                            => None
+  /** One parsed request: the dispatch SELECT's projection
+    * (process.py:324-327). Params are Option[String]: None ⇔ the message
+    * key is absent or JSON null — the reference sees the 4-char string
+    * `"null"` there (MySQL `->` renders JSON null as text) and compares
+    * against it (process.py:352,358,362); `get_json_object` gives SQL NULL
+    * for the same inputs, so None is the exact same set of requests. */
+  final case class Req(id: Long, fn: String,
+                       sessionId: Option[String], clientId: Option[String],
+                       entityType: Option[String], interactionType: Option[String])
+
+  /** Route one request to its analytic with its own parameters bound.
+    * Right = runnable; Left(Some(msg)) = known function, invalid args
+    * (reference prints and skips, process.py:355,360,365); Left(None) =
+    * unknown function (reference parity: silently skipped).
+    *
+    * Fixture mapping (FIXTURES.md §2): sessionId plays the event_type
+    * scope string, clientId → user_id, interactionType → the k%10
+    * interaction class, entityType → the k%4 entity code. */
+  def route(r: Req): Either[Option[String], (SparkSession, String) => DataFrame] = r.fn match {
+    case "aggregate_interaction_type" =>
+      (r.sessionId, r.interactionType.flatMap(_.toIntOption)) match {
+        case (Some(s), Some(it)) => Right((sp, d) => Komodo.aggInteraction(sp, d, s, it))
+        case _ => Left(Some("Argument(s) for aggregate_interaction not valid!"))
+      }
+    case "aggregate_user" =>
+      (r.sessionId, r.clientId.flatMap(_.toIntOption)) match {
+        case (Some(s), Some(c)) => Right((sp, d) => Komodo.aggUser(sp, d, s, c))
+        case _ => Left(Some("Argument(s) for aggregate_user not valid!"))
+      }
+    case "user_energy" =>
+      (r.clientId.flatMap(_.toIntOption), r.entityType.flatMap(_.toIntOption)) match {
+        case (Some(c), Some(et)) => Right((sp, d) => Komodo.userEnergy(sp, d, Some(c), Some(et)))
+        case _ => Left(Some("Argument(s) for user_energy not valid!"))
+      }
+    case _ => Left(None)
   }
 
   /** Pending = requests with no fulfillment row in the ledger yet,
@@ -47,25 +83,48 @@ object Dispatch {
     import spark.implicits._
     val ledger =
       try Some(spark.read.parquet(ledgerDir)) catch { case _: Exception => None }
-    val todo = pending(requests, ledger)
+    // Tolerate message-less request tables (pre-T3 producers): every
+    // param comes back None and known functions fail validation, exactly
+    // like a `"null"`-argument message.
+    val withMsg =
+      if (requests.columns.contains("message")) requests
+      else requests.withColumn("message", lit(null).cast("string"))
+    val todo = pending(withMsg, ledger)
       .orderBy(col("request_id"))
-      .select(col("request_id").cast("long"), col("aggregation_function"))
+      .select(col("request_id").cast("long"), col("aggregation_function"),
+        get_json_object(col("message"), "$.sessionId"),
+        get_json_object(col("message"), "$.clientId"),
+        get_json_object(col("message"), "$.entityType"),
+        get_json_object(col("message"), "$.interactionType"))
       .collect()
-    val fulfilled = todo.flatMap { row =>
-      val id = row.getLong(0)
-      route(row.getString(1)).flatMap { fn =>
-        // A failing request must not abort the pass (the reference loop
-        // continues past failures); unledgered failures retry next pass.
-        try {
-          val path = s"$outDir/request_$id"
-          fn(spark, sfDir).coalesce(1)
-            .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-          Some(id -> path)
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[dispatch] request $id failed: ${e.getMessage}")
-            None
-        }
+      .map(r => Req(r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)),
+        Option(r.getString(4)), Option(r.getString(5))))
+    val fulfilled = todo.flatMap { req =>
+      route(req) match {
+        case Right(fn) =>
+          // A failing request must not abort the pass (the reference loop
+          // continues past failures); unledgered failures retry next pass.
+          try {
+            // Reference filename: `<fn>_<%Y-%m-%d %H-%S>.csv`
+            // (process.py:101,177,219). Two same-second requests would
+            // collide there; the `_req<id>` suffix is the one deliberate
+            // divergence (uniqueness), documented in SURVEY X7.
+            val stamp = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH-ss").format(java.time.LocalDateTime.now())
+            val path = s"$outDir/${req.fn}_${stamp}_req${req.id}"
+            fn(spark, sfDir).coalesce(1)
+              .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+            Some(req.id -> path)
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[dispatch] request ${req.id} failed: ${e.getMessage}")
+              None
+          }
+        case Left(Some(complaint)) => // invalid args: skip, do NOT ledger
+          System.err.println(s"[dispatch] request ${req.id}: $complaint")
+          None
+        case Left(None) => None // unknown function: silent skip
       }
     }.toSeq
     if (fulfilled.nonEmpty)
@@ -75,13 +134,17 @@ object Dispatch {
     fulfilled
   }
 
-  /** The `data_requests` row shape (reference DDL process.py:282-295). */
+  /** The `data_requests` row shape (reference DDL process.py:282-295):
+    * `message` carries the per-request JSON parameters, `file_location`
+    * is where the reference writes the fulfilled CSV path back. */
   val requestSchema: StructType = StructType(Seq(
     StructField("request_id", LongType),
     StructField("processed_capture_id", StringType),
     StructField("who_requested", IntegerType),
     StructField("aggregation_function", StringType),
     StructField("is_it_fulfilled", IntegerType),
+    StructField("message", StringType),
+    StructField("file_location", StringType),
     StructField("url", StringType)))
 
   /** The reference's whole serving loop as ONE streaming query: watch the

@@ -192,13 +192,16 @@ class StreamingSpec extends SparkSpec {
     val ledgerDir = tmp("led") + "/ledger"; val ck = tmp("dck")
     Files.writeString(java.nio.file.Paths.get(s"$reqDir/r1.json"),
       """{"request_id":7,"processed_capture_id":"126_1","who_requested":1,
-        |"aggregation_function":"aggregate_user","is_it_fulfilled":0,"url":""}"""
+        |"aggregation_function":"aggregate_user","is_it_fulfilled":0,
+        |"message":"{\"sessionId\": \"view\", \"clientId\": 5}","url":""}"""
         .stripMargin.replace("\n", ""))
     val q1 = Dispatch.streamRequests(spark, reqDir, sf, outDir, ledgerDir, ck,
       Trigger.AvailableNow())
     q1.awaitTermination()
-    assert(new java.io.File(s"$outDir/request_7").exists())
-    assert(spark.read.parquet(ledgerDir).count() === 1)
+    val led = spark.read.parquet(ledgerDir).collect()
+    assert(led.length === 1)
+    val loc = led(0).getAs[String]("file_location")
+    assert(loc.contains("aggregate_user_") && new java.io.File(loc).exists())
     // restart over the same checkpoint: request not re-run, ledger unchanged
     val q2 = Dispatch.streamRequests(spark, reqDir, sf, outDir, ledgerDir, ck,
       Trigger.AvailableNow())
@@ -210,16 +213,58 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val outDir = tmp("csv"); val ledgerDir = tmp("ledger") + "/ledger"
     val requests = Seq(
-      (1L, "aggregate_interaction_type", 0),
-      (2L, "no_such_function", 0),
-      (3L, "user_energy", 0)
-    ).toDF("request_id", "aggregation_function", "is_it_fulfilled")
+      (1L, "aggregate_interaction_type", 0, """{"sessionId": "click", "interactionType": 3}"""),
+      (2L, "no_such_function", 0, """{"sessionId": "click"}"""),
+      (3L, "user_energy", 0, """{"clientId": 5, "entityType": 1}""")
+    ).toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
 
     val done = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
     assert(done.map(_._1).toSet === Set(1L, 3L)) // unknown fn silently skipped
-    assert(new java.io.File(s"$outDir/request_1").exists())
+    assert(new java.io.File(done.head._2).exists())
 
     // second pass: ledger marks them fulfilled → nothing runs
+    val again = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
+    assert(again.isEmpty)
+  }
+
+  test("dispatch T3: per-request parameters reach the analytic — same function, different sessionId, different CSVs") {
+    import spark.implicits._
+    val outDir = tmp("csvp"); val ledgerDir = tmp("ledgerp") + "/ledger"
+    val requests = Seq(
+      (10L, "aggregate_interaction_type", 0, """{"sessionId": "click", "interactionType": 3}"""),
+      (11L, "aggregate_interaction_type", 0, """{"sessionId": "view", "interactionType": 3}""")
+    ).toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+    val done = Dispatch.run(spark, sf, requests, outDir, ledgerDir).toMap
+    assert(done.keySet === Set(10L, 11L))
+    def csvLines(dir: String): Seq[String] = {
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head
+      scala.io.Source.fromFile(f).getLines().toSeq
+    }
+    val a = csvLines(done(10L)); val b = csvLines(done(11L))
+    assert(a.head === b.head)                 // same schema (header)
+    assert(a !== b)                           // different session scope → different rows
+    // and the CSV matches the analytic run directly with the same params
+    val direct = graft.operators.Komodo.aggInteraction(spark, sf, "view", 3)
+      .collect().map(r => s"${r.get(0)},${r.get(1)}").toSeq
+    assert(b.tail === direct)
+  }
+
+  test("dispatch T3: null-argument request is complained about, skipped, and NOT ledgered") {
+    import spark.implicits._
+    val outDir = tmp("csvn"); val ledgerDir = tmp("ledgern") + "/ledger"
+    val requests = Seq(
+      // sessionId JSON-null → reference's `session_id != "null"` guard trips
+      (20L, "aggregate_user", 0, """{"sessionId": null, "clientId": 5}"""),
+      // required key entirely absent → same skip
+      (21L, "user_energy", 0, """{"clientId": 5}"""),
+      (22L, "aggregate_user", 0, """{"sessionId": "view", "clientId": 5}""")
+    ).toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+    val done = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
+    assert(done.map(_._1) === Seq(22L))
+    val ledgered = spark.read.parquet(ledgerDir)
+      .select("request_id").as[Long].collect().toSet
+    assert(ledgered === Set(22L)) // 20/21 not fulfilled → stay pending
+    // next pass: the invalid requests are re-offered (still pending), still skipped
     val again = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
     assert(again.isEmpty)
   }
