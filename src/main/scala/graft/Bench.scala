@@ -25,6 +25,10 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Defense in depth against any operator that pins storage: no entry's
+      // timing may inherit another's cached blocks (the r3 persist leak was
+      // fixed at the source, this keeps the harness honest regardless).
+      spark.catalog.clearCache()
       val t =
         try {
           fn(spark, sfDir).count() // warmup: codegen + JIT, untimed
@@ -44,7 +48,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the stdout TAIL, which truncated a third of
+    // every committed BENCH_r{N}.json mid-dict — the file is the full record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
     spark.stop()
   }
 }

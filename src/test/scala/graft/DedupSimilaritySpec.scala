@@ -57,6 +57,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s.filter(col("hamming") > 8 || col("hamming") < 0).count() === 0)
   }
 
+  test("embNearDupFrom drops a degenerate sign-bucket wholesale; small buckets still pair") {
+    import spark.implicits._
+    // Synthetic skewed corpus: 20 vectors with every leading sign positive
+    // (the all-positive post-ReLU pathology) collapse into sign-bucket 255;
+    // 4 vectors with dim0 negative land in bucket 254. All vectors within a
+    // bucket are identical, so every same-bucket pair has cosine 1.0.
+    val big   = (0L until 20L).map(i => (i, Array.fill(8)(1.0f)))
+    val small = (100L until 104L).map(i => (i, Array(-1.0f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+    val embs  = (big ++ small).toDF("vec_id", "embedding")
+
+    val capped = operators.Similarity.embNearDupFrom(embs, threshold = 0.3, maxBucket = 10)
+      .collect()
+    // Bounded output: the oversize bucket contributes NO pair — only the
+    // C(4,2)=6 pairs from the under-cap bucket survive.
+    assert(capped.length === 6, s"expected only small-bucket pairs, got ${capped.length}")
+    assert(capped.forall(_.getAs[Int]("bucket") === 254))
+    assert(capped.forall(r => r.getAs[Long]("v1") >= 100L && r.getAs[Long]("v2") >= 100L))
+
+    // Same corpus, cap lifted: the 20-row bucket pairs quadratically
+    // (C(20,2)=190) — proving the cap, not the data, suppressed it above.
+    val uncapped = operators.Similarity.embNearDupFrom(embs, threshold = 0.3, maxBucket = 5000)
+    assert(uncapped.count() === 190L + 6L)
+  }
+
   test("ann brute force: k results per query, cosine in [-1, 1], rank ordered") {
     val r = Similarity.annBruteForce(spark, sf)
     assert(r.groupBy("q_id").count().filter(col("count") =!= 10).count() === 0)
