@@ -490,11 +490,18 @@ object Dedup {
       |GROUP BY n
       |ORDER BY component, doc_id""".stripMargin
 
-  // --- SimHash (rows-only check) -------------------------------------------
-  /** 64-bit SimHash per document: each token votes ±1 on every bit of its
-    * xxhash64; the fingerprint takes the sign. Near-dups = pairs within
-    * Hamming distance ≤ 8, found by the 4×16-bit band trick (any identical
-    * 16-bit chunk → candidate), then exact popcount verification.
+  // --- SimHash (full DuckDB oracle since r7) -------------------------------
+  /** 60-bit SimHash per document: each token votes ±1 on every bit of its
+    * hash; the fingerprint takes the sign. Near-dups = pairs within
+    * Hamming distance ≤ 8, found by the 4×15-bit band trick (any identical
+    * 15-bit chunk → candidate), then exact popcount verification.
+    *
+    * The token hash is the top 15 hex digits of md5 parsed as a long —
+    * engine-INDEPENDENT (md5 is byte-identical everywhere), which is what
+    * lets the DuckDB twin recompute the entire fingerprint bit-for-bit and
+    * hash-match (d1, d2, hamming); the prior xxhash64 form was rows-only
+    * checkable. 60 bits instead of 64 keeps the parse inside a signed long
+    * in both engines.
     *
     * The per-bit vote is accumulated as a plain ones-count (shift-mask-sum,
     * no conditional): ±1 sum > 0 ⟺ 2·ones > n, so the fingerprint is
@@ -503,29 +510,29 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // Lane-packed bit counting: aggregate k (k = 0..15) accumulates the
-    // counters of bits {k, k+16, k+32, k+48} in four 16-bit lanes of one
-    // long — 16 sum() aggregates instead of 64. Lanes can't carry into
-    // each other while every document stays under 65535 tokens (fixture
+      .withColumn("h", expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
+    // Lane-packed bit counting: aggregate k (k = 0..14) accumulates the
+    // counters of bits {k, k+15, k+30, k+45} in four 16-bit lanes of one
+    // long — 15 sum() aggregates instead of 60. Lanes can't carry into
+    // each other while every document stays under 2^15 tokens (fixture
     // max ~120; a real corpus would chunk first — dedup_chunk — long
-    // before a single doc hits 64k tokens). Same simhash bits, ~4x less
+    // before a single doc hits 32k tokens). Same simhash bits, ~4x less
     // aggregation state per group.
-    val laneSums = (0 until 16).map { k =>
+    val laneSums = (0 until 15).map { k =>
       val packed = (0 until 4).map { j =>
-        shiftleft(shiftright(col("h"), k + 16 * j).bitwiseAND(lit(1L)), 16 * j)
+        shiftleft(shiftright(col("h"), k + 15 * j).bitwiseAND(lit(1L)), 16 * j)
       }.reduce(_ + _)
       sum(packed).as(s"k$k")
     } :+ count(lit(1)).as("n_toks")
     val sig = toks.groupBy(col("doc_id"))
       .agg(laneSums.head, laneSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { b =>
-          val cnt = shiftright(col(s"k${b % 16}"), 16 * (b / 16)).bitwiseAND(lit(65535L))
+        (0 until 60).map { b =>
+          val cnt = shiftright(col(s"k${b % 15}"), 16 * (b / 15)).bitwiseAND(lit(65535L))
           when(cnt * 2 > col("n_toks"), lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (simhash >> (c * 16)) & 65535))"))
+      "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (simhash >> (c * 15)) & 32767))"))
       .as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
     chunks.as("a")
@@ -543,4 +550,38 @@ object Dedup {
       .orderBy(col("hamming"), col("d1"), col("d2"))
       .limit(1000)
   }
+
+  /** DuckDB recomputes the identical 60-bit md5-derived simhash (same
+    * votes, same banding, same hamming verify) — a full hash-match twin,
+    * not an assertion-style bound. The (hamming, d1, d2) sort is a total
+    * order on distinct pairs, so the LIMIT is deterministic in both
+    * engines even when it binds. */
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), th AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+      |), votes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+      |         count(*) AS n
+      |  FROM th, LATERAL unnest(range(60)) AS t(b)
+      |  GROUP BY doc_id, b
+      |), sig AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN 2 * ones > n THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |                  ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), chunks AS (
+      |  SELECT doc_id, simhash, c, (simhash >> CAST(c * 15 AS INT)) & 32767 AS ck
+      |  FROM sig, LATERAL unnest(range(4)) AS t(c)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |)
+      |SELECT d1, d2, hamming FROM pairs
+      |ORDER BY hamming, d1, d2
+      |LIMIT 1000""".stripMargin
 }

@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented engine-specific three") {
+  test("rows-only queries are the documented engine-specific two") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("approx_distinct", "dedup_minhash_lsh", "dedup_simhash"))
+    assert(rowsOnly === Set("approx_distinct", "dedup_minhash_lsh"))
   }
 
   test("every registered query executes on sf0.001") {

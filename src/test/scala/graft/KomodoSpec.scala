@@ -44,4 +44,41 @@ class KomodoSpec extends SparkSpec {
     val d = Komodo.drawingPattern(spark, sf)
     assert(d.filter(col("stroke_type_count") =!= col("stroke_id_count")).count() === 0)
   }
+
+  // Golden-value analog tests (SURVEY §5): the reference pins the exact
+  // head rows of each analytic against its seeded capture
+  // (test_user_energy.py:70-76, test_user_proximity.py:67-68); its data
+  // blob is missing from the repo, so these pin the same assertion shape
+  // against the sf0.001 fixture. Expected doubles were computed
+  // INDEPENDENTLY in DuckDB (2026-08-12) and are asserted bit-exact —
+  // the float-parity discipline (pinned expression shape, left-assoc
+  // sums) is what makes cross-engine equality achievable at all.
+
+  test("user_energy golden values: exact first-5 rows on sf0.001") {
+    val expected = Seq(
+      (0L, 258L, 1704699927119L, 7.14702337378845e-08),
+      (0L, 336L, 1704916455557L, 1.354780770175466e-07),
+      (0L, 529L, 1705384174602L, 2.361849669624389e-07),
+      (0L, 581L, 1705496439002L, 1.1006879611571201e-06),
+      (0L, 587L, 1705512555092L, 4.775216061662841e-06))
+    val e = Komodo.userEnergy(spark, sf)
+    assert(e.count() === 173)
+    val got = e.limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("user_proximity golden values: exact first-5 rows on sf0.001") {
+    val expected = Seq(
+      (1705255200000L, 487L, 13L, 5.390380320533978),
+      (1704873600000L, 319L, 6L, 5.456665648543987),
+      (1704085200000L, 8L, 13L, 5.573939360990575),
+      (1705600800000L, 625L, 5L, 5.803171546663083),
+      (1704294000000L, 93L, 8L, 6.125699960004571))
+    val p = Komodo.userProximity(spark, sf)
+    assert(p.count() === 116)
+    val got = p.limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
 }
