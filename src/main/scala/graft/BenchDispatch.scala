@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.Dispatch
+import org.apache.spark.sql.SparkSession
+
+/** Request-dispatch micro-bench (dev tool, not a driver contract): times
+  * one pass of the serving loop — a 100-request batch through
+  * `Dispatch.run` (param parse → route → analytic → single-file CSV →
+  * ledger append) against SPARK_GRAFT_SF_DIR (default sf0.001, the
+  * serving-scale fixture). The reference never measured its own loop
+  * (BASELINE.md documents the absence); this records ours. Prints one
+  * JSON line with the total seconds, per-request mean, and fulfilled
+  * count.
+  */
+object BenchDispatch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_NREQ", "100").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dispatch_bench").toString
+    // n valid requests cycling through the three reference analytics,
+    // parameters varied so no two requests are the identical query
+    val requests = (1 to n).map { i =>
+      i % 3 match {
+        case 0 => (i.toLong, "aggregate_interaction_type",
+          s"""{"sessionId": "${if (i % 2 == 0) "click" else "view"}", "interactionType": ${i % 10}}""")
+        case 1 => (i.toLong, "aggregate_user",
+          s"""{"sessionId": "view", "clientId": ${i % 16}}""")
+        case _ => (i.toLong, "user_energy",
+          s"""{"clientId": ${i % 16}, "entityType": ${i % 4}}""")
+      }
+    }.toDF("request_id", "aggregation_function", "message")
+    // warmup: one tiny pass compiles the three analytics' codegen
+    Dispatch.run(spark, sfDir, requests.limit(3), s"$base/warm_csv", s"$base/warm_ledger")
+    val t0 = System.nanoTime()
+    val done = Dispatch.run(spark, sfDir, requests, s"$base/csv", s"$base/ledger")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"dispatch_100req","value":$sec%.3f,"unit":"sec","fulfilled":${done.size},"per_request_sec":${sec / n}%.4f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

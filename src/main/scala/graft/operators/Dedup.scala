@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Deduplication operators over `documents` — the LLM-training-pipeline
   * surface (builder prompt; SURVEY §4.3): exact hash dedup, word-trigram
@@ -72,6 +73,47 @@ object Dedup {
        |FROM nh
        |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE ch = nh.h)
        |ORDER BY doc_id""".stripMargin
+
+  // --- streaming incremental dedup (foreachBatch sink) ----------------------
+  /** The streaming e2e form of [[incrementalDedup]]: each micro-batch of
+    * documents is deduped internally (min doc_id per content hash), its
+    * surviving hashes anti-joined against the corpus already on disk, and
+    * only genuinely new content appended — so a duplicate arriving in a
+    * later micro-batch never lands twice. Mirrors the reference's
+    * ingest-then-process loop (process.py:450-473) with the dedup stage a
+    * real corpus would run at ingest time.
+    *
+    * Scale shape: the per-batch work is one shuffle on the content hash
+    * (batch-sized, small) plus an anti-join whose corpus side reads ONLY
+    * the text column (column pruning reaches the scan); at 100 TB the
+    * corpus side becomes a maintained hash index fronted by a bloom
+    * filter instead of a re-scan, but the dataflow is the same.
+    * Exactly-once: the checkpoint makes batch replay idempotent — a
+    * replayed batch's content is already in the corpus, so its rows
+    * anti-join away (content-level idempotence, stronger than file-level).
+    */
+  def incrementalDedupSink(docs: DataFrame, corpusDir: String,
+                           checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val rowCols = batch.columns.map(col)
+        val keepers = batch
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min_by(struct(rowCols.toSeq: _*), col("doc_id")).as("r"))
+          .select(col("h") +: batch.columns.map(c => col(s"r.$c")): _*)
+        // first micro-batch: the corpus directory does not exist yet
+        val existing =
+          try Some(spark.read.parquet(corpusDir)
+            .select(md5(col("text")).as("h")).distinct())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        existing.fold(keepers)(ex => keepers.join(ex, Seq("h"), "left_anti"))
+          .drop("h")
+          .write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 
   // --- benchmark decontamination (cross-source n-gram overlap) --------------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */
@@ -210,22 +252,27 @@ object Dedup {
       |ORDER BY jaccard DESC, d1, d2""".stripMargin
 
   // --- MinHash + LSH (scalable near-dup candidates; rows-only check) -------
-  /** 64 minhashes per document (xxhash64 seeded by slot), banded 16×4:
-    * documents agreeing on all four hashes of any band land in the same
-    * LSH bucket and become a candidate pair; candidates are then verified
-    * with the exact Jaccard on the shingle arrays. Everything before the
-    * candidate join is a linear scan; the join is keyed on (band,
-    * band_key) so the shuffle fan-out is bounded by bucket sizes.
+  /** 60 minhashes per document, banded 15×4: documents agreeing on all
+    * four hashes of any band land in the same LSH bucket and become a
+    * candidate pair; candidates are then verified with the exact Jaccard
+    * on the shingle arrays. Everything before the candidate join is a
+    * linear scan; the join is keyed on (band, band_key) so the shuffle
+    * fan-out is bounded by bucket sizes.
     *
     * Tuning matters at scale: 4-row bands make a random low-similarity
     * pair's per-band collision probability j^4 (negligible below j≈0.5)
-    * while j≥0.9 near-dups still collide with probability ≈1 — with 2-row
-    * bands this corpus produced a quadratic candidate explosion (measured
-    * 170 s vs 2 s at sf0.1). Oversized buckets (degenerate keys, e.g.
-    * boilerplate-heavy shingle sets) are dropped entirely — the standard
-    * LSH skew defense; their members are still reachable through their
-    * other 15 bands. xxhash64 is engine-specific → no DuckDB oracle
-    * (rows-only check). */
+    * while j≥0.9 near-dups still collide with probability ≈1 (miss prob
+    * across 15 bands ≤ (1-0.9⁴)¹⁵ ≈ 1e-7) — with 2-row bands this corpus
+    * produced a quadratic candidate explosion (measured 170 s vs 2 s at
+    * sf0.1). Oversized buckets (degenerate keys, e.g. boilerplate-heavy
+    * shingle sets) are dropped entirely — the standard LSH skew defense;
+    * their members are still reachable through their other 14 bands.
+    *
+    * Since r7 the whole pipeline is engine-INDEPENDENT (full DuckDB
+    * hash-match oracle, not rows-only): the two 60-bit base hashes are
+    * the two halves of one md5, and the slot family is derived from them
+    * with 60-bit rotations + XOR — positive-long arithmetic that both
+    * engines compute identically. */
   def minhashLsh(spark: SparkSession, dir: String,
                  maxBucket: Int = 50): DataFrame = {
     // Exploded distinct (doc_id, shingle) rows — every stage below is a
@@ -236,35 +283,45 @@ object Dedup {
     // and at any scale the shingle table is the artifact you materialize
     // once per corpus.
     val sh = shingleRows(Tables.documents(spark, dir)).persist()
-    // 64 minhash slots from TWO string hashes per shingle (h1, h2), slot
-    // i's hash = h1 XOR rotl(h2, i) XOR (h2 >>> ((i+17) mod 64)) — a
-    // double-hashing-style derived family in the spirit of
-    // Kirsch-Mitzenmacher, but built from shifts and XOR because ANSI
-    // mode (Spark 4 default) makes wraparound multiply/add throw on
-    // overflow. Caveat: any XOR-of-shifts family is linear in (h1, h2) —
-    // g_i XOR g_j never depends on h1 — so pairwise slot independence is
-    // weaker than the h1 + i*h2 original; the extra unsigned-shift term
-    // breaks the single-rotation structure (g_i XOR g_j mixes two
-    // different shifted views of h2 instead of one), and the mandatory
+    // 60 minhash slots from TWO 60-bit base hashes per shingle — the two
+    // halves of ONE md5 (hex digits 1-15 and 17-31), so one string hash
+    // yields both. Slot i's hash = rot60(h1, 7i mod 60) XOR
+    // rot60(h2, 13i mod 60) — a double-hashing-style derived family in
+    // the spirit of Kirsch-Mitzenmacher, built from rotations and XOR
+    // because ANSI mode (Spark 4 default) makes wraparound multiply/add
+    // throw on overflow; 7 and 13 are coprime to 60, so the rotation
+    // pair is distinct for every slot. Caveat: any XOR-of-rotations
+    // family is linear in (h1, h2), so pairwise slot independence is
+    // weaker than the h1 + i*h2 original — and the mandatory
     // exact-Jaccard verification stage below means weaker independence
-    // can only cost recall on adversarial corpora, never precision. The
-    // aggs are then 64 codegen'd min() over trivial bit ops instead of
-    // 64 full xxhash64(shingle, seed) string hashes per row — string
-    // hashing dominated the signature stage. Set size rides along in the
-    // same aggregation.
-    val hashed = sh.withColumn("h1", xxhash64(col("shingle")))
-      .withColumn("h2", xxhash64(col("shingle"), lit(1)))
-    def rotl(c: org.apache.spark.sql.Column, s: Int) =
-      if (s == 0) c else shiftleft(c, s).bitwiseOR(shiftrightunsigned(c, 64 - s))
-    val minhashes = (0 until 64).map(s =>
-      min(col("h1").bitwiseXOR(rotl(col("h2"), s))
-        .bitwiseXOR(shiftrightunsigned(col("h2"), (s + 17) % 64))).as(s"m$s")) :+
+    // can only cost recall on adversarial corpora, never precision (the
+    // spec pins recall: every true j≥0.9 pair is found on the fixture).
+    // The aggs are then 60 codegen'd min() over trivial bit ops instead
+    // of 60 full seeded string hashes per row — string hashing dominated
+    // the signature stage. Set size rides along in the same aggregation.
+    // All arithmetic stays inside positive 60-bit longs, which is what
+    // makes the DuckDB twin bit-identical.
+    val hashed = sh
+      .withColumn("h1", expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substr(md5(shingle), 17, 15), 16, 10) as bigint)"))
+    // 60-bit rotation of a positive long: disjoint bit ranges, so + ≡ |.
+    def rot60(c: org.apache.spark.sql.Column, r: Int) =
+      if (r == 0) c
+      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) + shiftrightunsigned(c, 60 - r)
+    val minhashes = (0 until 60).map(s =>
+      min(rot60(col("h1"), (7 * s) % 60).bitwiseXOR(rot60(col("h2"), (13 * s) % 60)))
+        .as(s"m$s")) :+
       count(lit(1)).as("set_n")
     val sig = hashed.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
-    // 16 bands x 4 rows: band key = hash of the band's four slots.
-    val bandStructs = (0 until 16).map { b =>
+    // 15 bands x 4 rows: band key = the band's four slots joined as a
+    // string (NOT a hash of them — the oracle twin must build the exact
+    // same buckets, and positive longs render identically in both
+    // engines; the join key is ~80 bytes instead of 8, a fine trade for
+    // a hash-checkable bucket structure).
+    val bandStructs = (0 until 15).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as("band_key"))
+        concat_ws(":", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)
+          .as("band_key"))
     }
     val sigCached = sig.persist()
     val bands = sigCached
@@ -317,6 +374,70 @@ object Dedup {
     sigCached.unpersist()
     out
   }
+
+  /** DuckDB recomputes the identical signatures (same md5-halves base
+    * hashes, same rotation-XOR slot family via the same positive-long
+    * shift arithmetic), the same 15×4 banding with the same string band
+    * keys, the same ≤50 bucket cap, and the same exact-Jaccard verify —
+    * a full hash-match twin. (jaccard DESC, d1, d2) is a total order on
+    * distinct pairs, so the LIMIT is deterministic if it ever binds. */
+  val minhashLshSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |    FROM dd)
+      |), hh AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) AS h2
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, s,
+      |         min(xor(
+      |           CASE WHEN (7 * s) % 60 = 0 THEN h1
+      |                ELSE ((h1 & ((CAST(1 AS BIGINT) << CAST(60 - (7 * s) % 60 AS INT)) - 1))
+      |                        << CAST((7 * s) % 60 AS INT))
+      |                     + (h1 >> CAST(60 - (7 * s) % 60 AS INT)) END,
+      |           CASE WHEN (13 * s) % 60 = 0 THEN h2
+      |                ELSE ((h2 & ((CAST(1 AS BIGINT) << CAST(60 - (13 * s) % 60 AS INT)) - 1))
+      |                        << CAST((13 * s) % 60 AS INT))
+      |                     + (h2 >> CAST(60 - (13 * s) % 60 AS INT)) END)) AS m
+      |  FROM hh, LATERAL unnest(range(60)) AS t(s)
+      |  GROUP BY doc_id, s
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS set_n FROM sh GROUP BY doc_id
+      |), bkeys AS (
+      |  SELECT doc_id, s // 4 AS band,
+      |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY s) AS band_key
+      |  FROM sig GROUP BY doc_id, s // 4
+      |), small AS (
+      |  SELECT band, band_key FROM bkeys
+      |  GROUP BY band, band_key HAVING count(*) <= 50
+      |), pruned AS (
+      |  SELECT b.doc_id, b.band, b.band_key FROM bkeys b JOIN small USING (band, band_key)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM pruned a JOIN pruned b USING (band, band_key)
+      |  WHERE a.doc_id < b.doc_id
+      |), ix AS (
+      |  SELECT c.d1, c.d2, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh s1 ON s1.doc_id = c.d1
+      |  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      |  GROUP BY c.d1, c.d2
+      |)
+      |SELECT d1, d2,
+      |       CAST(i AS DOUBLE) / CAST(z1.set_n + z2.set_n - i AS DOUBLE) AS jaccard
+      |FROM ix
+      |JOIN sizes z1 ON z1.doc_id = d1
+      |JOIN sizes z2 ON z2.doc_id = d2
+      |ORDER BY jaccard DESC, d1, d2
+      |LIMIT 1000""".stripMargin
 
   // --- sub-document (chunk-level) exact dedup -------------------------------
   /** 10-token chunk fingerprints: every non-overlapping 10-token span is

@@ -10,9 +10,9 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented engine-specific two") {
+  test("rows-only queries are down to the one genuinely engine-internal sketch") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("approx_distinct", "dedup_minhash_lsh"))
+    assert(rowsOnly === Set("approx_distinct"))
   }
 
   test("every registered query executes on sf0.001") {

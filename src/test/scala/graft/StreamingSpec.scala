@@ -187,6 +187,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: cross-batch duplicate content never lands in the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = tmp("corpus") + "/docs"; val ck = tmp("dedupck")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Dedup.incrementalDedupSink(docs, corpus, ck)
+    try {
+      // batch 1: an in-batch duplicate (docs 1 and 3 share content)
+      input.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted
+      assert(after1.toSeq === Seq(1L, 2L)) // min doc_id kept per content
+      // batch 2: one duplicate of batch-1 content, one genuinely new doc
+      input.addData((10L, "alpha beta"), (11L, "epsilon zeta"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(after2.map(_._1).toSeq === Seq(1L, 2L, 11L)) // 10 deduped away
+      assert(after2.count(_._2 == "alpha beta") === 1)    // content stored once
+    } finally q.stop()
+  }
+
   test("streaming dispatch: request file arrives, CSV + ledger appear, restart is a no-op") {
     val reqDir = tmp("reqs"); val outDir = tmp("csvout")
     val ledgerDir = tmp("led") + "/ledger"; val ck = tmp("dck")
