@@ -583,6 +583,71 @@ object Dedup {
       .orderBy(col("component"), col("doc_id"))
   }
 
+  // --- canonical-document selection per duplicate cluster --------------------
+  /** Keep-best: collapse each near-dup cluster (the [[dedupGroups]]
+    * connected components) to ONE canonical document — the longest member,
+    * ties to the smallest doc_id — and report what was dropped. This is
+    * the step that actually shrinks the corpus after cluster discovery:
+    * quality-aware (longest survives, not whichever arrived first), and a
+    * single arg-max aggregation over the cluster labels, so it adds one
+    * shuffle on the component id to whatever the clustering cost.
+    * Documents outside every cluster are their own component (coalesce to
+    * the doc's own id), so the output is a full corpus manifest. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comps = dedupGroups(spark, dir)
+    Tables.documents(spark, dir)
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keeper_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("kept_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("component"))
+  }
+
+  /** Same fixpoint as [[dedupGroupsSql]]'s recursive CTE, then the arg-max
+    * via an ordered-first aggregate. */
+  val dedupKeepBestSql: String =
+    """WITH RECURSIVE dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |    FROM dd)
+      |), rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 3
+      |), edges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |), sym AS (
+      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+      |), reach(n, m) AS (
+      |  SELECT src, src FROM sym
+      |  UNION
+      |  SELECT r.n, s.dst FROM reach r JOIN sym s ON s.src = r.m
+      |), labels AS (
+      |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+      |), docs AS (
+      |  SELECT doc_id, n_chars FROM documents
+      |)
+      |SELECT comp AS component,
+      |       first(doc_id ORDER BY n_chars DESC, doc_id) AS keeper_id,
+      |       count(*) AS n_members,
+      |       max(n_chars) AS kept_chars,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT COALESCE(l.component, d.doc_id) AS comp, d.doc_id, d.n_chars
+      |  FROM docs d LEFT JOIN labels l USING (doc_id)
+      |)
+      |GROUP BY comp
+      |ORDER BY component""".stripMargin
+
   val dedupGroupsSql: String =
     """WITH RECURSIVE dd AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

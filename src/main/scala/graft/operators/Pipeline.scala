@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators — the steps between "cleaned
+  * documents" and "batches on accelerators" that every large-scale LLM
+  * data pipeline runs after dedup/filtering (builder prompt; SURVEY §4.3):
+  * sequence packing to a fixed token budget, deterministic train/val/test
+  * splitting, and weighted corpus mixing. Plus TF-IDF term scoring, the
+  * classic corpus-statistics operator.
+  *
+  * Everything is engine-independent integer / md5 arithmetic (the simhash
+  * r7 lesson), so every operator here carries a full DuckDB hash-match
+  * oracle. Randomness is *hash* randomness: split and mixing decisions are
+  * pure functions of the document id, which is what makes them
+  * reproducible across runs, machines, and engine versions — a property
+  * production pipelines need anyway (re-running the split must not
+  * reshuffle documents between train and test).
+  */
+object Pipeline {
+
+  /** Whitespace token count; `split` on the raw text keeps this exactly
+    * the `len(string_split(...))` the oracle computes. */
+  private def nToks: Column = size(split(col("text"), " "))
+
+  /** 60-bit positive hash of a string column via md5 — byte-identical in
+    * every engine (same construction as Dedup.simhash / minhashLsh). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // --- sequence packing (concat-and-chunk to a fixed token budget) ----------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val PackBudget: Int = 256
+
+  /** GPT-style sequence packing: per source, documents are concatenated in
+    * doc_id order and sliced into fixed `budget`-token sequences; a
+    * document whose tokens straddle a boundary contributes to both
+    * sequences. Output is the packing manifest — per (source, seq_id) the
+    * number of contributing documents and the token fill (== budget for
+    * every sequence but each source's last, i.e. zero padding waste by
+    * construction).
+    *
+    * Scale shape: one partitioned running-sum window (the per-source
+    * prefix offset) + an explode bounded by each doc's own span — no
+    * joins, no driver state. At 100 TB the partition key is
+    * (source, shard) with shard = a hash bucket, which keeps each window
+    * partition executor-sized while leaving per-shard packing exact; the
+    * per-source form here is that plan with one shard. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = PackBudget): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nToks.cast("long").as("n_toks"))
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("source"), col("off"), col("n_toks"),
+        explode(expr(s"sequence(off div $budget, (off + n_toks - 1) div $budget)"))
+          .as("seq_id"))
+      .select(col("source"), col("seq_id"),
+        (least((col("seq_id") + 1) * budget, col("off") + col("n_toks"))
+          - greatest(col("seq_id") * budget, col("off"))).as("tok"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), o AS (
+       |  SELECT source, n_toks,
+       |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM d
+       |), x AS (
+       |  SELECT source, s AS seq_id,
+       |         least((s + 1) * $PackBudget, off + n_toks)
+       |           - greatest(s * $PackBudget, off) AS tok
+       |  FROM o, LATERAL unnest(range(off // $PackBudget,
+       |                               (off + n_toks - 1) // $PackBudget + 1)) AS t(s)
+       |)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1, 2
+       |ORDER BY source, seq_id""".stripMargin
+
+  // --- deterministic train/val/test split -----------------------------------
+  /** Hash-bucket split manifest: each document lands in train/val/test by
+    * the md5 of its OWN id (90/5/5) — stable under corpus growth (adding
+    * documents never moves an existing one between splits, unlike any
+    * rank- or sample-based split) and embarrassingly parallel (a pure
+    * projection; the only shuffle is the reporting groupBy). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("b", h60(col("doc_id").cast("string")) % 100)
+      .withColumn("split",
+        when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(nToks.cast("long")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
+  val splitAssignSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 100 AS b,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |)
+      |SELECT source,
+      |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+
+  // --- weighted corpus mixing ------------------------------------------------
+  /** Corpus-mixing subsample: each source gets a target keep rate (here a
+    * deterministic per-mille weight derived from the source number — a
+    * stand-in for the "wiki 3x, web 0.25x"-style mixture table every
+    * pretraining run configures), and a document survives iff its id hash
+    * falls under the rate. Same hash-randomness properties as the split:
+    * reproducible, parallel, and independent per document (no global
+    * sort/sample pass over 100 TB). The salt distinguishes this decision
+    * from the split's, so mixing never correlates with split membership. */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 8).cast("int")
+    val wPm = when(srcNum % 3 === 0, 1000)
+      .when(srcNum % 3 === 1, 500).otherwise(250)
+    Tables.documents(spark, dir)
+      .withColumn("w_pm", wPm)
+      .withColumn("kept",
+        h60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000 < col("w_pm"))
+      .groupBy(col("source"), col("w_pm"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), nToks.cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightedSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         CASE CAST(substr(source, 4) AS INT) % 3
+      |           WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END AS w_pm,
+      |         CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) % 1000 AS r,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |)
+      |SELECT source, w_pm, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN r < w_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN r < w_pm THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM d GROUP BY 1, 2
+      |ORDER BY source""".stripMargin
+
+  // --- TF-IDF top terms -------------------------------------------------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val TfidfSource: String = "src1"
+  val TfidfTopK: Int = 3
+
+  /** Top-k TF-IDF terms per document (reported for one source; document
+    * frequency is CORPUS-wide). tf and df are exact integers; the one
+    * transcendental, ln(N/df), is quantized to DECIMAL(18,4) before both
+    * the ranking and the output so the two engines' last-ulp ln
+    * differences can never reorder rows or fail the hash gate.
+    *
+    * Scale shape: the df table is vocabulary-sized (tiny next to the
+    * corpus) so Catalyst broadcasts it into the tf scan; N arrives as a
+    * broadcast one-row cross join, not a driver-side collect. One shuffle
+    * for the (doc, term) tf aggregation, one partitioned top-k window. */
+  def tfidfTerms(spark: SparkSession, dir: String,
+                 source: String = TfidfSource, topK: Int = TfidfTopK): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = toks.filter(col("source") === source)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .withColumn("score", expr(
+        "cast(cast(tf * ln(cast(n_corpus as double) / cast(df as double)) as decimal(18,4)) as double)"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("tok"))
+  }
+
+  val tfidfTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), dfreq AS (
+       |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+       |  GROUP BY tok
+       |), n AS (
+       |  SELECT count(*) AS n_corpus FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE source = '$TfidfSource' GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT doc_id, tok, tf, df,
+       |         CAST(CAST(tf * ln(CAST(n_corpus AS DOUBLE) / CAST(df AS DOUBLE))
+       |              AS DECIMAL(18,4)) AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+       |)
+       |SELECT doc_id, tok, tf, df, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, tok) AS rk
+       |  FROM scored
+       |) WHERE rk <= $TfidfTopK
+       |ORDER BY doc_id, score DESC, tok""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the storage-side lever that decides how much of
+  * 100 TB a query has to READ. Complements the bucketed-join and
+  * partition-pruning layouts (BucketingSpec): z-order interleaving clusters
+  * rows so that a file-level min/max index prunes on TWO dimensions at
+  * once, the technique behind every lakehouse OPTIMIZE ZORDER BY.
+  *
+  * The z-value is pure integer bit arithmetic, so the query form carries a
+  * full DuckDB hash-match oracle; the Spark expression and the oracle SQL
+  * are generated from the same bit loop and cannot drift.
+  */
+object Layout {
+
+  /** 32-bit Morton code: interleave the low 16 bits of two non-negative
+    * integer columns (x even bits, y odd bits). Nearby (x, y) points get
+    * nearby z-values, which is what makes per-file min/max zonemaps
+    * selective on both dimensions after a z-sort. */
+  def zvalue16(x: Column, y: Column): Column =
+    (0 until 16).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL, generated from the same loop. */
+  def zvalue16Sql(x: String, y: String): String =
+    (0 until 16).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+
+  /** Bucket = z-value >> 14, i.e. one bucket per 128x128 rectangle of
+    * (customer, day) key space — sized so the fixture populates O(100)
+    * buckets; a real table would size this from bytes-per-file instead. */
+  val ZBucketShift: Int = 14
+
+  // --- z-order layout survey (query form, oracle-checked) --------------------
+  /** Z-order orders on (customer, order day) and survey the resulting
+    * clustering: per z-range bucket (a 128x128 rectangle in key space),
+    * row count and the min/max of BOTH dimensions — i.e. exactly the
+    * zonemap a scan would prune with. The assertion that makes z-order
+    * worth its sort: every bucket's (cust, day) bounding box is small on
+    * both axes, so a predicate on either dimension eliminates most
+    * buckets. (A single-column sort would give tight day ranges but
+    * full-width customer ranges in every file.) */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val z = zvalue16(col("o_custkey").bitwiseAND(lit(65535L)),
+      day.bitwiseAND(lit(65535L)))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), day.as("day"), z.as("zval"))
+      .groupBy(shiftright(col("zval"), ZBucketShift).as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("z_bucket"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = zvalue16Sql("xk", "yk")
+    s"""WITH pts AS (
+       |  SELECT o_custkey,
+       |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM orders
+       |), keyed AS (
+       |  SELECT o_custkey, day, o_custkey & 65535 AS xk, day & 65535 AS yk FROM pts
+       |), zv AS (
+       |  SELECT o_custkey, day, $z AS zval FROM keyed
+       |)
+       |SELECT zval >> $ZBucketShift AS z_bucket, count(*) AS n_orders,
+       |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       |       min(day) AS min_day, max(day) AS max_day
+       |FROM zv GROUP BY 1
+       |ORDER BY z_bucket""".stripMargin
+  }
+
+  // --- z-order clustered write ------------------------------------------------
+  /** Write `df` z-clustered on two integer dimensions: range-partition by
+    * the z-value (files own disjoint z-ranges — the file-level pruning
+    * guarantee), sort within each partition (tight page-level zonemaps),
+    * and drop the helper column on the way out. `nFiles` is the target
+    * file count; at scale it comes from `total_bytes / target_file_size`. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column,
+                  path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zvalue16(x.bitwiseAND(lit(65535L)), y.bitwiseAND(lit(65535L))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Pipeline
+import graft.sources.Layout
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-7 corpus-assembly + layout operators: invariants the oracle's
+  * hash-match can't express — packing fill guarantees, split totality,
+  * mixing rates, and the z-order locality bound that makes the layout
+  * worth its sort. */
+class PipelineLayoutSpec extends SparkSpec {
+
+  test("pack_sequences fills every non-final sequence to exactly the budget") {
+    val packed = Pipeline.packSequences(spark, sf).collect()
+    val bySource = packed.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // seq ids are contiguous from 0 (concat-and-chunk leaves no holes)
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong),
+        s"$src: seq_id gap")
+      sorted.dropRight(1).foreach { r =>
+        assert(r.getLong(3) == Pipeline.PackBudget,
+          s"$src seq ${r.getLong(1)}: ${r.getLong(3)} tokens in a non-final sequence")
+      }
+      assert(sorted.last.getLong(3) <= Pipeline.PackBudget)
+    }
+    // packing conserves tokens: manifest total == corpus total
+    val corpusToks = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).first.getLong(0)
+    assert(packed.map(_.getLong(3)).sum == corpusToks)
+  }
+
+  test("split_assign partitions the corpus and is stable across runs") {
+    val a = Pipeline.splitAssign(spark, sf).collect()
+    val b = Pipeline.splitAssign(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "split must be deterministic")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(a.map(_.getLong(2)).sum == nDocs, "splits must partition the corpus")
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    // 90/5/5 hash split: train strictly dominates on any non-tiny corpus
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("mix_weighted keeps at the configured per-mille rate") {
+    Pipeline.mixWeighted(spark, sf).collect().foreach { r =>
+      val (src, wPm, total, kept) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val srcNum = src.stripPrefix("src").toInt
+      assert(wPm == Seq(1000, 500, 250)(srcNum % 3), s"$src: wrong weight")
+      assert(kept <= total)
+      if (wPm == 1000) assert(kept == total, s"$src: weight 1000 must keep all")
+      // hash-uniformity: keep rate within ±20pp of target on 25-doc sources
+      else assert(math.abs(kept.toDouble / total - wPm / 1000.0) < 0.2,
+        s"$src: kept $kept/$total vs target ${wPm / 1000.0}")
+    }
+  }
+
+  test("tfidf_terms returns at most k terms per doc, ranked by score") {
+    val rows = Pipeline.tfidfTerms(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.length <= Pipeline.TfidfTopK, s"doc $doc: ${rs.length} terms")
+      val scores = rs.map(_.getDouble(4)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc: not score-ordered")
+    }
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(3) >= 1))
+  }
+
+  test("z-order buckets bound both dimensions (the zonemap-pruning guarantee)") {
+    val side = 1L << (Layout.ZBucketShift / 2) // 128: bucket rectangle side
+    val rows = Layout.zorderLayout(spark, sf).collect()
+    assert(rows.length > 10, "fixture should populate many buckets")
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < side,
+        s"bucket ${r.getLong(0)}: cust range ${r.getLong(2)}..${r.getLong(3)}")
+      assert(r.getLong(5) - r.getLong(4) < side,
+        s"bucket ${r.getLong(0)}: day range ${r.getLong(4)}..${r.getLong(5)}")
+    }
+  }
+
+  test("zorderWrite produces files owning disjoint z-ranges") {
+    val out = Files.createTempDirectory("zw").toString + "/orders_z"
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    Layout.zorderWrite(Tables.orders(spark, sf), col("o_custkey"), day, out, 4)
+    val back = spark.read.parquet(out)
+    val dayB = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val ranges = back
+      .withColumn("z", Layout.zvalue16(col("o_custkey").bitwiseAND(lit(65535L)),
+        dayB.bitwiseAND(lit(65535L))))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4, s"expected 4 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file z-ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+}

@@ -10,14 +10,17 @@ package graft
 class PlanGuardSpec extends SparkSpec {
 
   // broadcast cross joins that ARE the design: a streamed corpus scan
-  // against a broadcast query/centroid table (no shuffle of the big side)
-  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign")
+  // against a broadcast query/centroid table (no shuffle of the big side),
+  // or a broadcast ONE-ROW scalar (tfidf_terms' corpus size N)
+  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign", "tfidf_terms")
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
   // per-partition sketch buffers (bytes, not rows) to one final merge —
-  // the canonical 1000-executor reduction, not a serialization hazard
-  private val spAllowed = Set("approx_topk_check")
+  // the canonical 1000-executor reduction, not a serialization hazard.
+  // tfidf_terms' global count(*) is the same shape: one long per input
+  // partition crosses the exchange.
+  private val spAllowed = Set("approx_topk_check", "tfidf_terms")
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
