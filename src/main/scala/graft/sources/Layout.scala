@@ -78,6 +78,40 @@ object Layout {
        |ORDER BY z_bucket""".stripMargin
   }
 
+  // --- small-file compaction --------------------------------------------------
+  /** Compact a fragmented parquet directory to ~`targetRowsPerFile` rows
+    * per file — the maintenance pass every streaming-appended table needs
+    * (each micro-batch commit writes at least one file; a year of 10 s
+    * batches is ~3M files whose open/footer costs dominate scans long
+    * before data volume does). Row-count proxy for file size keeps the
+    * helper deterministic for tests; a production pass would derive the
+    * file count from bytes. Returns (filesBefore, filesAfter).
+    *
+    * The rewrite goes through a temp directory + atomic-ish swap rather
+    * than overwrite-in-place, because `overwrite` of the directory being
+    * read is a read-your-own-delete hazard. `repartition` (round-robin)
+    * rather than `coalesce`: coalesce collapses upstream parallelism into
+    * the merged tasks (each output task would read many files serially
+    * anyway) AND inherits input skew — a balanced shuffle is the point of
+    * a compaction pass. */
+  def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: Path): Int =
+      fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = countFiles(path)
+    val df = spark.read.parquet(dir)
+    val nFiles = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
+    val tmp = new Path(path.getParent, path.getName + "_compacting")
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(path.getParent, path.getName + "_precompact")
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak, true)
+    (before, countFiles(path))
+  }
+
   // --- z-order clustered write ------------------------------------------------
   /** Write `df` z-clustered on two integer dimensions: range-partition by
     * the z-value (files own disjoint z-ranges — the file-level pruning

@@ -79,6 +79,22 @@ class PipelineLayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact merges a fragmented table without changing its content") {
+    val dir = Files.createTempDirectory("cmp").toString + "/docs"
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(64).write.parquet(dir) // simulate micro-batch fragmentation
+    // bit_xor: order-independent row checksum with no ANSI overflow hazard
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(doc_id, text, source))")).first.getLong(0)
+    val (before, after) = Layout.compact(spark, dir, targetRowsPerFile = 200)
+    assert(before == 64, s"fixture should start fragmented, had $before files")
+    val expectFiles = math.ceil(docs.count() / 200.0).toInt
+    assert(after == expectFiles, s"expected $expectFiles files, got $after")
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(expr("bit_xor(xxhash64(doc_id, text, source))")).first.getLong(0)
+    assert(checksumAfter == checksumBefore, "compaction must preserve content")
+  }
+
   test("zorderWrite produces files owning disjoint z-ranges") {
     val out = Files.createTempDirectory("zw").toString + "/orders_z"
     val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
