@@ -593,10 +593,17 @@ object Dedup {
     * shuffle on the component id to whatever the clustering cost.
     * Documents outside every cluster are their own component (coalesce to
     * the doc's own id), so the output is a full corpus manifest. */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val comps = dedupGroups(spark, dir)
-    Tables.documents(spark, dir)
-      .join(comps, Seq("doc_id"), "left")
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepBestFrom(Tables.documents(spark, dir), dedupGroups(spark, dir))
+
+  /** Compositional form: keep-best over PRECOMPUTED cluster labels
+    * (doc_id, component). At 100 TB the component table is materialized
+    * once per clustering run and consumed by many passes — re-clustering
+    * inside every consumer (as the one-shot query form must, to stay a
+    * pure function of the fixture dir) would be the scale mistake. */
+  def dedupKeepBestFrom(docs: DataFrame, components: DataFrame): DataFrame =
+    docs
+      .join(components, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .groupBy(col("component"))
       .agg(
@@ -605,7 +612,6 @@ object Dedup {
         max(col("n_chars")).as("kept_chars"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("component"))
-  }
 
   /** Same fixpoint as [[dedupGroupsSql]]'s recursive CTE, then the arg-max
     * via an ordered-first aggregate. */

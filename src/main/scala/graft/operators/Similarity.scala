@@ -238,6 +238,73 @@ object Similarity {
       |FROM ranked WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- full k-means (Lloyd) fit ---------------------------------------------
+  /** Complete distributed Lloyd loop composed from the E-step
+    * ([[kmeansAssign]]'s broadcast-centroid scan) and the M-step
+    * ([[embCentroids]]'s DECIMAL-quantized means): deterministic init
+    * (the first k vectors by vec_id), iterate assign → recompute →
+    * check-stability until no vector changes cluster or `maxIters`.
+    * Returns the final (vec_id, cluster, sq_dist) assignment.
+    *
+    * Scale shape per iteration: ONE corpus scan for the E-step (centroids
+    * broadcast, k×d doubles), one shuffle for the M-step aggregation
+    * keyed on (cluster, dim), and a labels-vs-labels join for the
+    * convergence count (two slim columns). Like the CC loop, every
+    * per-round frame is `localCheckpoint`ed — iterative dataflow MUST
+    * truncate lineage or round N's plan nests all N-1 predecessors.
+    * Empty clusters keep their previous centroid (coalesce on the left
+    * join), the standard Lloyd degeneracy guard. Quantized means make
+    * every iteration bit-reproducible across partitionings, so the whole
+    * fit is deterministic — asserted by the spec, run-to-run. */
+  def kmeansFit(spark: SparkSession, dir: String, k: Int = 8,
+                maxIters: Int = 20): DataFrame = {
+    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    var cent = embs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_label"),
+        expr("transform(embedding, x -> round(cast(x as double), 6))").as("cl"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
+    def eStep(c: DataFrame): DataFrame = embs
+      .crossJoin(broadcast(c))
+      .withColumn("d",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("embedding"), col("cl")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_label"), col("d"))
+    var labels: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val assigned = eStep(cent).localCheckpoint(true)
+      converged = labels != null && {
+        val changed = assigned.select(col("vec_id"), col("c_label").as("next"))
+          .join(labels, "vec_id")
+          .filter(col("next") =!= col("c_label")).count()
+        changed == 0
+      }
+      labels = assigned.select(col("vec_id"), col("c_label"))
+      if (!converged) {
+        val means = assigned
+          .select(col("c_label"), posexplode(col("embedding")))
+          .select(col("c_label"), col("pos").as("dim"),
+            round(col("col").cast("double"), 6).as("v"))
+          .groupBy(col("c_label"), col("dim"))
+          .agg((expr("CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)") / count(lit(1))).as("c"))
+          .groupBy(col("c_label"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+            .as("cl_new"))
+        cent = cent.join(means, Seq("c_label"), "left")
+          .select(col("c_label"), coalesce(col("cl_new"), col("cl")).as("cl"))
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    eStep(cent).select(col("vec_id"), col("c_label").cast("int").as("cluster"),
+        col("d").as("sq_dist"))
+      .orderBy(col("vec_id"))
+  }
+
   // --- IVF-style partition probe -------------------------------------------
   /** IVF top-k: the corpus is pre-partitioned by a coarse quantizer (the
     * fixture's `label` column stands in for the assigned centroid id); each

@@ -95,6 +95,33 @@ class PipelineLayoutSpec extends SparkSpec {
     assert(checksumAfter == checksumBefore, "compaction must preserve content")
   }
 
+  test("kmeansFit converges deterministically and never assigns farther than init") {
+    import graft.operators.Similarity
+    val a = Similarity.kmeansFit(spark, sf, k = 4, maxIters = 20).collect()
+    val b = Similarity.kmeansFit(spark, sf, k = 4, maxIters = 20).collect()
+    assert(a.toSeq == b.toSeq, "fit must be deterministic run-to-run")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(a.length == n, "every vector gets exactly one cluster")
+    assert(a.map(_.getInt(1)).distinct.length > 1, "fixture should use >1 cluster")
+    // Lloyd guarantee (quantized means -> tiny epsilon): total inertia of
+    // the converged fit is no worse than one E-step against the raw init
+    val initInertia = {
+      val init = Tables.embeddings(spark, sf).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_label"),
+          expr("transform(embedding, x -> round(cast(x as double), 6))").as("cl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy("d", "c_label")
+      Tables.embeddings(spark, sf).crossJoin(broadcast(init))
+        .withColumn("d", org.apache.spark.sql.graft.VectorFunctions
+          .vec_sqdist(col("embedding"), col("cl")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(sum(col("d"))).first.getDouble(0)
+    }
+    val finalInertia = a.map(_.getDouble(2)).sum
+    assert(finalInertia <= initInertia * (1 + 1e-9),
+      s"inertia worsened: $initInertia -> $finalInertia")
+  }
+
   test("zorderWrite produces files owning disjoint z-ranges") {
     val out = Files.createTempDirectory("zw").toString + "/orders_z"
     val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
