@@ -52,6 +52,39 @@ class BucketingSpec extends SparkSpec {
     assert(!read.contains("session_id=4") || read.contains("session_id=3"))
   }
 
+  test("runtime bloom filter pre-filters the fact side of a shuffle join") {
+    // The row-level analog of DPP for NON-partition keys: the filtered
+    // dim's join keys are bloom-aggregated and injected as a
+    // might_contain predicate on the fact scan, so non-qualifying fact
+    // rows drop BEFORE the shuffle instead of after the join — at 100 TB
+    // the difference between shuffling the corpus and shuffling the hits.
+    val base = Files.createTempDirectory("bloom").toString
+    import spark.implicits._
+    (1 to 200000).map(i => (i % 1000, i.toLong)).toDF("k", "v")
+      .write.parquet(s"$base/fact")
+    (0 until 1000).map(i => (i, if (i < 20) "hot" else "cold"))
+      .toDF("k", "tag").write.parquet(s"$base/dim")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(c => c -> spark.conf.getOption(c))
+    // force a shuffle join (broadcast would make the bloom pointless) and
+    // drop the 10 GB application-side bar the fixture can't meet
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val q = spark.read.parquet(s"$base/fact")
+        .join(spark.read.parquet(s"$base/dim").filter(col("tag") === "hot"), "k")
+      assert(q.count() === 4000)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in:\n${plan.take(4000)}")
+    } finally saved.foreach { case (c, v) =>
+      v.fold(spark.conf.unset(c))(spark.conf.set(c, _))
+    }
+  }
+
   test("dynamic partition pruning fires when the partition key is only filtered via a dim") {
     // Static pruning needs the literal predicate on the fact; at 100 TB the
     // predicate usually lives on a dimension ("region = 'EU'") and reaches
