@@ -48,7 +48,7 @@ object Bench {
     val entryRe = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
     val hist: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "bench_full.json")
+        .filter(f => f.getName.matches("BENCH_r\\d+(_full)?\\.json") || f.getName == "bench_full.json")
       val vals = files.flatMap { f =>
         try {
           val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
