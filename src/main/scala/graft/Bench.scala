@@ -46,6 +46,8 @@ object Bench {
     // "cpus" or "sf" without needing real JSON parsing).
     val knownQueries = SparkEntry.queries.keySet
     val entryRe = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+    val sfRe = """"sf":"([^"]*)"""".r
+    val sfBase = new java.io.File(sfDir).getName
     val hist: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_r\\d+(_full)?\\.json") || f.getName == "bench_full.json")
@@ -53,11 +55,20 @@ object Bench {
         try {
           val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
             .replace("\\", "")
-          // samples arrays ("name":[..]) don't match the pair regex, so a
-          // bench_full from this same main contributes only its min values
-          entryRe.findAllMatchIn(s)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(p => knownQueries.contains(p._1)).toSeq
+          // an artifact recorded at a DIFFERENT scale factor would make
+          // every bar wrong (3x an sf0.1 median is no bar at sf1, and at
+          // sf0.01 it would resample everything); artifacts without an sf
+          // field predate the tag and were all sf0.1-era — kept only when
+          // this run is too
+          val artifactSf = sfRe.findFirstMatchIn(s)
+            .map(m => new java.io.File(m.group(1)).getName)
+          if (!artifactSf.getOrElse("sf0.1").equals(sfBase)) Nil
+          else
+            // samples arrays ("name":[..]) don't match the pair regex, so a
+            // bench_full from this same main contributes only its min values
+            entryRe.findAllMatchIn(s)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(p => knownQueries.contains(p._1)).toSeq
         } catch { case _: Exception => Nil }
       }.filter(_._2 > 0).groupBy(_._1)
       vals.map { case (k, vs) =>

@@ -92,6 +92,19 @@ object Dedup {
     * replayed batch's content is already in the corpus, so its rows
     * anti-join away (content-level idempotence, stronger than file-level).
     */
+  /** Content key for the sink's dedup. md5(NULL) is NULL, and NULL keys
+    * break BOTH directions at once: groupBy would collapse every
+    * null-text document of a batch into one survivor (silent data loss),
+    * while the anti-join's NULL = NULL comparison is never true, so the
+    * corpus side could never suppress them and every replay/batch would
+    * re-append (unbounded duplicates). Null-text rows therefore key on
+    * their OWN doc_id (prefixed to a disjoint namespace): never deduped
+    * against anything, never dropped, and a checkpoint-replayed batch
+    * still anti-joins them away (the id-hash is deterministic). */
+  private def contentKey: org.apache.spark.sql.Column =
+    when(col("text").isNotNull, md5(concat(lit("t:"), col("text"))))
+      .otherwise(md5(concat(lit("n:"), col("doc_id").cast("string"))))
+
   def incrementalDedupSink(docs: DataFrame, corpusDir: String,
                            checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -99,13 +112,13 @@ object Dedup {
         val spark = batch.sparkSession
         val rowCols = batch.columns.map(col)
         val keepers = batch
-          .groupBy(md5(col("text")).as("h"))
+          .groupBy(contentKey.as("h"))
           .agg(min_by(struct(rowCols.toSeq: _*), col("doc_id")).as("r"))
           .select(col("h") +: batch.columns.map(c => col(s"r.$c")): _*)
         // first micro-batch: the corpus directory does not exist yet
         val existing =
           try Some(spark.read.parquet(corpusDir)
-            .select(md5(col("text")).as("h")).distinct())
+            .select(contentKey.as("h")).distinct())
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         existing.fold(keepers)(ex => keepers.join(ex, Seq("h"), "left_anti"))
           .drop("h")
@@ -302,8 +315,8 @@ object Dedup {
     // All arithmetic stays inside positive 60-bit longs, which is what
     // makes the DuckDB twin bit-identical.
     val hashed = sh
-      .withColumn("h1", expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substr(md5(shingle), 17, 15), 16, 10) as bigint)"))
+      .withColumn("h1", graft.functions.EngineHash.md5Bits60(col("shingle"), 1))
+      .withColumn("h2", graft.functions.EngineHash.md5Bits60(col("shingle"), 17))
     // 60-bit rotation of a positive long: disjoint bit ranges, so + ≡ |.
     def rot60(c: org.apache.spark.sql.Column, r: Int) =
       if (r == 0) c
@@ -684,9 +697,17 @@ object Dedup {
 
   // --- SimHash (full DuckDB oracle since r7) -------------------------------
   /** 60-bit SimHash per document: each token votes ±1 on every bit of its
-    * hash; the fingerprint takes the sign. Near-dups = pairs within
-    * Hamming distance ≤ 8, found by the 4×15-bit band trick (any identical
-    * 15-bit chunk → candidate), then exact popcount verification.
+    * hash; the fingerprint takes the sign. Candidate pairs come from the
+    * 4×15-bit band trick (any identical 15-bit chunk → candidate), then
+    * exact popcount verification keeps pairs within Hamming distance ≤ 8.
+    * Completeness caveat (pigeonhole): ≤3 differing bits CANNOT touch all
+    * four chunks, so recall is total through distance 3; a distance-4..8
+    * pair is found iff its differing bits leave some chunk intact (a pair
+    * with exactly one flipped bit in every chunk is missed). More bands
+    * buy a higher guaranteed radius at more shuffle fan-out — the
+    * standard simhash trade; the DuckDB twin shares the identical
+    * candidate set, so the oracle checks the implementation, not a
+    * different radius.
     *
     * The token hash is the top 15 hex digits of md5 parsed as a long —
     * engine-INDEPENDENT (md5 is byte-identical everywhere), which is what
@@ -702,7 +723,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h", graft.functions.EngineHash.md5Bits60(col("tok")))
     // Lane-packed bit counting: aggregate k (k = 0..14) accumulates the
     // counters of bits {k, k+15, k+30, k+45} in four 16-bit lanes of one
     // long — 15 sum() aggregates instead of 60. Lanes can't carry into

@@ -27,9 +27,8 @@ object Pipeline {
   private def nToks: Column = size(split(col("text"), " "))
 
   /** 60-bit positive hash of a string column via md5 — byte-identical in
-    * every engine (same construction as Dedup.simhash / minhashLsh). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * every engine (the shared construction behind simhash/minhash too). */
+  private def h60(c: Column): Column = graft.functions.EngineHash.md5Bits60(c)
 
   // --- sequence packing (concat-and-chunk to a fixed token budget) ----------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */

@@ -273,6 +273,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_label"), col("d"))
     var labels: DataFrame = null
+    var lastAssigned: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -284,6 +285,7 @@ object Similarity {
         changed == 0
       }
       labels = assigned.select(col("vec_id"), col("c_label"))
+      lastAssigned = assigned
       if (!converged) {
         val means = assigned
           .select(col("c_label"), posexplode(col("embedding")))
@@ -300,7 +302,13 @@ object Similarity {
       }
       iter += 1
     }
-    eStep(cent).select(col("vec_id"), col("c_label").cast("int").as("cluster"),
+    // Converged exit: cent was NOT updated after the final E-step, so the
+    // checkpointed assignment IS the fit — recomputing eStep(cent) here
+    // would be a bit-identical full corpus scan for nothing. Only the
+    // maxIters-without-convergence path needs one more E-step to reflect
+    // the last M-step's centroids.
+    val finalAssign = if (converged) lastAssigned else eStep(cent)
+    finalAssign.select(col("vec_id"), col("c_label").cast("int").as("cluster"),
         col("d").as("sq_dist"))
       .orderBy(col("vec_id"))
   }

@@ -40,40 +40,46 @@ object Layout {
   // --- z-order layout survey (query form, oracle-checked) --------------------
   /** Z-order orders on (customer, order day) and survey the resulting
     * clustering: per z-range bucket (a 128x128 rectangle in key space),
-    * row count and the min/max of BOTH dimensions — i.e. exactly the
-    * zonemap a scan would prune with. The assertion that makes z-order
-    * worth its sort: every bucket's (cust, day) bounding box is small on
-    * both axes, so a predicate on either dimension eliminates most
-    * buckets. (A single-column sort would give tight day ranges but
-    * full-width customer ranges in every file.) */
+    * row count and the min/max of BOTH interleaved keys — i.e. exactly
+    * the zonemap a scan would prune with. The assertion that makes
+    * z-order worth its sort: every bucket's (xk, yk) bounding box is
+    * small on both axes, so a predicate on either dimension eliminates
+    * most buckets. (A single-column sort would give tight day ranges but
+    * full-width customer ranges in every file.)
+    *
+    * The reported bounds are of the MASKED 16-bit keys the z-value is
+    * built from — the values the zonemap actually prunes on. (Bounds of
+    * the raw columns would silently break the small-box guarantee as
+    * soon as a dimension outgrows 16 bits and wraps: two far-apart raw
+    * values can share a masked key. At real scale the mask widens with
+    * the key domain instead.) */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
       .cast("long")
-    val z = zvalue16(col("o_custkey").bitwiseAND(lit(65535L)),
-      day.bitwiseAND(lit(65535L)))
+    val z = zvalue16(col("xk"), col("yk"))
     Tables.orders(spark, dir)
-      .select(col("o_custkey"), day.as("day"), z.as("zval"))
+      .select(col("o_custkey").bitwiseAND(lit(65535L)).as("xk"),
+        day.bitwiseAND(lit(65535L)).as("yk"))
+      .withColumn("zval", z)
       .groupBy(shiftright(col("zval"), ZBucketShift).as("z_bucket"))
       .agg(count(lit(1)).as("n_orders"),
-        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
-        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        min(col("xk")).as("min_xk"), max(col("xk")).as("max_xk"),
+        min(col("yk")).as("min_yk"), max(col("yk")).as("max_yk"))
       .orderBy(col("z_bucket"))
   }
 
   val zorderLayoutSql: String = {
     val z = zvalue16Sql("xk", "yk")
-    s"""WITH pts AS (
-       |  SELECT o_custkey,
-       |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+    s"""WITH keyed AS (
+       |  SELECT o_custkey & 65535 AS xk,
+       |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) & 65535 AS yk
        |  FROM orders
-       |), keyed AS (
-       |  SELECT o_custkey, day, o_custkey & 65535 AS xk, day & 65535 AS yk FROM pts
        |), zv AS (
-       |  SELECT o_custkey, day, $z AS zval FROM keyed
+       |  SELECT xk, yk, $z AS zval FROM keyed
        |)
        |SELECT zval >> $ZBucketShift AS z_bucket, count(*) AS n_orders,
-       |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
-       |       min(day) AS min_day, max(day) AS max_day
+       |       min(xk) AS min_xk, max(xk) AS max_xk,
+       |       min(yk) AS min_yk, max(yk) AS max_yk
        |FROM zv GROUP BY 1
        |ORDER BY z_bucket""".stripMargin
   }
@@ -100,14 +106,27 @@ object Layout {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(p: Path): Int =
       fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bak = new Path(path.getParent, path.getName + "_precompact")
+    // A leftover backup means a previous compaction crashed mid-swap — the
+    // original data may live THERE, not in `path`. Refuse to proceed
+    // (deleting it blind would destroy the only copy in that state).
+    if (fs.exists(bak))
+      throw new IllegalStateException(
+        s"stale $bak from an interrupted compaction — recover or remove it first")
     val before = countFiles(path)
     val df = spark.read.parquet(dir)
     val nFiles = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
     val tmp = new Path(path.getParent, path.getName + "_compacting")
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path.getParent, path.getName + "_precompact")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
+    // Hadoop rename signals failure by RETURNING FALSE, not throwing —
+    // every step must be checked, and the backup is only deleted once the
+    // new data is in place (a failed swap leaves the original recoverable).
+    if (!fs.rename(path, bak))
+      throw new IllegalStateException(s"compaction aborted: could not move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore; best effort — bak still holds the data
+      throw new IllegalStateException(s"compaction aborted: could not swap $tmp into place")
+    }
     fs.delete(bak, true)
     (before, countFiles(path))
   }

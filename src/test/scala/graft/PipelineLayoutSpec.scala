@@ -73,9 +73,9 @@ class PipelineLayoutSpec extends SparkSpec {
     assert(rows.length > 10, "fixture should populate many buckets")
     rows.foreach { r =>
       assert(r.getLong(3) - r.getLong(2) < side,
-        s"bucket ${r.getLong(0)}: cust range ${r.getLong(2)}..${r.getLong(3)}")
+        s"bucket ${r.getLong(0)}: xk range ${r.getLong(2)}..${r.getLong(3)}")
       assert(r.getLong(5) - r.getLong(4) < side,
-        s"bucket ${r.getLong(0)}: day range ${r.getLong(4)}..${r.getLong(5)}")
+        s"bucket ${r.getLong(0)}: yk range ${r.getLong(4)}..${r.getLong(5)}")
     }
   }
 
