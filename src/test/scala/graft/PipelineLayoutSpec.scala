@@ -95,6 +95,26 @@ class PipelineLayoutSpec extends SparkSpec {
     assert(checksumAfter == checksumBefore, "compaction must preserve content")
   }
 
+  test("compact refuses to run over a stale backup from an interrupted swap") {
+    val base = Files.createTempDirectory("cmp2").toString
+    val dir = s"$base/docs"
+    Tables.documents(spark, sf).limit(10).write.parquet(dir)
+    Files.createDirectory(java.nio.file.Paths.get(s"$base/docs_precompact"))
+    val e = intercept[IllegalStateException] {
+      Layout.compact(spark, dir, targetRowsPerFile = 5)
+    }
+    assert(e.getMessage.contains("interrupted compaction"))
+    // and the live table is untouched
+    assert(spark.read.parquet(dir).count() === 10)
+  }
+
+  test("kmeansFit on an empty corpus returns an empty assignment") {
+    val emptyDir = Files.createTempDirectory("kmempty").toString
+    Tables.embeddings(spark, sf).limit(0)
+      .write.parquet(s"$emptyDir/embeddings.parquet")
+    assert(graft.operators.Similarity.kmeansFit(spark, emptyDir, k = 4).count() === 0)
+  }
+
   test("kmeansFit converges deterministically and never assigns farther than init") {
     import graft.operators.Similarity
     val a = Similarity.kmeansFit(spark, sf, k = 4, maxIters = 20).collect()
