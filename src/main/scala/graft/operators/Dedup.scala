@@ -491,6 +491,57 @@ object Dedup {
       |HAVING count(DISTINCT doc_id) > 1
       |ORDER BY keeper_id, chunk_md5""".stripMargin
 
+  // --- per-document boilerplate fraction ------------------------------------
+  /** The quality signal built on [[chunkDedup]]'s fingerprints: for each
+    * document, the fraction of its 10-token chunks that also appear in
+    * some OTHER document — high values mark boilerplate-heavy pages
+    * (navigation, license headers, templated text) that document-level
+    * dedup keeps but a corpus-cleaning pass down-weights or drops.
+    * Same linear explode + hash aggregation as chunkDedup, one extra
+    * shuffle to land the per-chunk verdicts back on their documents. */
+  def boilerplateRatio(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
+        .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val shared = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    ch.join(shared.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateRatioSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |), ch AS (
+      |  SELECT doc_id,
+      |         md5(unnest(list_transform(range(0, len(t) // 10),
+      |                i -> array_to_string(t[i*10+1 : i*10+10], ' ')))) AS h
+      |  FROM dd
+      |), shared AS (
+      |  SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1
+      |)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_chunks,
+      |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS boilerplate_frac
+      |FROM ch LEFT JOIN shared ON ch.h = shared.h
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- near-dup clustering: connected components over rare-shingle edges ----
   /** Duplicate GROUPS, not just pairs: documents sharing a rare trigram
     * (one appearing in 2-3 documents — the classic rare-token blocking

@@ -11,6 +11,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sumCopies === total)
   }
 
+  test("boilerplate fraction is a valid ratio consistent with chunkDedup") {
+    val bp = Dedup.boilerplateRatio(spark, sf)
+    assert(bp.filter(col("n_dup_chunks") > col("n_chunks")).count() === 0)
+    assert(bp.filter(col("boilerplate_frac") < 0 || col("boilerplate_frac") > 1).count() === 0)
+    // every occurrence of a chunk that chunkDedup reports as shared across
+    // docs is a dup chunk here: totals must agree
+    val dupOccurrences = Dedup.chunkDedup(spark, sf)
+      .agg(sum("n_occurrences")).first().getLong(0)
+    val dupCounted = bp.agg(sum("n_dup_chunks")).first().getLong(0)
+    assert(dupCounted === dupOccurrences,
+      s"chunkDedup sees $dupOccurrences shared-chunk occurrences, boilerplate counts $dupCounted")
+  }
+
   test("jaccard values stay in [0, 1] and intersections respect set sizes") {
     val j = Dedup.ngramJaccard(spark, sf, threshold = 0.0)
     assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() === 0)
