@@ -238,6 +238,74 @@ object Similarity {
       |FROM ranked WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- product quantization code assignment ---------------------------------
+  /** PQ codes: the 64-dim vector is split into 4 subspaces of 16 dims and
+    * each subvector is assigned to its nearest per-subspace codebook
+    * entry — the compression behind memory-bound ANN (a vector becomes 4
+    * small codes + the shared codebook instead of 64 floats; distances
+    * are then looked up per subspace and summed). The codebook here is
+    * the per-label quantized means ([[embCentroids]] sliced by subspace),
+    * standing in for a trained one — swapping in k-means-trained
+    * codebooks ([[kmeansFit]] per subspace) changes only the `cb` input.
+    *
+    * Scale shape: the codebook is k×d doubles → broadcast; the corpus
+    * explodes to 4 subvector rows per vector and streams through one
+    * broadcast hash join + one (vec_id, subspace) ranking window. The
+    * distance is the codegen'd FloatVecSqDist, bit-identical to the
+    * oracle's list fold (the kmeansAssign precedent), so the argmin and
+    * the reported error hash-match across engines. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val cb = embCentroids(spark, dir)
+      .select(col("label").as("c_label"), (col("dim") / 16).cast("int").as("s"),
+        col("dim"), col("centroid"))
+      .groupBy(col("c_label"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("cl"))
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 3), s -> named_struct('s', cast(s as int), 'sv', slice(embedding, s*16+1, 16)))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+    val w = Window.partitionBy("vec_id", "s").orderBy("d", "c_label")
+    sub.join(broadcast(cb), Seq("s"))
+      .withColumn("d",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("sv"), col("cl")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s").as("subspace"),
+        col("c_label").cast("int").as("code"), col("d").as("sq_err"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  val pqCodesSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |), x AS (
+      |  SELECT label, i AS dim, round(CAST(embedding[i+1] AS DOUBLE), 6) AS v
+      |  FROM emb, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      |), cmean AS (
+      |  SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cbl AS (
+      |  SELECT label AS c_label, CAST(dim // 16 AS INT) AS s, list(c ORDER BY dim) AS cl
+      |  FROM cmean GROUP BY 1, 2
+      |), sub AS (
+      |  SELECT vec_id, CAST(s AS INT) AS s, embedding[s*16+1 : s*16+16] AS sv
+      |  FROM emb, LATERAL (SELECT unnest(range(4)) AS s)
+      |), scored AS (
+      |  SELECT sub.vec_id, sub.s, cbl.c_label,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(sv[i+1] AS DOUBLE) - cl[i+1]) * (CAST(sv[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM sub JOIN cbl ON sub.s = cbl.s
+      |), ranked AS (
+      |  SELECT vec_id, s, c_label, d,
+      |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c_label) AS rn
+      |  FROM scored
+      |)
+      |SELECT vec_id, s AS subspace, CAST(c_label AS INT) AS code, d AS sq_err
+      |FROM ranked WHERE rn = 1
+      |ORDER BY vec_id, subspace""".stripMargin
+
   // --- full k-means (Lloyd) fit ---------------------------------------------
   /** Complete distributed Lloyd loop composed from the E-step
     * ([[kmeansAssign]]'s broadcast-centroid scan) and the M-step

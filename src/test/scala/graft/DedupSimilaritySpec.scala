@@ -94,6 +94,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.count() === 190L + 6L)
   }
 
+  test("pq codes: full coverage and per-subspace argmin beats any single centroid") {
+    val pq = Similarity.pqCodes(spark, sf)
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(pq.count() === nVec * 4, "4 subspace codes per vector")
+    assert(pq.filter(col("sq_err") < 0).count() === 0)
+    // the property that makes PQ work: choosing the best codebook entry
+    // PER SUBSPACE can only beat assigning the whole vector to one
+    // centroid — compare against each vector's own-label full centroid
+    val cent = Similarity.embCentroids(spark, sf)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("cl"))
+    val whole = Tables.embeddings(spark, sf)
+      .join(cent, "label")
+      .select(col("vec_id"), org.apache.spark.sql.graft.VectorFunctions
+        .vec_sqdist(col("embedding"), col("cl")).as("d_own"))
+    val pqSum = pq.groupBy(col("vec_id")).agg(sum(col("sq_err")).as("d_pq"))
+    val violations = pqSum.join(whole, "vec_id")
+      .filter(col("d_pq") > col("d_own") * (1 + 1e-12)).count()
+    assert(violations === 0, "pq error exceeded own-centroid error")
+  }
+
   test("ann brute force: k results per query, cosine in [-1, 1], rank ordered") {
     val r = Similarity.annBruteForce(spark, sf)
     assert(r.groupBy("q_id").count().filter(col("count") =!= 10).count() === 0)
