@@ -452,29 +452,22 @@ object Dedup {
       |ORDER BY jaccard DESC, d1, d2
       |LIMIT 1000""".stripMargin
 
-  // --- sub-document (chunk-level) exact dedup -------------------------------
-  /** 10-token chunk fingerprints: every non-overlapping 10-token span is
-    * hashed, and chunks appearing in more than one document are reported
-    * with their occurrence/document counts — the paragraph-level exact
-    * dedup an LLM pipeline runs to strip boilerplate that document-level
-    * hashing misses. One explode + one hash aggregation; linear at any
-    * corpus size. */
-  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ch = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
+  // --- sub-document (chunk-level) fingerprints ------------------------------
+  /** Exploded (doc_id, chunk) rows: every non-overlapping 10-token span.
+    * ONE definition shared by [[chunkDedup]] and [[boilerplateRatio]] (and
+    * mirrored by [[ChunkRowsSqlCte]] on the oracle side) — the two
+    * operators' outputs are contractually tied to the same chunk grammar,
+    * so the construction must not be able to drift between them. */
+  private def chunkRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 10)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
         .as("chunk"))
-    ch.groupBy(md5(col("chunk")).as("chunk_md5"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("keeper_id"))
-      .filter(col("n_docs") > 1)
-      .orderBy(col("keeper_id"), col("chunk_md5"))
-  }
 
-  val chunkDedupSql: String =
+  /** The oracle twin of [[chunkRows]]: CTEs `dd`/`ch` yielding
+    * (doc_id, chunk) over the `documents` fixture table. */
+  private val ChunkRowsSqlCte: String =
     """WITH dd AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 10
@@ -483,13 +476,32 @@ object Dedup {
       |         unnest(list_transform(range(0, len(t) // 10),
       |                i -> array_to_string(t[i*10+1 : i*10+10], ' '))) AS chunk
       |  FROM dd
-      |)
-      |SELECT md5(chunk) AS chunk_md5, count(*) AS n_occurrences,
-      |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_id
-      |FROM ch
-      |GROUP BY md5(chunk)
-      |HAVING count(DISTINCT doc_id) > 1
-      |ORDER BY keeper_id, chunk_md5""".stripMargin
+      |)""".stripMargin
+
+  // --- chunk-level exact dedup ----------------------------------------------
+  /** 10-token chunk fingerprints: chunks appearing in more than one
+    * document are reported with their occurrence/document counts — the
+    * paragraph-level exact dedup an LLM pipeline runs to strip boilerplate
+    * that document-level hashing misses. One explode + one hash
+    * aggregation; linear at any corpus size. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkRows(Tables.documents(spark, dir))
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("keeper_id"), col("chunk_md5"))
+
+  val chunkDedupSql: String =
+    ChunkRowsSqlCte +
+      """
+        |SELECT md5(chunk) AS chunk_md5, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper_id
+        |FROM ch
+        |GROUP BY md5(chunk)
+        |HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY keeper_id, chunk_md5""".stripMargin
 
   // --- per-document boilerplate fraction ------------------------------------
   /** The quality signal built on [[chunkDedup]]'s fingerprints: for each
@@ -497,15 +509,14 @@ object Dedup {
     * some OTHER document — high values mark boilerplate-heavy pages
     * (navigation, license headers, templated text) that document-level
     * dedup keeps but a corpus-cleaning pass down-weights or drops.
-    * Same linear explode + hash aggregation as chunkDedup, one extra
-    * shuffle to land the per-chunk verdicts back on their documents. */
+    *
+    * The chunk frame feeds both the shared-hash aggregation and the
+    * verdict join, and is deliberately NOT materialized (the
+    * contamination trade, documented there): the explosion is
+    * corpus-sized, so persisting it to executor storage at 100 TB costs
+    * more than a second pass of a fully codegen'd narrow scan. */
   def boilerplateRatio(spark: SparkSession, dir: String): DataFrame = {
-    val ch = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 10)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) div 10 - 1), i -> concat_ws(' ', slice(toks, i*10+1, 10)))"))
-        .as("chunk"))
+    val ch = chunkRows(Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("chunk")).as("h"))
     val shared = ch.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -522,25 +533,20 @@ object Dedup {
   }
 
   val boilerplateRatioSql: String =
-    """WITH dd AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 10
-      |), ch AS (
-      |  SELECT doc_id,
-      |         md5(unnest(list_transform(range(0, len(t) // 10),
-      |                i -> array_to_string(t[i*10+1 : i*10+10], ' ')))) AS h
-      |  FROM dd
-      |), shared AS (
-      |  SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1
-      |)
-      |SELECT doc_id, count(*) AS n_chunks,
-      |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_dup_chunks,
-      |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-      |         / CAST(count(*) AS DOUBLE) AS boilerplate_frac
-      |FROM ch LEFT JOIN shared ON ch.h = shared.h
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin
+    ChunkRowsSqlCte +
+      """, hh AS (
+        |  SELECT doc_id, md5(chunk) AS h FROM ch
+        |), shared AS (
+        |  SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) > 1
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_chunks,
+        |       CAST(sum(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS boilerplate_frac
+        |FROM hh LEFT JOIN shared ON hh.h = shared.h
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
 
   // --- near-dup clustering: connected components over rare-shingle edges ----
   /** Duplicate GROUPS, not just pairs: documents sharing a rare trigram

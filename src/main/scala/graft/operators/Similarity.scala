@@ -249,21 +249,30 @@ object Similarity {
     * codebooks ([[kmeansFit]] per subspace) changes only the `cb` input.
     *
     * Scale shape: the codebook is k×d doubles → broadcast; the corpus
-    * explodes to 4 subvector rows per vector and streams through one
-    * broadcast hash join + one (vec_id, subspace) ranking window. The
-    * distance is the codegen'd FloatVecSqDist, bit-identical to the
-    * oracle's list fold (the kmeansAssign precedent), so the argmin and
-    * the reported error hash-match across engines. */
-  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    * explodes to `subspaces` subvector rows per vector and streams
+    * through one broadcast hash join + one (vec_id, subspace) ranking
+    * window. The distance is the codegen'd FloatVecSqDist, bit-identical
+    * to the oracle's list fold (the kmeansAssign precedent), so the
+    * argmin and the reported error hash-match across engines.
+    *
+    * CONTRACT: the embedding dimension must equal subspaces×width
+    * (defaults fit the 64-dim fixture). A shorter vector would slice to
+    * empty/partial subvectors and the codebook join would silently drop
+    * the missing subspaces; a longer one would silently ignore its tail.
+    * The spec asserts full coverage (vectors × subspaces rows), which is
+    * exactly the property a wrong dimension breaks. */
+  def pqCodes(spark: SparkSession, dir: String,
+              subspaces: Int = 4, width: Int = 16): DataFrame = {
     val cb = embCentroids(spark, dir)
-      .select(col("label").as("c_label"), (col("dim") / 16).cast("int").as("s"),
+      .select(col("label").as("c_label"), (col("dim") / width).cast("int").as("s"),
         col("dim"), col("centroid"))
       .groupBy(col("c_label"), col("s"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
         .as("cl"))
     val sub = Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 3), s -> named_struct('s', cast(s as int), 'sv', slice(embedding, s*16+1, 16)))"))
+        s"transform(sequence(0, ${subspaces - 1}), s -> " +
+          s"named_struct('s', cast(s as int), 'sv', slice(embedding, s*$width+1, $width)))"))
         .as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
     val w = Window.partitionBy("vec_id", "s").orderBy("d", "c_label")

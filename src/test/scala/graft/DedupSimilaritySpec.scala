@@ -17,9 +17,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bp.filter(col("boilerplate_frac") < 0 || col("boilerplate_frac") > 1).count() === 0)
     // every occurrence of a chunk that chunkDedup reports as shared across
     // docs is a dup chunk here: totals must agree
+    // coalesce: sum() over an empty/zero-duplicate fixture is NULL, and a
+    // bare getLong would turn that into an opaque NPE instead of the
+    // assertion message
     val dupOccurrences = Dedup.chunkDedup(spark, sf)
-      .agg(sum("n_occurrences")).first().getLong(0)
-    val dupCounted = bp.agg(sum("n_dup_chunks")).first().getLong(0)
+      .agg(coalesce(sum("n_occurrences"), lit(0L))).first().getLong(0)
+    val dupCounted = bp.agg(coalesce(sum("n_dup_chunks"), lit(0L))).first().getLong(0)
     assert(dupCounted === dupOccurrences,
       s"chunkDedup sees $dupOccurrences shared-chunk occurrences, boilerplate counts $dupCounted")
   }
