@@ -315,6 +315,121 @@ object Similarity {
       |FROM ranked WHERE rn = 1
       |ORDER BY vec_id, subspace""".stripMargin
 
+  // --- PQ asymmetric-distance (ADC) top-k search ----------------------------
+  /** The search that PQ compression exists for: each query precomputes a
+    * lookup table of exact distances from its OWN subvectors to every
+    * codebook entry (queries×subspaces×k rows — tiny), and a corpus
+    * vector's approximate distance is the SUM of 4 table lookups keyed by
+    * its stored codes — the asymmetric distance computation (ADC). The
+    * corpus side never touches float vectors at query time: it streams
+    * its (vec_id, subspace, code) rows through a broadcast LUT join and a
+    * fixed-order 4-term sum. At 100 TB that is the difference between
+    * scanning 64 floats/vector and 4 bytes/vector.
+    *
+    * Engine determinism: each LUT entry is the codegen'd FloatVecSqDist
+    * (bit-identical to the oracle's fold), and the per-vector total is
+    * assembled as four single-slot conditional sums added in FIXED order
+    * (d0+d1+d2+d3) — a plain sum over the four rows would accumulate in
+    * partition order and could flip last-ulp ties. (adc_dist, vec_id) is
+    * a total order, so ranks hash-match.
+    *
+    * Accuracy contract: ADC is EXACT with respect to the quantized
+    * corpus — adc_dist(q, v) is precisely the squared distance from q to
+    * v's reconstruction (the spec pins this identity). How well that
+    * ranks TRUE neighbors is entirely the codebook's quality: the
+    * per-label stand-in here has only 10 entries per subspace, and on
+    * this fixture's random gaussian vectors recall@10 vs exact L2 is
+    * near zero — the documented worst case for PQ (distances
+    * concentrate; coarse quantization erases the margin). Production
+    * recall comes from per-subspace k-means codebooks with ~256 entries
+    * ([[kmeansFit]] on subvectors is the drop-in trainer); the operator
+    * here is the QUERY-TIME dataflow, which is independent of how the
+    * codebook was trained. */
+  def annPq(spark: SparkSession, dir: String, k: Int = 10,
+            subspaces: Int = 4, width: Int = 16): DataFrame = {
+    val codes = pqCodes(spark, dir, subspaces, width)
+      .select(col("vec_id"), col("subspace").as("s"), col("code"))
+    val cb = embCentroids(spark, dir)
+      .select(col("label").as("code"), (col("dim") / width).cast("int").as("s"),
+        col("dim"), col("centroid"))
+      .groupBy(col("code"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
+        .as("cl"))
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val lut = queries.crossJoin(cb)
+      .withColumn("qs", expr(s"slice(q_emb, s * $width + 1, $width)"))
+      .withColumn("d",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("qs"), col("cl")))
+      .select(col("q_id"), col("s"), col("code"), col("d"))
+    val slotSums = (0 until subspaces).map { i =>
+      sum(when(col("s") === i, col("d")).otherwise(lit(0.0))).as(s"d$i")
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(slotSums.head, slotSums.tail: _*)
+      .withColumn("adc_dist",
+        (0 until subspaces).map(i => col(s"d$i")).reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annPqSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |), x AS (
+      |  SELECT label, i AS dim, round(CAST(embedding[i+1] AS DOUBLE), 6) AS v
+      |  FROM emb, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      |), cmean AS (
+      |  SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cbl AS (
+      |  SELECT label AS code, CAST(dim // 16 AS INT) AS s, list(c ORDER BY dim) AS cl
+      |  FROM cmean GROUP BY 1, 2
+      |), sub AS (
+      |  SELECT vec_id, CAST(s AS INT) AS s, embedding[s*16+1 : s*16+16] AS sv
+      |  FROM emb, LATERAL (SELECT unnest(range(4)) AS s)
+      |), scored AS (
+      |  SELECT sub.vec_id, sub.s, cbl.code,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(sv[i+1] AS DOUBLE) - cl[i+1]) * (CAST(sv[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM sub JOIN cbl ON sub.s = cbl.s
+      |), codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s
+      |                                               ORDER BY d, code) AS rn
+      |    FROM scored) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 5
+      |), lut AS (
+      |  SELECT q_id, cbl.s, cbl.code,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(q_emb[cbl.s*16+i+1] AS DOUBLE) - cl[i+1])
+      |              * (CAST(q_emb[cbl.s*16+i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM q CROSS JOIN cbl
+      |), slot AS (
+      |  SELECT q_id, c.vec_id,
+      |         sum(CASE WHEN c.s = 0 THEN l.d ELSE 0 END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN l.d ELSE 0 END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN l.d ELSE 0 END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN l.d ELSE 0 END) AS d3
+      |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      |  WHERE c.vec_id <> l.q_id
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT q_id, vec_id, d0 + d1 + d2 + d3 AS adc_dist,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                ORDER BY d0 + d1 + d2 + d3, vec_id) AS INT) AS rank
+      |  FROM slot
+      |)
+      |SELECT q_id, vec_id, adc_dist, rank FROM ranked
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   // --- full k-means (Lloyd) fit ---------------------------------------------
   /** Complete distributed Lloyd loop composed from the E-step
     * ([[kmeansAssign]]'s broadcast-centroid scan) and the M-step

@@ -119,6 +119,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(violations === 0, "pq error exceeded own-centroid error")
   }
 
+  test("ann_pq_adc: adc distance equals exact distance to the reconstruction") {
+    val adc = Similarity.annPq(spark, sf).collect()
+    assert(adc.length === 5 * 10, "10 results per query")
+    // rebuild the tiny artifacts the identity needs
+    val cb = Similarity.embCentroids(spark, sf).collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1) / 16)) // (label, subspace)
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val codes = Similarity.pqCodes(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.sortBy(_.getInt(1)).map(_.getInt(2)) }
+    val qEmb = Tables.embeddings(spark, sf).filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    adc.foreach { r =>
+      val (q, v, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // same fold order as FloatVecSqDist: left-to-right (double(x)-c)^2,
+      // subspace totals added in order
+      val expected = (0 until 4).map { s =>
+        val cl = cb((codes(v)(s), s))
+        var acc = 0.0
+        var i = 0
+        while (i < 16) {
+          val diff = qEmb(q)(s * 16 + i).toDouble - cl(i); acc += diff * diff; i += 1
+        }
+        acc
+      }.foldLeft(0.0)(_ + _)
+      assert(math.abs(d - expected) <= 1e-12 * math.max(1.0, expected),
+        s"q=$q v=$v adc=$d reconstruction=$expected")
+    }
+    // per-query ranks are 1..10 with non-decreasing distances
+    adc.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 10))
+      assert(sorted.map(_.getDouble(2)).toSeq == sorted.map(_.getDouble(2)).sorted.toSeq)
+    }
+  }
+
   test("ann brute force: k results per query, cosine in [-1, 1], rank ordered") {
     val r = Similarity.annBruteForce(spark, sf)
     assert(r.groupBy("q_id").count().filter(col("count") =!= 10).count() === 0)

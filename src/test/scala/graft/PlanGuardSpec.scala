@@ -11,8 +11,11 @@ class PlanGuardSpec extends SparkSpec {
 
   // broadcast cross joins that ARE the design: a streamed corpus scan
   // against a broadcast query/centroid table (no shuffle of the big side),
-  // or a broadcast ONE-ROW scalar (tfidf_terms' corpus size N)
-  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign", "tfidf_terms")
+  // a broadcast ONE-ROW scalar (tfidf_terms' corpus size N), or
+  // ann_pq_adc's LUT construction (queries x codebook — both tiny by
+  // definition; the corpus side only ever sees a broadcast hash join)
+  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign", "tfidf_terms",
+    "ann_pq_adc")
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
