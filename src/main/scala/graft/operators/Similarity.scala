@@ -261,14 +261,22 @@ object Similarity {
     * the missing subspaces; a longer one would silently ignore its tail.
     * The spec asserts full coverage (vectors × subspaces rows), which is
     * exactly the property a wrong dimension breaks. */
-  def pqCodes(spark: SparkSession, dir: String,
-              subspaces: Int = 4, width: Int = 16): DataFrame = {
-    val cb = embCentroids(spark, dir)
+  /** Per-(label, subspace) codebook arrays — ONE builder shared by
+    * [[pqCodes]] and [[annPq]] with identical aliases, so the two uses
+    * inside one ADC plan canonicalize to the same subtree (exchange
+    * reuse) and the construction cannot drift between assignment and
+    * search. */
+  private def pqCodebook(spark: SparkSession, dir: String, width: Int): DataFrame =
+    embCentroids(spark, dir)
       .select(col("label").as("c_label"), (col("dim") / width).cast("int").as("s"),
         col("dim"), col("centroid"))
       .groupBy(col("c_label"), col("s"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
         .as("cl"))
+
+  def pqCodes(spark: SparkSession, dir: String,
+              subspaces: Int = 4, width: Int = 16): DataFrame = {
+    val cb = pqCodebook(spark, dir, width)
     val sub = Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${subspaces - 1}), s -> " +
@@ -318,13 +326,15 @@ object Similarity {
   // --- PQ asymmetric-distance (ADC) top-k search ----------------------------
   /** The search that PQ compression exists for: each query precomputes a
     * lookup table of exact distances from its OWN subvectors to every
-    * codebook entry (queries×subspaces×k rows — tiny), and a corpus
-    * vector's approximate distance is the SUM of 4 table lookups keyed by
-    * its stored codes — the asymmetric distance computation (ADC). The
-    * corpus side never touches float vectors at query time: it streams
-    * its (vec_id, subspace, code) rows through a broadcast LUT join and a
-    * fixed-order 4-term sum. At 100 TB that is the difference between
-    * scanning 64 floats/vector and 4 bytes/vector.
+    * codebook entry (queries × subspaces × codebook-entries rows — tiny;
+    * NOT a function of top-k: a production 256-entry codebook makes it
+    * queries×4×256), and a corpus vector's approximate distance is the
+    * SUM of 4 table lookups keyed by its stored codes — the asymmetric
+    * distance computation (ADC). The corpus side never touches float
+    * vectors at query time: it streams its (vec_id, subspace, code) rows
+    * through a broadcast LUT join and a fixed-order 4-term sum. At
+    * 100 TB that is the difference between scanning 64 floats/vector and
+    * 4 bytes/vector.
     *
     * Engine determinism: each LUT entry is the codegen'd FloatVecSqDist
     * (bit-identical to the oracle's fold), and the per-vector total is
@@ -345,16 +355,19 @@ object Similarity {
     * ([[kmeansFit]] on subvectors is the drop-in trainer); the operator
     * here is the QUERY-TIME dataflow, which is independent of how the
     * codebook was trained. */
-  def annPq(spark: SparkSession, dir: String, k: Int = 10,
-            subspaces: Int = 4, width: Int = 16): DataFrame = {
+  def annPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // geometry is pinned to the oracle's constants (4x16, like
+    // annBruteForce's fixed query set) — a configurable shape here would
+    // silently desync from the fixed SQL twin
+    val subspaces = 4
+    val width = 16
     val codes = pqCodes(spark, dir, subspaces, width)
       .select(col("vec_id"), col("subspace").as("s"), col("code"))
-    val cb = embCentroids(spark, dir)
-      .select(col("label").as("code"), (col("dim") / width).cast("int").as("s"),
-        col("dim"), col("centroid"))
-      .groupBy(col("code"), col("s"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
-        .as("cl"))
+    // same builder AND aliases as the pqCodes call above — the two
+    // centroid-aggregation subtrees canonicalize identically, so the
+    // exchanges below them are reusable instead of recomputed
+    val cb = pqCodebook(spark, dir, width)
+      .select(col("c_label").as("code"), col("s"), col("cl"))
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val lut = queries.crossJoin(cb)

@@ -28,12 +28,17 @@ class PlanGuardSpec extends SparkSpec {
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      // each allow-listed query's design has exactly ONE sanctioned BNLJ;
+      // a blanket exemption would let a SECOND, corpus-side nested loop
+      // regress in unnoticed behind the sanctioned one
+      val bnljCount = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
       Seq(
         if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
         if (plan.contains("Exchange SinglePartition") && !spAllowed(name))
           Some(s"$name: Exchange SinglePartition") else None,
-        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+        if (bnljCount > (if (bnljAllowed(name)) 1 else 0))
+          Some(s"$name: $bnljCount BroadcastNestedLoopJoin(s), " +
+            s"${if (bnljAllowed(name)) 1 else 0} sanctioned") else None
       ).flatten
     }
     assert(violations.isEmpty, violations.mkString("\n"))
