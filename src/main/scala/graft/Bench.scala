@@ -50,7 +50,7 @@ object Bench {
     val sfBase = new java.io.File(sfDir).getName
     val hist: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+(_full)?\\.json") || f.getName == "bench_full.json")
+        .filter(f => f.getName.matches("BENCH_(r\\d+|sf[0-9.]+)(_full)?\\.json") || f.getName == "bench_full.json")
       val vals = files.flatMap { f =>
         try {
           val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -113,7 +113,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","wall_ms_epoch":${System.currentTimeMillis()},"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // sf-stamped default (judge advice r6): a stale artifact from a prior
+    // run at a DIFFERENT scale factor can no longer masquerade as this
+    // run's record; round-stamped names still come from the env override.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_${sfBase}_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"bench file write failed: $e") }

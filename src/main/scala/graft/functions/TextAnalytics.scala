@@ -387,6 +387,106 @@ object TextAnalytics {
       .limit(topK)
   }
 
+  // --- unigram language-model document scoring ------------------------------
+  /** Per-document mean log-likelihood under the corpus's own unigram LM —
+    * the classic cheap perplexity-style quality filter (documents whose
+    * tokens are globally rare score low). p(w) = corpus_count(w) / N; the
+    * per-occurrence term tf·ln(p) is quantized to DECIMAL(18,6) before
+    * summation (the tfidf_terms transcendental contract) so the per-doc
+    * DECIMAL sum is order-independent and the one final division of exact
+    * operands is bit-identical across engines.
+    *
+    * Scale shape: one (doc, tok) tf aggregation shuffle; the vocabulary
+    * table is tiny next to the corpus and broadcasts into it, and N
+    * arrives as a broadcast one-row cross join (map-side-partial global
+    * count — the tfidf_terms shape, sanctioned in PlanGuardSpec). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toksL = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = toksL.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = toksL.agg(count(lit(1)).as("n_total"))
+    toksL.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("term", expr(
+        "cast(tf as decimal(18,6)) * " +
+          "cast(ln(cast(c as double) / cast(n_total as double)) as decimal(18,6))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("cast(lp as double)") / col("n_tokens").cast("double")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), vocab AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_total FROM toks
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), terms AS (
+      |  SELECT doc_id, tf,
+      |         CAST(tf AS DECIMAL(18,6)) *
+      |           CAST(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) AS DECIMAL(18,6)) AS term
+      |  FROM tf JOIN vocab USING (tok) CROSS JOIN n
+      |)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       CAST(sum(term) AS DOUBLE) / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) AS avg_logp
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --- per-document token entropy -------------------------------------------
+  /** Shannon entropy of each document's own token distribution — the
+    * repetition/diversity signal that complements [[repetitionScore]]'s
+    * ratio heuristics (near-zero entropy = template spam regardless of
+    * which token repeats). Each p·log2(p) term is quantized to
+    * DECIMAL(18,6) before the per-doc DECIMAL sum (order-independent,
+    * engine-identical — the tfidf_terms contract).
+    *
+    * Scale shape: one (doc, tok) count shuffle, then the per-doc total
+    * rides a doc_id-partitioned window and the final per-doc aggregation
+    * reuses that same doc_id exchange — no third shuffle, no global
+    * state. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wd))
+      .withColumn("term", expr(
+        "cast((cast(c as double) / cast(n as double)) * " +
+          "log2(cast(c as double) / cast(n as double)) as decimal(18,6))"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        // negate the DECIMAL, not the double: an all-one-token doc sums to
+        // decimal 0, and -0e0 vs 0e0 could hash-split the engines
+        expr("cast(-sum(term) as double)").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenEntropySql: String =
+    """WITH pt AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2
+      |), wn AS (
+      |  SELECT doc_id, c, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |  FROM pt
+      |), terms AS (
+      |  SELECT doc_id, n,
+      |         CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |              log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS term
+      |  FROM wn
+      |)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+      |       CAST(-sum(term) AS DOUBLE) AS entropy
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val bigramFreqSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, i AS pos, l[i + 1] AS tok

@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the `events` stream — the funnel / cohort /
+  * path family every product-analytics deployment of the reference's
+  * XR-event pipeline would ask for next (SURVEY §2.9 extension; the
+  * reference's own analytics stop at per-user windows, process.py:147-204).
+  *
+  * All three operators are built on the same scale shape: ONE hash
+  * exchange on `user_id`, with every per-user computation (ordered lag,
+  * unordered conditional mins, first-touch cohort) expressed as window or
+  * grouped aggregation over that partitioning so Catalyst reuses the
+  * exchange instead of re-shuffling. Event timestamps are exact epoch-ms
+  * longs (Tables.events) and every derived ratio is a single division of
+  * exact counts, so the DuckDB twins hash-match bit-for-bit.
+  */
+object EventAnalytics {
+
+  /** Funnel stages shared with the oracle SQL (order matters). */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  // --- ordered conversion funnel -------------------------------------------
+  /** Strictly-ordered funnel view → click → purchase: a user converts at
+    * stage k iff an event of that type happened AFTER their stage-(k-1)
+    * conversion time. The three first-conversion times are chained
+    * conditional mins over ONE user-partitioned window (no ORDER BY, so
+    * no sort — each min scans the partition), then one row per user and a
+    * single global count-triple roll-up.
+    *
+    * Scale shape: one exchange on user_id feeds all three Window ops AND
+    * the per-user dedup (same key → exchange reuse); the final aggregate
+    * is the canonical map-side-partial global reduction — only one count
+    * triple per input partition crosses the single-partition exchange
+    * (PlanGuardSpec sanctions it alongside tfidf_terms' N). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    eventsFunnelFrom(Tables.events(spark, dir))
+
+  /** Core of [[eventsFunnel]] over any (user_id, event_type, ts_ms) frame —
+    * split out so the ordering-semantics spec can feed synthetic journeys
+    * (the embNearDupFrom pattern). */
+  private[graft] def eventsFunnelFrom(events: DataFrame): DataFrame = {
+    val Seq(t1, t2, t3) = FunnelStages
+    val wu = Window.partitionBy("user_id")
+    val staged = events
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .withColumn("s1", min(when(col("event_type") === t1, col("ts_ms"))).over(wu))
+      .withColumn("s2", min(when(col("event_type") === t2 &&
+        col("ts_ms") > col("s1"), col("ts_ms"))).over(wu))
+      .withColumn("s3", min(when(col("event_type") === t3 &&
+        col("ts_ms") > col("s2"), col("ts_ms"))).over(wu))
+    staged
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      .agg(count(col("s1")).as("n1"), count(col("s2")).as("n2"),
+        count(col("s3")).as("n3"))
+      .selectExpr(
+        s"""stack(3,
+           |  1, '$t1', n1, CAST(NULL AS DOUBLE),
+           |  2, '$t2', n2, CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END,
+           |  3, '$t3', n3, CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END
+           |) AS (stage_idx, stage, n_users, conv_from_prev)""".stripMargin)
+      .orderBy(col("stage_idx"))
+  }
+
+  val eventsFunnelSql: String =
+    Tables.eventsOracleCte +
+      """, u1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_ms END) AS s1
+        |  FROM ev GROUP BY 1
+        |), u2 AS (
+        |  SELECT ev.user_id, u1.s1,
+        |         min(CASE WHEN event_type = 'click' AND ts_ms > s1 THEN ts_ms END) AS s2
+        |  FROM ev JOIN u1 USING (user_id) GROUP BY 1, 2
+        |), u3 AS (
+        |  SELECT ev.user_id, u2.s1, u2.s2,
+        |         min(CASE WHEN event_type = 'purchase' AND ts_ms > s2 THEN ts_ms END) AS s3
+        |  FROM ev JOIN u2 USING (user_id) GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT CAST(count(s1) AS BIGINT) AS n1, CAST(count(s2) AS BIGINT) AS n2,
+        |         CAST(count(s3) AS BIGINT) AS n3
+        |  FROM u3
+        |)
+        |SELECT stage_idx, stage, n_users, conv_from_prev FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+        |         CAST(NULL AS DOUBLE) AS conv_from_prev FROM agg
+        |  UNION ALL
+        |  SELECT 2, 'click', n2,
+        |         CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END FROM agg
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3,
+        |         CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END FROM agg
+        |)
+        |ORDER BY stage_idx""".stripMargin
+
+  // --- weekly cohort retention ---------------------------------------------
+  /** Classic retention matrix: users are cohorted by the epoch-week of
+    * their FIRST event, and each (cohort_week, week_offset) cell counts
+    * how many of them were active that many weeks later, as a fraction of
+    * the cohort. Weeks are exact integer epoch-ms arithmetic — no
+    * timezone/calendar semantics to diverge on (the eventWindowAgg
+    * precedent).
+    *
+    * Scale shape: first-touch and per-week activity both key on user_id
+    * (one exchange, reused); the cell aggregation shuffles (cohort_week,
+    * week_offset) pairs — bounded by weeks², not by users; the cohort-size
+    * table is weeks-sized and broadcasts. The activity side is
+    * (user, week)-distinct and joins first-touch 1:1 per user-week, so a
+    * plain count(*) per cell IS the distinct-user count — no
+    * count(distinct) re-expansion needed. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+    val firsts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.distinct()
+      .join(firsts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active") / col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionCohortSql: String =
+    Tables.eventsOracleCte +
+      """, wk AS (
+        |  SELECT DISTINCT user_id, ts_ms // 604800000 AS week FROM ev
+        |), firsts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM firsts GROUP BY 1
+        |), cells AS (
+        |  SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM wk w JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+        |       c.n_active / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM cells c JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // --- event-type transition matrix ----------------------------------------
+  /** First-order Markov transitions: consecutive event pairs per user
+    * (ordered by (ts_ms, event_id) — a total order, so lag is
+    * deterministic), counted into a type×type matrix with per-source
+    * transition probabilities. Path analysis, anomaly scoring, and
+    * next-event prediction baselines all start here.
+    *
+    * Scale shape: the lag window rides the one user_id exchange; only
+    * type-pair counts (bounded by |types|²) shuffle for the aggregation,
+    * and the per-row probability window partitions by prev_type over that
+    * tiny frame. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val wp = Window.partitionBy("prev_type")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n") / sum(col("n")).over(wp).cast("double"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val eventTransitionsSql: String =
+    Tables.eventsOracleCte +
+      """, seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts_ms, event_id) AS prev_type
+        |  FROM ev
+        |), pairs AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, event_type, n,
+        |       n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM pairs
+        |ORDER BY prev_type, event_type""".stripMargin
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.functions.TextAnalytics
+import org.apache.spark.sql.functions._
+
+/** Sixth coverage wave: behavioral event analytics (funnel / retention /
+  * transitions) and corpus-quality scoring (unigram LM, token entropy).
+  * Fixture cases pin cross-operator identities on sf0.001; the synthetic
+  * case pins the funnel's STRICT ordering semantics, which no fixture
+  * aggregate can distinguish from the unordered variant. */
+class CoverageWave6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("events_funnel: strict ordering — a click before the first view does not convert") {
+    // A: full ordered journey; B: click precedes its only view (stage 2
+    // must NOT count it); C: purchase only (no stage at all).
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 10L), (2L, "view", 20L),
+      (3L, "purchase", 10L)
+    ).toDF("user_id", "event_type", "ts_ms")
+    val rows = EventAnalytics.eventsFunnelFrom(ev)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1, "view", 2L), (2, "click", 1L), (3, "purchase", 1L)))
+    val conv = EventAnalytics.eventsFunnelFrom(ev)
+      .collect().map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+    assert(conv(0).isNaN && conv(1) == 0.5 && conv(2) == 1.0)
+  }
+
+  test("events_funnel: fixture counts are monotonically non-increasing") {
+    val rows = EventAnalytics.eventsFunnel(spark, sf).collect()
+    assert(rows.length == 3)
+    val ns = rows.map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2) && ns(2) >= 0)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val c = r.getDouble(3); assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("retention_cohort: offset-0 is complete and cells never exceed the cohort") {
+    val df = EventAnalytics.retentionCohort(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every user is active in their own first week, so offset 0 is 100%
+    val zero = rows.filter(_.getLong(1) == 0L)
+    val cohorts = rows.map(_.getLong(0)).distinct
+    assert(zero.length == cohorts.length)
+    zero.foreach(r => assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0))
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3) && r.getLong(1) >= 0))
+    // offset-0 actives sum to the distinct-user population
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(zero.map(_.getLong(2)).sum == users)
+  }
+
+  test("event_transitions: per-source probabilities sum to 1; pair count = N - U") {
+    val rows = EventAnalytics.eventTransitions(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    // each user with k events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val u = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == n - u)
+  }
+
+  test("txt_lm_score: negative scores, token totals agree with tokenCount") {
+    val lm = TextAnalytics.lmScore(spark, sf)
+    val rows = lm.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) < 0.0))
+    val mismatch = lm.select(col("doc_id"), col("n_tokens"))
+      .join(TextAnalytics.tokenCount(spark, sf)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("tc")), "doc_id")
+      .filter(col("n_tokens") =!= col("tc")).count()
+    assert(mismatch == 0)
+  }
+
+  test("txt_entropy: bounded by log2(n_distinct), zero only for one-token docs") {
+    val rows = TextAnalytics.tokenEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, h) = (r.getLong(2), r.getDouble(3))
+      // per-term quantization error is <= 5e-7 per distinct token
+      assert(h >= -1e-12, s"doc ${r.getLong(0)}: negative entropy $h")
+      assert(h <= math.log(nd.toDouble) / math.log(2.0) + nd * 5e-7,
+        s"doc ${r.getLong(0)}: entropy $h above log2($nd)")
+      if (nd == 1) assert(math.abs(h) < 1e-12)
+    }
+  }
+}

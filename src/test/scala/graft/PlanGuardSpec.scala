@@ -15,7 +15,7 @@ class PlanGuardSpec extends SparkSpec {
   // ann_pq_adc's LUT construction (queries x codebook — both tiny by
   // definition; the corpus side only ever sees a broadcast hash join)
   private val bnljAllowed = Set("ann_brute_force", "kmeans_assign", "tfidf_terms",
-    "ann_pq_adc")
+    "ann_pq_adc", "txt_lm_score")
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -23,7 +23,10 @@ class PlanGuardSpec extends SparkSpec {
   // the canonical 1000-executor reduction, not a serialization hazard.
   // tfidf_terms' global count(*) is the same shape: one long per input
   // partition crosses the exchange.
-  private val spAllowed = Set("approx_topk_check", "tfidf_terms")
+  // events_funnel's count-triple roll-up and txt_lm_score's corpus N are
+  // the same map-side-partial global-reduction shape as tfidf_terms.
+  private val spAllowed = Set("approx_topk_check", "tfidf_terms",
+    "events_funnel", "txt_lm_score")
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
