@@ -104,25 +104,25 @@ object EventAnalytics {
     * timezone/calendar semantics to diverge on (the eventWindowAgg
     * precedent).
     *
-    * Scale shape: first-touch and per-week activity both key on user_id
-    * (one exchange, reused); the cell aggregation shuffles (cohort_week,
-    * week_offset) pairs — bounded by weeks², not by users; the cohort-size
-    * table is weeks-sized and broadcasts. The activity side is
-    * (user, week)-distinct and joins first-touch 1:1 per user-week, so a
-    * plain count(*) per cell IS the distinct-user count — no
-    * count(distinct) re-expansion needed. */
+    * Scale shape: the event-scale side crosses exactly ONE exchange — a
+    * user-keyed aggregation whose map-side partial both dedups the weeks
+    * (collect_set) and takes the first-touch min, so per-user rows arrive
+    * already collapsed to at most |weeks| entries. Everything after is
+    * weeks-bounded: explode to (cohort, offset) pairs, one tiny cell
+    * aggregation, and the cohort size read off the offset-0 cell by a
+    * cohort-partitioned window (every user is by definition active in
+    * their own first week) — no second events pass, no size join. */
   def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.events(spark, dir)
+    val wc = Window.partitionBy("cohort_week")
+    Tables.events(spark, dir)
       .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
-    val firsts = weeks.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    val sizes = firsts.groupBy(col("cohort_week"))
-      .agg(count(lit(1)).as("cohort_size"))
-    weeks.distinct()
-      .join(firsts, "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"), collect_set(col("week")).as("wks"))
+      .select(col("cohort_week"), explode(col("wks")).as("week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_week")
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wc))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         col("cohort_size"),
         (col("n_active") / col("cohort_size").cast("double")).as("retention"))
