@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Behavioral analytics over the `events` stream — the funnel / cohort /
   * path family every product-analytics deployment of the reference's
@@ -171,6 +172,51 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .withColumn("p", col("n") / sum(col("n")).over(wp).cast("double"))
       .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  // --- stateful streaming funnel tracker -----------------------------------
+  case class FunnelEv(user_id: Long, event_type: String, ts_ms: Long)
+  case class FunnelState(s1: Option[Long], s2: Option[Long], s3: Option[Long]) {
+    def stage: Int = Seq(s1, s2, s3).takeWhile(_.isDefined).size
+  }
+  case class FunnelProgress(user_id: Long, stage: Int,
+                            s1: Option[Long], s2: Option[Long], s3: Option[Long])
+
+  /** Streaming form of [[eventsFunnel]]: per-user funnel progress as
+    * explicit keyed state (mapGroupsWithState — three optional longs per
+    * user). Events are applied in ts order within each group call; a
+    * stage-k event converts only if it lands strictly after the recorded
+    * stage-(k-1) time, exactly the batch rule. With per-user in-order
+    * delivery the final states reproduce the batch twin bit-for-bit
+    * (spec-pinned on the fixture); a LATE-arriving earlier view cannot
+    * retroactively convert a click that was already discarded — the
+    * standard streaming-funnel approximation, resolved by replaying
+    * through the batch twin (the lambda the incrementalDedup family
+    * already documents).
+    *
+    * Scale shape: state is three longs per user behind the state store;
+    * in batch mode each user's events arrive as one group call, so the
+    * operator doubles as a Dataset-API funnel with identical results. */
+  def funnelStateful(evs: Dataset[FunnelEv]): Dataset[FunnelProgress] = {
+    import evs.sparkSession.implicits._
+    val Seq(t1, t2, t3) = FunnelStages
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+            st = e.event_type match {
+              case `t1` if st.s1.isEmpty => st.copy(s1 = Some(e.ts_ms))
+              case `t2` if st.s2.isEmpty && st.s1.exists(e.ts_ms > _) =>
+                st.copy(s2 = Some(e.ts_ms))
+              case `t3` if st.s3.isEmpty && st.s2.exists(e.ts_ms > _) =>
+                st.copy(s3 = Some(e.ts_ms))
+              case _ => st
+            }
+          }
+          state.update(st)
+          FunnelProgress(uid, st.stage, st.s1, st.s2, st.s3)
+      }
   }
 
   val eventTransitionsSql: String =

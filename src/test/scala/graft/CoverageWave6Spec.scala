@@ -66,6 +66,21 @@ class CoverageWave6Spec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == n - u)
   }
 
+  test("funnelStateful: keyed-state tracker reproduces the batch funnel counts") {
+    val typed = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .as[EventAnalytics.FunnelEv]
+    val states = EventAnalytics.funnelStateful(typed).collect()
+    val streamed = (1 to 3).map(k => states.count(_.stage >= k).toLong)
+    val batch = EventAnalytics.eventsFunnel(spark, sf).collect().map(_.getLong(2)).toSeq
+    assert(streamed == batch)
+    // stage times are strictly increasing wherever present
+    states.foreach { s =>
+      val ts = Seq(s.s1, s.s2, s.s3).flatten
+      assert(ts == ts.sorted && ts.distinct == ts, s"user ${s.user_id}: $ts")
+    }
+  }
+
   test("txt_lm_score: negative scores, token totals agree with tokenCount") {
     val lm = TextAnalytics.lmScore(spark, sf)
     val rows = lm.collect()
