@@ -50,7 +50,7 @@ object Bench {
     val sfBase = new java.io.File(sfDir).getName
     val hist: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_(r\\d+|sf[0-9.]+)(_full)?\\.json") || f.getName == "bench_full.json")
+        .filter(f => f.getName.matches("BENCH_(r\\d+(_full)?|[^/]+_full)\\.json") || f.getName == "bench_full.json")
       val vals = files.flatMap { f =>
         try {
           val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

@@ -396,16 +396,20 @@ object TextAnalytics {
     * DECIMAL sum is order-independent and the one final division of exact
     * operands is bit-identical across engines.
     *
-    * Scale shape: one (doc, tok) tf aggregation shuffle; the vocabulary
-    * table is tiny next to the corpus and broadcasts into it, and N
+    * Scale shape: ONE corpus scan — the (doc, tok) tf aggregate is the
+    * only event-scale pass, and both the vocabulary (sum of tf per tok)
+    * and N (sum over the vocab) derive from its shuffle, which Catalyst
+    * reuses (ReusedExchange) instead of re-scanning. The vocabulary is
+    * tiny next to the corpus and broadcasts back into the tf stream; N
     * arrives as a broadcast one-row cross join (map-side-partial global
-    * count — the tfidf_terms shape, sanctioned in PlanGuardSpec). */
+    * reduction — the tfidf_terms shape, sanctioned in PlanGuardSpec). */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toksL = Tables.documents(spark, dir)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
-    val vocab = toksL.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val n = toksL.agg(count(lit(1)).as("n_total"))
-    toksL.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val n = vocab.agg(sum(col("c")).as("n_total"))
+    tf
       .join(broadcast(vocab), "tok")
       .crossJoin(broadcast(n))
       .withColumn("term", expr(

@@ -67,18 +67,21 @@ object EventAnalytics {
       .orderBy(col("stage_idx"))
   }
 
-  val eventsFunnelSql: String =
+  val eventsFunnelSql: String = {
+    // interpolated from FunnelStages — a one-sided stage edit cannot
+    // silently desync the twin
+    val Seq(t1, t2, t3) = FunnelStages
     Tables.eventsOracleCte +
-      """, u1 AS (
-        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_ms END) AS s1
+      s""", u1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = '$t1' THEN ts_ms END) AS s1
         |  FROM ev GROUP BY 1
         |), u2 AS (
         |  SELECT ev.user_id, u1.s1,
-        |         min(CASE WHEN event_type = 'click' AND ts_ms > s1 THEN ts_ms END) AS s2
+        |         min(CASE WHEN event_type = '$t2' AND ts_ms > s1 THEN ts_ms END) AS s2
         |  FROM ev JOIN u1 USING (user_id) GROUP BY 1, 2
         |), u3 AS (
         |  SELECT ev.user_id, u2.s1, u2.s2,
-        |         min(CASE WHEN event_type = 'purchase' AND ts_ms > s2 THEN ts_ms END) AS s3
+        |         min(CASE WHEN event_type = '$t3' AND ts_ms > s2 THEN ts_ms END) AS s3
         |  FROM ev JOIN u2 USING (user_id) GROUP BY 1, 2, 3
         |), agg AS (
         |  SELECT CAST(count(s1) AS BIGINT) AS n1, CAST(count(s2) AS BIGINT) AS n2,
@@ -86,16 +89,17 @@ object EventAnalytics {
         |  FROM u3
         |)
         |SELECT stage_idx, stage, n_users, conv_from_prev FROM (
-        |  SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+        |  SELECT 1 AS stage_idx, '$t1' AS stage, n1 AS n_users,
         |         CAST(NULL AS DOUBLE) AS conv_from_prev FROM agg
         |  UNION ALL
-        |  SELECT 2, 'click', n2,
+        |  SELECT 2, '$t2', n2,
         |         CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END FROM agg
         |  UNION ALL
-        |  SELECT 3, 'purchase', n3,
+        |  SELECT 3, '$t3', n3,
         |         CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END FROM agg
         |)
         |ORDER BY stage_idx""".stripMargin
+  }
 
   // --- weekly cohort retention ---------------------------------------------
   /** Classic retention matrix: users are cohorted by the epoch-week of

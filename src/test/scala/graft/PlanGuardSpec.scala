@@ -25,6 +25,9 @@ class PlanGuardSpec extends SparkSpec {
   // partition crosses the exchange.
   // events_funnel's count-triple roll-up and txt_lm_score's corpus N are
   // the same map-side-partial global-reduction shape as tfidf_terms.
+  // Counted exactly-one like the BNLJs: a SECOND single-partition
+  // exchange regressing in behind the sanctioned one (e.g. the funnel's
+  // user window losing its PARTITION BY) must still fail the guard.
   private val spAllowed = Set("approx_topk_check", "tfidf_terms",
     "events_funnel", "txt_lm_score")
 
@@ -35,10 +38,12 @@ class PlanGuardSpec extends SparkSpec {
       // a blanket exemption would let a SECOND, corpus-side nested loop
       // regress in unnoticed behind the sanctioned one
       val bnljCount = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
+      val spCount = "Exchange SinglePartition".r.findAllMatchIn(plan).length
       Seq(
         if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
-        if (plan.contains("Exchange SinglePartition") && !spAllowed(name))
-          Some(s"$name: Exchange SinglePartition") else None,
+        if (spCount > (if (spAllowed(name)) 1 else 0))
+          Some(s"$name: $spCount Exchange SinglePartition(s), " +
+            s"${if (spAllowed(name)) 1 else 0} sanctioned") else None,
         if (bnljCount > (if (bnljAllowed(name)) 1 else 0))
           Some(s"$name: $bnljCount BroadcastNestedLoopJoin(s), " +
             s"${if (bnljAllowed(name)) 1 else 0} sanctioned") else None
