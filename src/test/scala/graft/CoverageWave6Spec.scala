@@ -81,6 +81,28 @@ class CoverageWave6Spec extends SparkSpec {
     }
   }
 
+  test("funnelStateful: state advances across micro-batches, never retroactively") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.EventAnalytics.{FunnelEv, FunnelProgress}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEv]
+    val q = EventAnalytics.funnelStateful(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks with no prior view
+      input.addData(FunnelEv(1, "view", 10), FunnelEv(2, "click", 10))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks (converts, stage 2); user 2's LATE view
+      // arrives — it opens stage 1 but cannot resurrect the batch-1 click
+      input.addData(FunnelEv(1, "click", 20), FunnelEv(2, "view", 5))
+      q.processAllAvailable()
+      val last = spark.table("funnel").as[FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.stage) }
+      assert(last(1L).stage == 2 && last(1L).s2.contains(20L))
+      assert(last(2L).stage == 1 && last(2L).s2.isEmpty)
+    } finally q.stop()
+  }
+
   test("txt_lm_score: negative scores, token totals agree with tokenCount") {
     val lm = TextAnalytics.lmScore(spark, sf)
     val rows = lm.collect()
