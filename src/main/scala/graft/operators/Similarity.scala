@@ -518,6 +518,116 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // --- SRP-LSH (signed-random-projection) multi-probe top-k -----------------
+  /** Plane count shared with the oracle SQL (64 buckets — the same
+    * bucket-granularity reasoning as embNearDup's 8 sign bits). */
+  val SrpPlanes: Int = 6
+
+  /** Rademacher hyperplane sign for (plane, dim), derived from md5 so the
+    * DuckDB twin recomputes the identical matrix (the EngineHash
+    * construction, evaluated at PLAN time — the signs are data-independent
+    * constants, so they fold into the projection expression instead of
+    * costing a join). */
+  private def srpSign(p: Int, d: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
+  }
+
+  /** SRP bucket code: plane p's bit is the sign of Σ_d ±emb[d], the ±1
+    * pattern hash-derived per plane. Each element is quantized to
+    * DECIMAL(18,6) and the 64-term sum accumulates in DECIMAL — exact
+    * rational arithmetic, so the sign (and therefore every bucket) is
+    * reproducible across partitionings AND engines; a raw double sum's
+    * sign could flip on a near-zero projection. Codegen'd column
+    * arithmetic over one scan — no explode, no join, no shuffle. */
+  private[graft] def srpBucket(dims: Int = 64): org.apache.spark.sql.Column =
+    (0 until SrpPlanes).map { p =>
+      val proj = (0 until dims).map { d =>
+        val t = expr(
+          s"cast(round(cast(element_at(embedding, ${d + 1}) as double), 6) as decimal(18,6))")
+        if (srpSign(p, d) > 0) t else -t
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: queries probe their own SRP bucket plus
+    * all Hamming-1 neighbors (multi-probe — the standard recall lever
+    * that costs probe-count, not corpus), candidates are re-ranked by
+    * EXACT cosine. Completes the ANN family: brute force (exact
+    * baseline), IVF (learned coarse partitions), PQ-ADC (compressed
+    * scan), SRP-LSH (data-independent hashing — no training step, the
+    * property that matters when the corpus shifts under you).
+    *
+    * Scale shape: the corpus streams ONCE through the codegen'd bucket
+    * expression and a broadcast hash join against the 7·|Q| probe rows;
+    * no corpus shuffle before the per-query ranking window. Fraction
+    * scanned ≈ 7/2^planes of the corpus (multi-probe union), the
+    * recall-for-throughput dial. */
+  def annSrp(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val sigs = withNorm(Tables.embeddings(spark, dir)).withColumn("bucket", srpBucket())
+    val probes = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+      .withColumn("probe", explode(array(
+        col("q_bucket") +: (0 until SrpPlanes)
+          .map(p => col("q_bucket").bitwiseXOR(lit(1 << p))): _*)))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    sigs.join(broadcast(probes), sigs("bucket") === probes("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val annSrpSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |), planes AS (
+      |  SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS d,
+      |         CASE WHEN CAST(concat('0x', substr(md5('srp:' || p || ':' || d), 1, 15))
+      |                   AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS w
+      |  FROM range(6) t1(p), range(64) t2(d)
+      |), ps AS (
+      |  SELECT e.vec_id, pl.p,
+      |         sum(CASE WHEN pl.w = 1
+      |             THEN CAST(round(CAST(e.embedding[pl.d + 1] AS DOUBLE), 6) AS DECIMAL(18,6))
+      |             ELSE -CAST(round(CAST(e.embedding[pl.d + 1] AS DOUBLE), 6) AS DECIMAL(18,6))
+      |             END) AS s
+      |  FROM emb e CROSS JOIN planes pl
+      |  GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+      |  FROM ps GROUP BY 1
+      |), c AS (
+      |  SELECT e.vec_id, e.embedding,
+      |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS norm,
+      |         s.bucket
+      |  FROM emb e JOIN sigs s USING (vec_id)
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, bucket AS q_bucket
+      |  FROM c WHERE vec_id < 5
+      |), probes AS (
+      |  SELECT q_id, q_emb, q_norm,
+      |         CASE WHEN i = 0 THEN q_bucket
+      |              ELSE xor(q_bucket, CAST(1 << (i - 1) AS INT)) END AS probe
+      |  FROM q, range(7) t(i)
+      |), scored AS (
+      |  SELECT p.q_id, c.vec_id,
+      |         list_dot_product(c.embedding::DOUBLE[], p.q_emb::DOUBLE[]) / (c.norm * p.q_norm) AS cos_sim
+      |  FROM c JOIN probes p ON c.bucket = p.probe
+      |  WHERE c.vec_id <> p.q_id
+      |)
+      |SELECT q_id, vec_id, cos_sim, rank FROM (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      |  FROM scored
+      |) WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   // --- IVF-style partition probe -------------------------------------------
   /** IVF top-k: the corpus is pre-partitioned by a coarse quantizer (the
     * fixture's `label` column stands in for the assigned centroid id); each

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.EventAnalytics
+import graft.operators.{EventAnalytics, Similarity}
 import graft.functions.TextAnalytics
 import org.apache.spark.sql.functions._
 
@@ -113,6 +113,23 @@ class CoverageWave6Spec extends SparkSpec {
         .select(col("doc_id"), col("n_tokens").cast("long").as("tc")), "doc_id")
       .filter(col("n_tokens") =!= col("tc")).count()
     assert(mismatch == 0)
+  }
+
+  test("ann_srp_lsh: candidates only from Hamming<=1 probe buckets, contiguous ranks") {
+    val bmap = Tables.embeddings(spark, sf)
+      .withColumn("bucket", Similarity.srpBucket())
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = Similarity.annSrp(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not contiguous")
+      rs.foreach { r =>
+        val ham = Integer.bitCount(bmap(q) ^ bmap(r.getLong(1)))
+        assert(ham <= 1, s"query $q candidate ${r.getLong(1)}: Hamming $ham")
+      }
+    }
   }
 
   test("txt_entropy: bounded by log2(n_distinct), zero only for one-token docs") {
