@@ -87,6 +87,48 @@ object Pipeline {
        |FROM x GROUP BY 1, 2
        |ORDER BY source, seq_id""".stripMargin
 
+  // --- deterministic shard assignment (export layout) -----------------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val ShardCount: Int = 32
+
+  /** Training-export sharding manifest: every document gets a shard (md5
+    * of its id, salted — independent of the split/mix decisions) and a
+    * deterministic position within that shard (hash order, doc_id
+    * tie-break), i.e. the (file, offset) a sharded dataset writer would
+    * give it. Hash-ordering within the shard doubles as a reproducible
+    * global shuffle of the corpus — the property training actually wants
+    * from "shuffled" shards, with no RNG state to lose.
+    *
+    * Scale shape: the shard is a pure projection; positions are one
+    * row_number window per shard (sort is spillable, and the real writer
+    * is `repartition($"shard").sortWithinPartitions($"h", $"doc_id")` —
+    * the same exchange this plan performs). Shard count scales with
+    * output-file sizing, not cluster size. */
+  def shardAssign(spark: SparkSession, dir: String,
+                  shards: Int = ShardCount): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        h60(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shardAssignSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |              AS BIGINT) AS h
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(h % $ShardCount AS INT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % $ShardCount
+       |                               ORDER BY h, doc_id) AS INT) AS pos
+       |FROM d
+       |ORDER BY shard, pos""".stripMargin
+
   // --- deterministic train/val/test split -----------------------------------
   /** Hash-bucket split manifest: each document lands in train/val/test by
     * the md5 of its OWN id (90/5/5) — stable under corpus growth (adding

@@ -424,4 +424,48 @@ object Relational3 {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin
+
+  // --- TPC-H Q10 (returned-item revenue per customer, top 20) ---------------
+  /** Revenue lost to returned items per customer for one order quarter:
+    * the quarter filter is pushed into the orders scan and the returnflag
+    * filter into the lineitem scan; nation broadcasts; the two fact-side
+    * joins shuffle on their natural keys. Revenue accumulates in
+    * DECIMAL(18,2) (the q1_agg contract) so the sum is order-independent
+    * and the top-20 ordering (revenue DESC, c_custkey) is a total order —
+    * deterministic under any partitioning and across engines. */
+  def sqlQ10(spark: SparkSession, dir: String): DataFrame = {
+    val rev = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+          "o_orderdate < TIMESTAMP '1996-04-01'")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(expr(rev).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val sqlQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |            AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name
+      |FROM lineitem, orders, customer, nation
+      |WHERE l_orderkey = o_orderkey
+      |  AND o_custkey = c_custkey
+      |  AND c_nationkey = n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
 }
