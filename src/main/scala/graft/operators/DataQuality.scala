@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators — the profiling / constraint-checking layer a
+  * production ingestion pipeline runs before analytics trust a table
+  * (the deequ/dbt-test category; the reference trusts its MySQL schema
+  * and has no equivalent, SURVEY §2.1 — this is category-coverage
+  * extension like the streaming family).
+  *
+  * Both operators are single-pass-per-table: every metric folds into one
+  * global aggregation whose map-side partials reduce to a handful of
+  * numbers per partition, so the driver-bound final merge is bytes — the
+  * canonical 1000-executor reduction (PlanGuardSpec sanctions the
+  * single-partition exchanges, counted exactly).
+  */
+object DataQuality {
+
+  /** Columns profiled — shared with the oracle SQL. */
+  val ProfileCols: Seq[String] = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  // --- numeric column profile ----------------------------------------------
+  /** Per-column profile of lineitem's numeric measures: row count,
+    * non-null count, EXACT distinct count, min, max — one row per column,
+    * computed in ONE scan. The multi-column exact distincts plan as a
+    * single Expand (×|cols|+1 row multiplication, the standard Spark
+    * rewrite) — at 100 TB the profile-everything variant would swap
+    * countDistinct for approx_count_distinct and lose the oracle, which
+    * is exactly the trade the approx_distinct query already documents;
+    * the exact form here is the oracle-checkable contract. */
+  def dataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
+      .orderBy(col("col_name"))
+  }
+
+  val dataProfileSql: String = {
+    val aggs = ProfileCols.map { c =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, min($c) AS mn_$c, max($c) AS mx_$c"
+    }.mkString(",\n      |         ")
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, CAST(nn_$c AS BIGINT) AS n_nonnull,
+         |         CAST(nd_$c AS BIGINT) AS n_distinct, mn_$c AS min_val, mx_$c AS max_val FROM a"""
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         $aggs
+      |  FROM lineitem
+      |)
+      |SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+      |  $branches
+      |)
+      |ORDER BY col_name""".stripMargin
+  }
+
+  // --- constraint checks ---------------------------------------------------
+  /** Deequ-style table constraints, fused into one pass per fact table:
+    * lineitem's (orderkey, linenumber) primary-key uniqueness (count vs
+    * exact distinct), price non-negativity, discount domain [0,1] — one
+    * aggregation; orders' o_orderdate completeness and the
+    * orders→customer foreign key (left-anti count) — one more pass plus
+    * the key join. Output is the check manifest (name, violations,
+    * passed) a pipeline gate consumes.
+    *
+    * Scale: each branch's global count is a map-side-partial reduction
+    * (three sanctioned single-partition exchanges, counted exactly in
+    * PlanGuardSpec); the FK anti-join shuffles on the key like any fact
+    * join and AQE turns it broadcast when the dim fits. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+        .as("bad_disc"))
+      .selectExpr("stack(3, " +
+        "'discount_in_range', bad_disc, " +
+        "'lineitem_pk_unique', n - nd, " +
+        "'price_non_negative', neg_price) AS (check_name, n_violations)")
+    val od = Tables.orders(spark, dir)
+      .agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v"))
+      .select(lit("orderdate_not_null").as("check_name"), col("v").as("n_violations"))
+    val fk = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orders_customer_fk").as("check_name"), col("v").as("n_violations"))
+    li.union(od).union(fk)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  val dqChecksSql: String =
+    """WITH li AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS nd,
+      |         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+      |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+      |  FROM lineitem
+      |), o AS (
+      |  SELECT o_custkey, o_orderdate FROM orders
+      |), c AS (
+      |  SELECT c_custkey FROM customer
+      |), checks AS (
+      |  SELECT 'discount_in_range' AS check_name, bad_disc AS n_violations FROM li
+      |  UNION ALL
+      |  SELECT 'lineitem_pk_unique', n - nd FROM li
+      |  UNION ALL
+      |  SELECT 'price_non_negative', neg_price FROM li
+      |  UNION ALL
+      |  SELECT 'orderdate_not_null',
+      |         CAST((SELECT count(*) FROM o WHERE o_orderdate IS NULL) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders_customer_fk',
+      |         CAST((SELECT count(*) FROM o LEFT JOIN c ON o.o_custkey = c.c_custkey
+      |               WHERE c.c_custkey IS NULL) AS BIGINT)
+      |)
+      |SELECT check_name, n_violations, n_violations = 0 AS passed
+      |FROM checks
+      |ORDER BY check_name""".stripMargin
+}

@@ -178,6 +178,65 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  // --- per-type z-score outliers -------------------------------------------
+  /** Anomalous event values: per event_type mean/stddev, events with
+    * |z| ≥ 3 reported. The moments accumulate as DECIMAL(18,6)-quantized
+    * sums (value and value², both exact rationals) so mean and variance
+    * are order-independent; the remaining double math (division, sqrt —
+    * both correctly-rounded IEEE) runs on identical inputs in both
+    * engines, making the z threshold comparison deterministic.
+    *
+    * Scale shape: the per-type stats are a 5-row aggregate BROADCAST back
+    * into a second events scan — deliberately NOT a window partitioned by
+    * event_type, which would sort the whole corpus into |types| giant
+    * partitions (the low-cardinality-window hazard PlanGuardSpec exists
+    * for). Two scans, one tiny shuffle, no corpus sort. */
+  def eventsZscore(spark: SparkSession, dir: String, threshold: Double = 3.0): DataFrame = {
+    val v6 = expr("cast(round(value, 6) as decimal(18,6))")
+    val stats = Tables.events(spark, dir)
+      .select(col("event_type"), v6.as("v"))
+      .groupBy(col("event_type"))
+      // both moments re-quantize to scale 6 BEFORE the double cast: the
+      // raw sum(v*v) is DECIMAL(38,12), and a 12-scale int128-backed
+      // decimal → double conversion double-rounds in some engines
+      // (integer part alone exceeds 2^53); at scale 6 the backing
+      // integer is exactly representable, so the one division by 10^6
+      // is a single correctly-rounded step everywhere
+      .agg(count(lit(1)).as("n"),
+        expr("cast(cast(sum(v) as decimal(18,6)) as double)").as("s"),
+        expr("cast(cast(sum(v * v) as decimal(18,6)) as double)").as("ss"))
+      .select(col("event_type"), (col("s") / col("n")).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")).as("sd"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (v6.cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsZscoreSql: String =
+    Tables.eventsOracleCte +
+      """, q AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM ev
+        |), st AS (
+        |  SELECT event_type,
+        |         CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE) / count(*) AS mean,
+        |         sqrt((CAST(CAST(sum(v * v) AS DECIMAL(18,6)) AS DOUBLE)
+        |               - CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE)
+        |                 * CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE) / count(*))
+        |              / count(*)) AS sd
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT event_id, q.event_type, value,
+        |       (CAST(v AS DOUBLE) - mean) / sd AS z
+        |FROM q JOIN st ON q.event_type = st.event_type
+        |WHERE abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
+        |ORDER BY event_id""".stripMargin
+
   // --- stateful streaming funnel tracker -----------------------------------
   case class FunnelEv(user_id: Long, event_type: String, ts_ms: Long)
   case class FunnelState(s1: Option[Long], s2: Option[Long], s3: Option[Long]) {

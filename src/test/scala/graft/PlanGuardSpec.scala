@@ -23,13 +23,16 @@ class PlanGuardSpec extends SparkSpec {
   // the canonical 1000-executor reduction, not a serialization hazard.
   // tfidf_terms' global count(*) is the same shape: one long per input
   // partition crosses the exchange.
-  // events_funnel's count-triple roll-up and txt_lm_score's corpus N are
-  // the same map-side-partial global-reduction shape as tfidf_terms.
-  // Counted exactly-one like the BNLJs: a SECOND single-partition
-  // exchange regressing in behind the sanctioned one (e.g. the funnel's
-  // user window losing its PARTITION BY) must still fail the guard.
-  private val spAllowed = Set("approx_topk_check", "tfidf_terms",
-    "events_funnel", "txt_lm_score")
+  // events_funnel's count-triple roll-up, txt_lm_score's corpus N, and
+  // the data-quality global metrics are the same map-side-partial
+  // global-reduction shape as tfidf_terms. Counted EXACTLY like the
+  // BNLJs: a further single-partition exchange regressing in behind the
+  // sanctioned ones (e.g. the funnel's user window losing its PARTITION
+  // BY) must still fail the guard. dq_checks unions three independent
+  // global-metric branches (lineitem fused pass, orders nulls, FK count).
+  private val spAllowed = Map("approx_topk_check" -> 1, "tfidf_terms" -> 1,
+    "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
+    "dq_checks" -> 3)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -41,9 +44,9 @@ class PlanGuardSpec extends SparkSpec {
       val spCount = "Exchange SinglePartition".r.findAllMatchIn(plan).length
       Seq(
         if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None,
-        if (spCount > (if (spAllowed(name)) 1 else 0))
+        if (spCount > spAllowed.getOrElse(name, 0))
           Some(s"$name: $spCount Exchange SinglePartition(s), " +
-            s"${if (spAllowed(name)) 1 else 0} sanctioned") else None,
+            s"${spAllowed.getOrElse(name, 0)} sanctioned") else None,
         if (bnljCount > (if (bnljAllowed(name)) 1 else 0))
           Some(s"$name: $bnljCount BroadcastNestedLoopJoin(s), " +
             s"${if (bnljAllowed(name)) 1 else 0} sanctioned") else None
