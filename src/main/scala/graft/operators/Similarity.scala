@@ -535,21 +535,23 @@ object Similarity {
   }
 
   /** SRP bucket code: plane p's bit is the sign of Σ_d ±emb[d], the ±1
-    * pattern hash-derived per plane. Each element is quantized to
-    * DECIMAL(18,6) and the 64-term sum accumulates in DECIMAL — exact
-    * rational arithmetic, so the sign (and therefore every bucket) is
-    * reproducible across partitionings AND engines; a raw double sum's
-    * sign could flip on a near-zero projection. Codegen'd column
-    * arithmetic over one scan — no explode, no join, no shuffle. */
+    * pattern hash-derived per plane. Each element quantizes to a
+    * micro-unit LONG (round(v·10⁶)) and the 64-term sum is exact integer
+    * arithmetic — the sign (and therefore every bucket) is reproducible
+    * across partitionings AND engines; a raw double sum's sign could
+    * flip on a near-zero projection.
+    *
+    * Evaluated by the native codegen'd expression
+    * [[org.apache.spark.sql.graft.SrpSignature]]: the Column-chain
+    * formulation of the same math was planes×dims (384) scalar
+    * expressions in one Project, which blew the codegen method budget,
+    * fell back to interpreted eval, and measured ~0.3 ms/row (1.5 s for
+    * a 5k-vector corpus — the FloatVecDot lesson one level up). The
+    * fused loop keeps the full-corpus bucket-assignment pass inside
+    * whole-stage codegen. One scan — no explode, no join, no shuffle. */
   private[graft] def srpBucket(dims: Int = 64): org.apache.spark.sql.Column =
-    (0 until SrpPlanes).map { p =>
-      val proj = (0 until dims).map { d =>
-        val t = expr(
-          s"cast(round(cast(element_at(embedding, ${d + 1}) as double), 6) as decimal(18,6))")
-        if (srpSign(p, d) > 0) t else -t
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.VectorFunctions.srp_signature(col("embedding"),
+      (0 until SrpPlanes).map(p => (0 until dims).map(d => srpSign(p, d))))
 
   /** LSH-bucketed cosine top-k: queries probe their own SRP bucket plus
     * all Hamming-1 neighbors (multi-probe — the standard recall lever
@@ -592,10 +594,9 @@ object Similarity {
       |  FROM range(6) t1(p), range(64) t2(d)
       |), ps AS (
       |  SELECT e.vec_id, pl.p,
-      |         sum(CASE WHEN pl.w = 1
-      |             THEN CAST(round(CAST(e.embedding[pl.d + 1] AS DOUBLE), 6) AS DECIMAL(18,6))
-      |             ELSE -CAST(round(CAST(e.embedding[pl.d + 1] AS DOUBLE), 6) AS DECIMAL(18,6))
-      |             END) AS s
+      |         sum(CAST(pl.w AS BIGINT) *
+      |             CAST(round(CAST(e.embedding[pl.d + 1] AS DOUBLE) * 1000000.0, 0)
+      |                  AS BIGINT)) AS s
       |  FROM emb e CROSS JOIN planes pl
       |  GROUP BY 1, 2
       |), sigs AS (
