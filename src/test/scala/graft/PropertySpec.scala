@@ -58,6 +58,24 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: stateful funnel equals the window funnel on any event log") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 4L),
+      Gen.oneOf("view", "click", "purchase", "error", "signup"),
+      Gen.chooseNum(0L, 100L)))
+    check(Prop.forAll(evGen) { evs =>
+      val df = evs.toDF("user_id", "event_type", "ts_ms")
+      val batch = EventAnalytics.eventsFunnelFrom(df)
+        .collect().map(_.getLong(2)).toSeq
+      val states = EventAnalytics.funnelStateful(df.as[EventAnalytics.FunnelEv])
+        .collect()
+      val streamed = (1 to 3).map(k => states.count(_.stage >= k).toLong)
+      batch == streamed
+    }, n = 8)
+  }
+
   test("property: session boundary count = 1 + number of over-gap jumps") {
     import spark.implicits._
     val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000000L))
