@@ -178,6 +178,51 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  // --- SCD-2 history build --------------------------------------------------
+  /** Type-2 slowly-changing-dimension history from a change log: each
+    * user's event_type stream is compressed to its CHANGE points (a row
+    * survives only when it differs from the previous one — the SCD
+    * "don't version no-op updates" rule) and each change gets a validity
+    * interval [valid_from, valid_to) closed by the next change, open for
+    * the current row. The standard warehouse dimension build, expressed
+    * as two window passes instead of the MERGE-loop a row-store runs.
+    *
+    * Scale shape: ONE user_id exchange; the change-point filter preserves
+    * the sort order, so the second (lead) window reuses both the
+    * partitioning and the sort. Output is change-points-sized, not
+    * events-sized. */
+  def scd2Status(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts_ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("status"))
+  }
+
+  val scd2StatusSql: String =
+    Tables.eventsOracleCte +
+      """, marked AS (
+        |  SELECT user_id, event_type, ts_ms, event_id,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts_ms, event_id) AS prev
+        |  FROM ev
+        |), changes AS (
+        |  SELECT user_id, event_type, ts_ms, event_id FROM marked
+        |  WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type AS status, ts_ms AS valid_from,
+        |       lead(ts_ms, 1) OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms, event_id) AS valid_to,
+        |       lead(ts_ms, 1) OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms, event_id) IS NULL AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from, status""".stripMargin
+
   // --- per-type z-score outliers -------------------------------------------
   /** Anomalous event values: per event_type mean/stddev, events with
     * |z| ≥ 3 reported. The moments accumulate as DECIMAL(18,6)-quantized

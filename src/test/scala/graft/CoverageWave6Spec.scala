@@ -115,6 +115,21 @@ class CoverageWave6Spec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("scd2_status: per-user chained intervals, one open row, no no-op versions") {
+    val byUser = EventAnalytics.scd2Status(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.count(_.getBoolean(4)) == 1, s"user $u: open rows != 1")
+      assert(sorted.last.isNullAt(3) && sorted.init.forall(!_.isNullAt(3)))
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getLong(3) == b.getLong(2), s"user $u: interval gap")
+        assert(a.getString(1) != b.getString(1), s"user $u: no-op version survived")
+      }
+    }
+  }
+
   test("ann_srp_lsh: candidates only from Hamming<=1 probe buckets, contiguous ranks") {
     val bmap = Tables.embeddings(spark, sf)
       .withColumn("bucket", Similarity.srpBucket())
