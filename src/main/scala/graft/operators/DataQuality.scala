@@ -77,15 +77,22 @@ object DataQuality {
     * PlanGuardSpec); the FK anti-join shuffles on the key like any fact
     * join and AQE turns it broadcast when the dim fits. */
   def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    // PK violations are defined engine-independently: every NULL-keyed
+    // row is a violation outright, plus each non-null-keyed row beyond
+    // its pair's first. (A bare count - countDistinct would SILENTLY
+    // disagree with SQL engines whose DISTINCT treats ROW(NULL, x)
+    // tuples as countable values — Spark's countDistinct drops them.)
+    val keyNull = col("l_orderkey").isNull || col("l_linenumber").isNull
     val li = Tables.lineitem(spark, dir).agg(
-      count(lit(1)).as("n"),
+      sum(when(!keyNull, 1L).otherwise(0L)).as("n_keyed"),
+      sum(when(keyNull, 1L).otherwise(0L)).as("n_nullkey"),
       countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"),
       sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("neg_price"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
         .as("bad_disc"))
       .selectExpr("stack(3, " +
         "'discount_in_range', bad_disc, " +
-        "'lineitem_pk_unique', n - nd, " +
+        "'lineitem_pk_unique', n_nullkey + (n_keyed - nd), " +
         "'price_non_negative', neg_price) AS (check_name, n_violations)")
     val od = Tables.orders(spark, dir)
       .agg(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v"))
@@ -102,8 +109,13 @@ object DataQuality {
 
   val dqChecksSql: String =
     """WITH li AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS nd,
+      |  SELECT CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+      |                       THEN 0 ELSE 1 END) AS BIGINT) AS n_keyed,
+      |         CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+      |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nullkey,
+      |         CAST(count(DISTINCT (l_orderkey, l_linenumber))
+      |              FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+      |              AS BIGINT) AS nd,
       |         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
       |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
       |  FROM lineitem
@@ -114,7 +126,7 @@ object DataQuality {
       |), checks AS (
       |  SELECT 'discount_in_range' AS check_name, bad_disc AS n_violations FROM li
       |  UNION ALL
-      |  SELECT 'lineitem_pk_unique', n - nd FROM li
+      |  SELECT 'lineitem_pk_unique', n_nullkey + (n_keyed - nd) FROM li
       |  UNION ALL
       |  SELECT 'price_non_negative', neg_price FROM li
       |  UNION ALL

@@ -197,11 +197,16 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      // the version number makes (user_id, version) a TOTAL order even
+      // when several change events share one coarsened millisecond —
+      // without it, same-ms versions of the same status would make the
+      // output ordering (and the spec's interval chaining) ambiguous
+      .withColumn("version", row_number().over(w))
       .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
-      .select(col("user_id"), col("event_type").as("status"),
+      .select(col("user_id"), col("version"), col("event_type").as("status"),
         col("ts_ms").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("status"))
+      .orderBy(col("user_id"), col("version"))
   }
 
   val scd2StatusSql: String =
@@ -215,13 +220,14 @@ object EventAnalytics {
         |  SELECT user_id, event_type, ts_ms, event_id FROM marked
         |  WHERE prev IS NULL OR prev <> event_type
         |)
-        |SELECT user_id, event_type AS status, ts_ms AS valid_from,
-        |       lead(ts_ms, 1) OVER (PARTITION BY user_id
-        |                            ORDER BY ts_ms, event_id) AS valid_to,
-        |       lead(ts_ms, 1) OVER (PARTITION BY user_id
-        |                            ORDER BY ts_ms, event_id) IS NULL AS is_current
+        |SELECT user_id,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       event_type AS status, ts_ms AS valid_from,
+        |       lead(ts_ms, 1) OVER w AS valid_to,
+        |       lead(ts_ms, 1) OVER w IS NULL AS is_current
         |FROM changes
-        |ORDER BY user_id, valid_from, status""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, version""".stripMargin
 
   // --- per-type z-score outliers -------------------------------------------
   /** Anomalous event values: per event_type mean/stddev, events with
@@ -244,17 +250,30 @@ object EventAnalytics {
       // both moments re-quantize to scale 6 BEFORE the double cast: the
       // raw sum(v*v) is DECIMAL(38,12), and a 12-scale int128-backed
       // decimal → double conversion double-rounds in some engines
-      // (integer part alone exceeds 2^53); at scale 6 the backing
-      // integer is exactly representable, so the one division by 10^6
-      // is a single correctly-rounded step everywhere
+      // (integer part alone exceeds 2^53). Precision stays 38 so the
+      // cast can NEVER overflow to null (a DECIMAL(18,6) here silently
+      // nulled out above |sum| = 10^12 in Spark and errored in DuckDB);
+      // bit-exact cross-engine parity holds while |sum| < 2^53/10^6
+      // (~9·10^9 — three orders past the sf0.1 moments), beyond which
+      // the two engines may differ in the final ulp of a ~1e10 moment —
+      // far below the z-threshold's sensitivity
       .agg(count(lit(1)).as("n"),
-        expr("cast(cast(sum(v) as decimal(18,6)) as double)").as("s"),
-        expr("cast(cast(sum(v * v) as decimal(18,6)) as double)").as("ss"))
+        expr("cast(cast(sum(v) as decimal(38,6)) as double)").as("s"),
+        expr("cast(cast(sum(v * v) as decimal(38,6)) as double)").as("ss"))
+      // greatest(·, 0): a catastrophically-cancelled variance can land a
+      // hair negative — DuckDB would abort on sqrt(negative) while Spark
+      // returns NaN; clamped, a zero-variance type just yields sd = 0
       .select(col("event_type"), (col("s") / col("n")).as("mean"),
-        sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")).as("sd"))
+        sqrt(greatest((col("ss") - col("s") * col("s") / col("n")) / col("n"),
+          lit(0.0))).as("sd"))
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(stats), "event_type")
+      // sd > 0 guard: zero-variance types produce NO outliers by
+      // definition — without it Spark's x/0 → null silently drops rows
+      // while DuckDB's IEEE division keeps ±inf rows, splitting the
+      // engines
+      .filter(col("sd") > 0)
       .withColumn("z", (v6.cast("double") - col("mean")) / col("sd"))
       .filter(abs(col("z")) >= threshold)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
@@ -269,17 +288,17 @@ object EventAnalytics {
         |  FROM ev
         |), st AS (
         |  SELECT event_type,
-        |         CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE) / count(*) AS mean,
-        |         sqrt((CAST(CAST(sum(v * v) AS DECIMAL(18,6)) AS DOUBLE)
-        |               - CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE)
-        |                 * CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE) / count(*))
-        |              / count(*)) AS sd
+        |         CAST(CAST(sum(v) AS DECIMAL(38,6)) AS DOUBLE) / count(*) AS mean,
+        |         sqrt(greatest((CAST(CAST(sum(v * v) AS DECIMAL(38,6)) AS DOUBLE)
+        |               - CAST(CAST(sum(v) AS DECIMAL(38,6)) AS DOUBLE)
+        |                 * CAST(CAST(sum(v) AS DECIMAL(38,6)) AS DOUBLE) / count(*))
+        |              / count(*), 0)) AS sd
         |  FROM q GROUP BY 1
         |)
         |SELECT event_id, q.event_type, value,
         |       (CAST(v AS DOUBLE) - mean) / sd AS z
         |FROM q JOIN st ON q.event_type = st.event_type
-        |WHERE abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
+        |WHERE sd > 0 AND abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
         |ORDER BY event_id""".stripMargin
 
   // --- stateful streaming funnel tracker -----------------------------------

@@ -137,11 +137,14 @@ case class FloatVecSqDist(left: Expression, right: Expression)
   * loop, inside whole-stage codegen (the FloatVecDot rationale at one
   * more level of scale).
   *
-  * Rounding matches both engines' half-away-from-zero on the binary
-  * double (±0.5 then truncate ≡ C std::round for |v|·10⁶ < 2^52 —
-  * DuckDB's round; Spark's BigDecimal-based round agrees on every
-  * shortest-decimal double in range). Assumes non-null elements (the
-  * embedding-table contract, as FloatVecDot). */
+  * Rounding is EXACT half-away-from-zero on the binary double
+  * (truncate, then compare the exactly-representable fractional
+  * remainder against 0.5) ≡ C std::round ≡ DuckDB's round. The naive
+  * `(long)(s + 0.5)` is NOT equivalent: for s just below k+0.5 the
+  * addition can round UP across the boundary (e.g. s =
+  * 0.49999999999999994 → s+0.5 = 1.0) and flip a bucket bit against
+  * the oracle. Assumes non-null elements (the embedding-table
+  * contract, as FloatVecDot). */
 case class SrpSignature(child: Expression, signs: Seq[Seq[Int]])
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -162,7 +165,10 @@ case class SrpSignature(child: Expression, signs: Seq[Seq[Int]])
       var d = 0
       while (d < n) {
         val s = x.getFloat(d).toDouble * 1000000.0
-        acc += row(d) * (if (s >= 0) (s + 0.5d).toLong else (s - 0.5d).toLong)
+        var t = s.toLong
+        val f = s - t // exact for |s| < 2^53
+        if (f >= 0.5d) t += 1 else if (f <= -0.5d) t -= 1
+        acc += row(d) * t
         d += 1
       }
       if (acc >= 0) bucket |= (1 << p)
@@ -180,6 +186,8 @@ case class SrpSignature(child: Expression, signs: Seq[Seq[Int]])
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      val f = ctx.freshName("f")
       s"""
          |int $bucket = 0;
          |for (int $p = 0; $p < $m.length; $p++) {
@@ -187,7 +195,10 @@ case class SrpSignature(child: Expression, signs: Seq[Seq[Int]])
          |  long $acc = 0L;
          |  for (int $d = 0; $d < $n; $d++) {
          |    double $s = (double) $a.getFloat($d) * 1000000.0;
-         |    $acc += $m[$p][$d] * ($s >= 0 ? (long) ($s + 0.5d) : (long) ($s - 0.5d));
+         |    long $t = (long) $s;
+         |    double $f = $s - $t; // exact for |s| < 2^53
+         |    if ($f >= 0.5d) $t += 1L; else if ($f <= -0.5d) $t -= 1L;
+         |    $acc += $m[$p][$d] * $t;
          |  }
          |  if ($acc >= 0) $bucket |= (1 << $p);
          |}

@@ -120,12 +120,13 @@ class CoverageWave6Spec extends SparkSpec {
       .groupBy(_.getLong(0))
     assert(byUser.nonEmpty)
     byUser.foreach { case (u, rows) =>
-      val sorted = rows.sortBy(_.getLong(2))
-      assert(sorted.count(_.getBoolean(4)) == 1, s"user $u: open rows != 1")
-      assert(sorted.last.isNullAt(3) && sorted.init.forall(!_.isNullAt(3)))
+      val sorted = rows.sortBy(_.getInt(1)) // version: the total order
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $u: open rows != 1")
+      assert(sorted.last.isNullAt(4) && sorted.init.forall(!_.isNullAt(4)))
       sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
-        assert(a.getLong(3) == b.getLong(2), s"user $u: interval gap")
-        assert(a.getString(1) != b.getString(1), s"user $u: no-op version survived")
+        assert(a.getLong(4) == b.getLong(3), s"user $u: interval gap")
+        assert(a.getString(2) != b.getString(2), s"user $u: no-op version survived")
       }
     }
   }

@@ -42,6 +42,9 @@ class DataQualitySpec extends SparkSpec {
         .withColumn("l_extendedprice", lit(-5.0)))
       .union(li.limit(1).withColumn("l_orderkey", lit(-2L))
         .withColumn("l_discount", lit(1.5)))
+      // a NULL key is a PK violation in its own right (and the case
+      // where Spark countDistinct and SQL DISTINCT-over-row disagree)
+      .union(li.limit(1).withColumn("l_orderkey", lit(null).cast("bigint")))
       .write.parquet(s"$dir/lineitem.parquet")
     // one NULL orderdate, one dangling custkey
     val od = Tables.orders(spark, sf)
@@ -53,7 +56,7 @@ class DataQualitySpec extends SparkSpec {
     Tables.customer(spark, sf).write.parquet(s"$dir/customer.parquet")
     val got = DataQuality.dqChecks(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got("lineitem_pk_unique") == 1L)
+    assert(got("lineitem_pk_unique") == 2L) // 1 duplicate + 1 NULL key
     assert(got("price_non_negative") == 1L)
     assert(got("discount_in_range") == 1L)
     assert(got("orderdate_not_null") == 1L)
