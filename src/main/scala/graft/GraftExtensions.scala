@@ -12,6 +12,10 @@ import org.apache.spark.sql.graft.VectorFunctions
   * so SQL callers get the fused-loop plan, not a UDF.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.vecDotDescription)
+    // declarative aggregate(zip_with(...)) dot products → FloatVecDot
+    // (see graft.plans.VecDotRewrite for the soundness gate)
+    ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+  }
 }

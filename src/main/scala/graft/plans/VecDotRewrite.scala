@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.FloatVecDot
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the declarative higher-order dot product
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) }}}
+  *
+  * (with the usual float→double casts) into the native codegen'd
+  * [[FloatVecDot]]. Lambda-bearing array functions evaluate interpreted,
+  * one InternalRow per element, outside whole-stage codegen — the
+  * measured-17x trap documented on the Similarity operators. With this
+  * rule injected (GraftExtensions / `spark.experimental
+  * .extraOptimizations`), SQL-text users who write the textbook fold get
+  * the fused-loop plan automatically; the library's own operators call
+  * vec_dot directly.
+  *
+  * Soundness gate: FloatVecDot reads null element slots as 0 while the
+  * fold null-propagates, so the rewrite only fires when both element
+  * types are non-nullable, or under
+  * `spark.graft.rewriteVecDot.assumeNonNullElements=true` (the default —
+  * parquet list fields resolve nullable even when no null exists; the
+  * embedding-table contract is non-null elements, same as every direct
+  * FloatVecDot call site). Set it false to disable the rewrite on
+  * nullable-element arrays.
+  *
+  * Both multiplication and the merge addition accept their operands in
+  * either order (IEEE double `*` and `+` are commutative — the VALUE is
+  * unchanged, only operand order), and the accumulation order of the
+  * fold (left-to-right over elements) is exactly FloatVecDot's loop, so
+  * the rewrite is bit-exact. Runs after constant folding, so the zero
+  * literal is already a plain `0.0`.
+  */
+object VecDotRewrite extends Rule[LogicalPlan] {
+
+  /** The lambda variable itself, or the variable under a cast to double
+    * (the shape resolution produces for float-element arrays). */
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case c: Cast if c.dataType == DoubleType => isVar(c.child, v)
+    case _ => false
+  }
+
+  /** {e1, e2} == {x, y} in either order. */
+  private def isPair(e1: Expression, e2: Expression,
+                     x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
+    (isVar(e1, x) && isVar(e2, y)) || (isVar(e1, y) && isVar(e2, x))
+
+  private def floatArray(e: Expression, assumeNonNull: Boolean): Boolean =
+    e.dataType match {
+      case ArrayType(FloatType, containsNull) => !containsNull || assumeNonNull
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val assumeNonNull = conf
+      .getConfString("spark.graft.rewriteVecDot.assumeNonNullElements", "true")
+      .toBoolean
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(m1, m2, _),
+                Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(s1, s2, _),
+              Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(fv: NamedLambdaVariable), _))
+          if zero == 0.0 &&
+            floatArray(a, assumeNonNull) && floatArray(b, assumeNonNull) &&
+            isPair(m1, m2, x, y) && isPair(s1, s2, acc, v) &&
+            fin.exprId == fv.exprId =>
+        FloatVecDot(a, b)
+    }
+  }
+}

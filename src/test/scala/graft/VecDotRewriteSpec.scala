@@ -1,0 +1,77 @@
+package graft
+
+import graft.plans.VecDotRewrite
+import org.apache.spark.sql.functions._
+
+/** The optimizer rewrite of the textbook higher-order dot product into
+  * the native FloatVecDot: fires on the canonical pattern (either
+  * operand order), is bit-exact against both the fold it replaces and
+  * the direct vec_dot call, and leaves non-dot folds untouched. Injected
+  * here via `spark.experimental.extraOptimizations` (the shared test
+  * session predates GraftExtensions; production sessions get the rule
+  * from there). */
+class VecDotRewriteSpec extends SparkSpec {
+
+  private val dotSql =
+    "aggregate(zip_with(embedding, e2, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+
+  private def frame = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"),
+      reverse(col("embedding")).as("e2"))
+
+  test("the canonical fold is rewritten to vec_dot and stays bit-exact") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val df = frame.selectExpr("vec_id", s"$dotSql AS d")
+      assert(df.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "rule did not fire")
+      val direct = frame.select(col("vec_id"),
+        org.apache.spark.sql.graft.VectorFunctions.vec_dot(col("embedding"), col("e2")).as("d"))
+      assert(df.orderBy("vec_id").collect().toSeq ==
+        direct.orderBy("vec_id").collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rewrite equals the interpreted fold it replaces, value for value") {
+    val folded = frame.selectExpr("vec_id", s"$dotSql AS d")
+      .orderBy("vec_id").collect() // no rule injected: the real fold
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val rewritten = frame.selectExpr("vec_id", s"$dotSql AS d")
+        .orderBy("vec_id").collect()
+      assert(rewritten.toSeq == folded.toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("non-dot folds are left untouched") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val diff = frame.selectExpr("vec_id",
+        "aggregate(zip_with(embedding, e2, (x, y) -> cast(x as double) - cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v) AS d")
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      val mx = frame.selectExpr("vec_id",
+        s"aggregate(zip_with(embedding, e2, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(1 as double), (acc, v) -> acc + v) AS d") // nonzero seed
+      assert(!mx.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("soundness gate: nullable elements block the rewrite when assume=false") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    spark.conf.set("spark.graft.rewriteVecDot.assumeNonNullElements", "false")
+    try {
+      // parquet-read list elements resolve nullable → gate must hold
+      val df = frame.selectExpr("vec_id", s"$dotSql AS d")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    } finally {
+      spark.conf.unset("spark.graft.rewriteVecDot.assumeNonNullElements")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+}
