@@ -63,6 +63,53 @@ object DataQuality {
       |ORDER BY col_name""".stripMargin
   }
 
+  // --- approximate column profile (the 100 TB path) -------------------------
+  /** The profile a 100 TB deployment actually runs: distinct counts come
+    * from HLL++ sketches (approx_count_distinct, rsd 1%) that
+    * partial-aggregate as mergeable buffers instead of the exact
+    * variant's Expand + per-partition distinct sets. Oracle contract is
+    * the Sketches-family BOUND: the exact count ships alongside a
+    * "sketch within 5%" boolean (5σ at rsd 1% — deterministic for fixed
+    * input, not flaky), which the DuckDB twin states literally. */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.01).as(s"ad_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', n_rows, nn_$c, nd_$c, " +
+        s"abs(ad_$c - nd_$c) <= nd_$c * 0.05d, mn_$c, mx_$c"
+    }.mkString(", ")
+    Tables.lineitem(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct_exact, sketch_within_5pct, min_val, max_val)")
+      .orderBy(col("col_name"))
+  }
+
+  val profileApproxSql: String = {
+    val aggs = ProfileCols.map { c =>
+      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, min($c) AS mn_$c, max($c) AS mx_$c"
+    }.mkString(",\n      |         ")
+    val branches = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, CAST(nn_$c AS BIGINT) AS n_nonnull,
+         |         CAST(nd_$c AS BIGINT) AS n_distinct_exact,
+         |         true AS sketch_within_5pct, mn_$c AS min_val, mx_$c AS max_val FROM a"""
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         $aggs
+      |  FROM lineitem
+      |)
+      |SELECT col_name, n_rows, n_nonnull, n_distinct_exact, sketch_within_5pct,
+      |       min_val, max_val FROM (
+      |  $branches
+      |)
+      |ORDER BY col_name""".stripMargin
+  }
+
   // --- constraint checks ---------------------------------------------------
   /** Deequ-style table constraints, fused into one pass per fact table:
     * lineitem's (orderkey, linenumber) primary-key uniqueness (count vs
