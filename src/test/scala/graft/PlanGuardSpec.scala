@@ -32,7 +32,7 @@ class PlanGuardSpec extends SparkSpec {
   // global-metric branches (lineitem fused pass, orders nulls, FK count).
   private val spAllowed = Map("approx_topk_check" -> 1, "tfidf_terms" -> 1,
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
-    "profile_approx" -> 1, "dq_checks" -> 3)
+    "profile_approx" -> 2, "dq_checks" -> 3)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
