@@ -61,4 +61,58 @@ object Sampling {
       |  FROM documents
       |) WHERE sample_rank <= 3
       |ORDER BY source, sample_rank""".stripMargin
+
+  // --- weighted sampling without replacement (Efraimidis–Spirakis) ----------
+  /** Token-weighted document sample per source: each document draws an
+    * exponential jitter e = -ln(u)/w with rate w = its token count (u
+    * hash-derived, so the draw is a pure function of the id — the
+    * split/mix reproducibility contract), and the k smallest e per
+    * source are the sample. This IS weighted sampling without
+    * replacement (A-ES): long documents are proportionally likelier,
+    * no global pass, no RNG state. The "sample by token budget" primitive
+    * of corpus curation.
+    *
+    * Engine parity: u is a single division of exact integers, and the
+    * one transcendental ln quantizes to DECIMAL(18,12) before the
+    * ranking (tfidf contract; scale-12 backing stays under 2^53, the
+    * double-rounding bound), with doc_id as the total-order tie-break. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val h = graft.functions.EngineHash.md5Bits60(
+      concat(lit("wrs:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("e"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("u",
+        (col("h").cast("double") + lit(0.5)) / lit(1152921504606846976.0))
+      .withColumn("e",
+        expr("cast(-ln(u) / cast(n_tokens as double) as decimal(18,12))"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col("source"), col("sample_rank").cast("int").as("sample_rank"),
+        col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("sample_rank"))
+  }
+
+  val sampleWeightedSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(concat('0x', substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS h
+      |  FROM documents
+      |), keyed AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         CAST(-ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0)
+      |              / CAST(n_tokens AS DOUBLE) AS DECIMAL(18,12)) AS e
+      |  FROM d
+      |)
+      |SELECT source, sample_rank, doc_id, n_tokens FROM (
+      |  SELECT source, doc_id, n_tokens,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |                                 ORDER BY e, doc_id) AS INT) AS sample_rank
+      |  FROM keyed
+      |) WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin
 }

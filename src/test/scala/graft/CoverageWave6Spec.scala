@@ -148,6 +148,23 @@ class CoverageWave6Spec extends SparkSpec {
     }
   }
 
+  test("sample_weighted: k per source, long documents oversampled") {
+    import graft.functions.Sampling
+    val rows = Sampling.sampleWeighted(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (s, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s)
+      assert(rs.length <= 5)
+    }
+    // token-weighted draw ⇒ the sample skews long (deterministic here:
+    // the jitter is a pure function of doc_id)
+    val sampledMean = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, sf)
+      .select(avg(size(split(col("text"), " ")))).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean not above corpus mean $corpusMean")
+  }
+
   test("txt_entropy: bounded by log2(n_distinct), zero only for one-token docs") {
     val rows = TextAnalytics.tokenEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
