@@ -63,6 +63,27 @@ object Sampling {
       |ORDER BY source, sample_rank""".stripMargin
 
   // --- weighted sampling without replacement (Efraimidis–Spirakis) ----------
+  /** Keep the K smallest (priority, id, payload) triples — BottomK for
+    * long-scaled priorities carrying one payload column. */
+  class BottomKWeighted(k: Int) extends Aggregator[(String, Long, Long, Long),
+      List[(Long, Long, Long)], Seq[(Long, Long)]] {
+    override def zero: List[(Long, Long, Long)] = Nil
+    private def trim(l: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
+      l.sortBy(t => (t._1, t._2)).take(k)
+    override def reduce(buf: List[(Long, Long, Long)],
+                        in: (String, Long, Long, Long)): List[(Long, Long, Long)] =
+      trim((in._2, in._3, in._4) :: buf)
+    override def merge(a: List[(Long, Long, Long)],
+                       b: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
+      trim(a ++ b)
+    override def finish(buf: List[(Long, Long, Long)]): Seq[(Long, Long)] =
+      buf.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3))
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long, Long)]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   /** Token-weighted document sample per source: each document draws an
     * exponential jitter e = -ln(u)/w with rate w = its token count (u
     * hash-derived, so the draw is a pure function of the id — the
@@ -75,23 +96,34 @@ object Sampling {
     * Engine parity: u is a single division of exact integers, and the
     * one transcendental ln quantizes to DECIMAL(18,12) before the
     * ranking (tfidf contract; scale-12 backing stays under 2^53, the
-    * double-rounding bound), with doc_id as the total-order tie-break. */
+    * double-rounding bound), with doc_id as the total-order tie-break.
+    * The quantized jitter then travels as its scaled-long unscaled value
+    * through [[BottomKWeighted]] — the same mergeable partial/final
+    * aggregation as [[samplePerSource]], so no per-source sort shuffle
+    * ever touches the corpus (the file-header plan shape); the DuckDB
+    * twin legitimately stays a ranking window. */
   def sampleWeighted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val h = graft.functions.EngineHash.md5Bits60(
       concat(lit("wrs:"), col("doc_id").cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("e"), col("doc_id"))
-    Tables.documents(spark, dir)
+    val ds = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
       .withColumn("u",
         (col("h").cast("double") + lit(0.5)) / lit(1152921504606846976.0))
-      .withColumn("e",
-        expr("cast(-ln(u) / cast(n_tokens as double) as decimal(18,12))"))
-      .withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
-      .select(col("source"), col("sample_rank").cast("int").as("sample_rank"),
+      // the DECIMAL(18,12)-quantized jitter times 10^12 is exactly its
+      // backing integer — long comparisons ARE the decimal ordering
+      .select(col("source"),
+        expr("cast(cast(-ln(u) / cast(n_tokens as double) as decimal(18,12))" +
+          " * 1000000000000 as bigint)").as("e"),
         col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .agg(new BottomKWeighted(k).toColumn.name("sample"))
+      .toDF("source", "sample")
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "s")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("sample_rank"),
+        col("s._1").as("doc_id"), col("s._2").as("n_tokens"))
       .orderBy(col("source"), col("sample_rank"))
   }
 

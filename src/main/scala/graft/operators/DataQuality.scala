@@ -44,24 +44,33 @@ object DataQuality {
       .orderBy(col("col_name"))
   }
 
-  val dataProfileSql: String = {
+  /** Shared CTE + per-column UNION skeleton for both profile twins —
+    * one builder, so the two SQL strings cannot drift (the PQ-codebook
+    * / chunk-grammar convention). `extraSelect` renames or extends the
+    * per-column branch; `outCols` is the final projection. */
+  private def profileSqlSkeleton(extraSelect: String => String,
+                                 outCols: String): String = {
     val aggs = ProfileCols.map { c =>
       s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, min($c) AS mn_$c, max($c) AS mx_$c"
     }.mkString(",\n      |         ")
     val branches = ProfileCols.map { c =>
       s"""SELECT '$c' AS col_name, n_rows, CAST(nn_$c AS BIGINT) AS n_nonnull,
-         |         CAST(nd_$c AS BIGINT) AS n_distinct, mn_$c AS min_val, mx_$c AS max_val FROM a"""
+         |         ${extraSelect(c)}, mn_$c AS min_val, mx_$c AS max_val FROM a"""
     }.mkString("\n      |  UNION ALL\n      |  ")
     s"""WITH a AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |         $aggs
       |  FROM lineitem
       |)
-      |SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val FROM (
+      |SELECT $outCols FROM (
       |  $branches
       |)
       |ORDER BY col_name""".stripMargin
   }
+
+  val dataProfileSql: String = profileSqlSkeleton(
+    c => s"CAST(nd_$c AS BIGINT) AS n_distinct",
+    "col_name, n_rows, n_nonnull, n_distinct, min_val, max_val")
 
   // --- approximate column profile (the 100 TB path) -------------------------
   /** The profile a 100 TB deployment actually runs: distinct counts come
@@ -93,26 +102,9 @@ object DataQuality {
       .orderBy(col("col_name"))
   }
 
-  val profileApproxSql: String = {
-    val aggs = ProfileCols.map { c =>
-      s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, min($c) AS mn_$c, max($c) AS mx_$c"
-    }.mkString(",\n      |         ")
-    val branches = ProfileCols.map { c =>
-      s"""SELECT '$c' AS col_name, n_rows, CAST(nn_$c AS BIGINT) AS n_nonnull,
-         |         CAST(nd_$c AS BIGINT) AS n_distinct_exact,
-         |         true AS sketch_within_5pct, mn_$c AS min_val, mx_$c AS max_val FROM a"""
-    }.mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH a AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-      |         $aggs
-      |  FROM lineitem
-      |)
-      |SELECT col_name, n_rows, n_nonnull, n_distinct_exact, sketch_within_5pct,
-      |       min_val, max_val FROM (
-      |  $branches
-      |)
-      |ORDER BY col_name""".stripMargin
-  }
+  val profileApproxSql: String = profileSqlSkeleton(
+    c => s"CAST(nd_$c AS BIGINT) AS n_distinct_exact, true AS sketch_within_5pct",
+    "col_name, n_rows, n_nonnull, n_distinct_exact, sketch_within_5pct,\n      |       min_val, max_val")
 
   // --- constraint checks ---------------------------------------------------
   /** Deequ-style table constraints, fused into one pass per fact table:

@@ -19,14 +19,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * the fused-loop plan automatically; the library's own operators call
   * vec_dot directly.
   *
-  * Soundness gate: FloatVecDot reads null element slots as 0 while the
-  * fold null-propagates, so the rewrite only fires when both element
-  * types are non-nullable, or under
-  * `spark.graft.rewriteVecDot.assumeNonNullElements=true` (the default —
-  * parquet list fields resolve nullable even when no null exists; the
-  * embedding-table contract is non-null elements, same as every direct
-  * FloatVecDot call site). Set it false to disable the rewrite on
-  * nullable-element arrays.
+  * Soundness gates:
+  *  - the multiply must be DOUBLE-typed (operands under casts). A bare
+  *    float-typed `(x, y) -> x * y` over float arrays rounds each
+  *    product to FLOAT before accumulating — rewriting it would change
+  *    results, so it is left alone;
+  *  - zip_with null-pads unequal lengths and the fold propagates that
+  *    to NULL, while the native loop truncates — the rewrite emits
+  *    `if(size(a) = size(b), vec_dot(a, b), null)` so the
+  *    dimension-mismatch signal survives (two array-length reads per
+  *    row; the dot loop dominates);
+  *  - the seed must be literal +0.0 (a -0.0 seed surfaces through the
+  *    fold on empty arrays where the native loop returns +0.0);
+  *  - FloatVecDot reads null ELEMENT slots as 0 while the fold
+  *    null-propagates, so the rewrite only fires when both element
+  *    types are non-nullable, or under
+  *    `spark.graft.rewriteVecDot.assumeNonNullElements=true` (the
+  *    default — parquet list fields resolve nullable even when no null
+  *    exists; the embedding-table contract is non-null elements, same
+  *    as every direct FloatVecDot call site). Set it false to disable
+  *    the rewrite on nullable-element arrays.
   *
   * Both multiplication and the merge addition accept their operands in
   * either order (IEEE double `*` and `+` are commutative — the VALUE is
@@ -70,11 +82,14 @@ object VecDotRewrite extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable,
               Seq(fv: NamedLambdaVariable), _))
-          if zero == 0.0 &&
+          if zero.isInstanceOf[Double] &&
+            java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+            m1.dataType == DoubleType && m2.dataType == DoubleType &&
             floatArray(a, assumeNonNull) && floatArray(b, assumeNonNull) &&
             isPair(m1, m2, x, y) && isPair(s1, s2, acc, v) &&
             fin.exprId == fv.exprId =>
-        FloatVecDot(a, b)
+        If(EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
+          FloatVecDot(a, b), Literal(null, DoubleType))
     }
   }
 }

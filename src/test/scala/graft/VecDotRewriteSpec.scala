@@ -61,6 +61,40 @@ class VecDotRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("soundness gates: float-typed multiply and -0.0 seed are not rewritten") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      // bare float multiply rounds each product to FLOAT before the
+      // accumulation — rewriting would change results
+      val bare = frame.selectExpr("vec_id",
+        "aggregate(zip_with(embedding, e2, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v) AS d")
+      assert(!bare.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      val negZero = frame.selectExpr("vec_id",
+        "aggregate(zip_with(embedding, e2, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "-0.0d, (acc, v) -> acc + v) AS d")
+      assert(!negZero.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("unequal lengths still yield NULL under the rewrite (zip_with pad semantics)") {
+    import spark.implicits._
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      // ConvertToLocalRelation folds this tiny frame to a LocalRelation
+      // (the BucketingSpec-documented trap), so the plan string can't be
+      // inspected — the VALUE is the contract: the rewrite's size guard
+      // must preserve the fold's NULL on dimension mismatch
+      val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f, 4f)),
+        (Array(1f, 2f), Array(3f, 4f))).toDF("embedding", "e2")
+        .selectExpr(s"$dotSql AS d")
+      val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == Seq(None, Some(11.0)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("soundness gate: nullable elements block the rewrite when assume=false") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ VecDotRewrite
