@@ -178,6 +178,50 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  // --- top user journey paths ----------------------------------------------
+  /** Most common session-opening journeys: each user's first `depth`
+    * events (by the (ts_ms, event_id) total order) joined into a path
+    * string, counted, top-k. The "what do users actually do first"
+    * companion to the funnel's fixed hypothesis.
+    *
+    * Scale shape: ONE user-keyed aggregation — collect_list partials
+    * merge map-side and array_sort makes the result independent of
+    * arrival order (collect_list alone is partition-order-dependent;
+    * sorting by the unique (ts_ms, event_id) prefix restores
+    * determinism); per-user state is capped by each user's event count,
+    * and the path aggregation touches |users| rows, not events. */
+  def userPaths(spark: SparkSession, dir: String,
+                depth: Int = 5, topK: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        s"""array_join(transform(
+           |  slice(array_sort(collect_list(struct(ts_ms, event_id, event_type))), 1, $depth),
+           |  x -> x.event_type), ' > ')""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
+
+  val userPathsSql: String =
+    Tables.eventsOracleCte +
+      """, ranked AS (
+        |  SELECT user_id, event_type, ts_ms, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_ms, event_id) AS rn
+        |  FROM ev
+        |), paths AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, ' > ' ORDER BY ts_ms, event_id) AS path
+        |  FROM ranked WHERE rn <= 5
+        |  GROUP BY 1
+        |)
+        |SELECT path, count(*) AS n_users
+        |FROM paths GROUP BY 1
+        |ORDER BY n_users DESC, path
+        |LIMIT 10""".stripMargin
+
   // --- SCD-2 history build --------------------------------------------------
   /** Type-2 slowly-changing-dimension history from a change log: each
     * user's event_type stream is compressed to its CHANGE points (a row

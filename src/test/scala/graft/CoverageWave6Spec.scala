@@ -115,6 +115,17 @@ class CoverageWave6Spec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("user_paths: depth-capped paths, counts bounded by the user population") {
+    val rows = EventAnalytics.userPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r =>
+      assert(r.getString(0).split(" > ").length <= 5, r.getString(0)))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.toSeq == ns.sortBy(-_).toSeq)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(ns.sum <= users)
+  }
+
   test("scd2_status: per-user chained intervals, one open row, no no-op versions") {
     val byUser = EventAnalytics.scd2Status(spark, sf).collect()
       .groupBy(_.getLong(0))
