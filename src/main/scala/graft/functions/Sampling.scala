@@ -25,9 +25,17 @@ object Sampling {
     override def zero: List[(String, Long)] = Nil
     private def trim(l: List[(String, Long)]): List[(String, Long)] =
       l.sortBy(identity).take(k)
+    // The buffer is kept sorted (trim), so buf.last is the current max —
+    // a candidate that can't make the bottom-k is rejected in O(1),
+    // keeping per-partition cost O(n + accepted·k·log k) instead of
+    // re-sorting on every input row.
     override def reduce(buf: List[(String, Long)],
-                        in: (String, String, Long)): List[(String, Long)] =
-      trim((in._2, in._3) :: buf)
+                        in: (String, String, Long)): List[(String, Long)] = {
+      val cand = (in._2, in._3)
+      if (buf.lengthCompare(k) < 0 || Ordering[(String, Long)].lt(cand, buf.last))
+        trim(cand :: buf)
+      else buf
+    }
     override def merge(a: List[(String, Long)],
                        b: List[(String, Long)]): List[(String, Long)] =
       trim(a ++ b)
@@ -70,9 +78,16 @@ object Sampling {
     override def zero: List[(Long, Long, Long)] = Nil
     private def trim(l: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
       l.sortBy(t => (t._1, t._2)).take(k)
+    // Sorted-buffer invariant (see BottomK): O(1) rejection of rows that
+    // can't beat the current k-th smallest priority.
     override def reduce(buf: List[(Long, Long, Long)],
-                        in: (String, Long, Long, Long)): List[(Long, Long, Long)] =
-      trim((in._2, in._3, in._4) :: buf)
+                        in: (String, Long, Long, Long)): List[(Long, Long, Long)] = {
+      val cand = (in._2, in._3, in._4)
+      if (buf.lengthCompare(k) < 0 ||
+          Ordering[(Long, Long)].lt((cand._1, cand._2), (buf.last._1, buf.last._2)))
+        trim(cand :: buf)
+      else buf
+    }
     override def merge(a: List[(Long, Long, Long)],
                        b: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
       trim(a ++ b)

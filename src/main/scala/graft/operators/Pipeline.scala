@@ -54,6 +54,12 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), nToks.cast("long").as("n_toks"))
+      // sequence(hi, lo) would generate a DESCENDING range for a 0-token
+      // row (DuckDB's range(hi, lo+1) is empty) — enforce the n_toks >= 1
+      // invariant rather than assume it (no-op on today's tokenizer,
+      // where split of "" yields [""]). Offsets are unaffected: a
+      // 0-token row contributes 0 to every prefix sum.
+      .filter(col("n_toks") > 0)
       .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .select(col("source"), col("off"), col("n_toks"),
         explode(expr(s"sequence(off div $budget, (off + n_toks - 1) div $budget)"))
@@ -168,7 +174,11 @@ object Pipeline {
     * sort/sample pass over 100 TB). The salt distinguishes this decision
     * from the split's, so mixing never correlates with split membership. */
   def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val srcNum = substring(col("source"), 4, 8).cast("int")
+    // Naming contract with the DuckDB twin: sources are 'src<N>' — 3-char
+    // prefix, then the WHOLE remaining suffix is the number. Take the full
+    // tail on both sides (not a fixed 8-char slice) so a long numeric
+    // suffix can never desync the engines' w_pm weights.
+    val srcNum = substring(col("source"), 4, Int.MaxValue).cast("int")
     val wPm = when(srcNum % 3 === 0, 1000)
       .when(srcNum % 3 === 1, 500).otherwise(250)
     Tables.documents(spark, dir)

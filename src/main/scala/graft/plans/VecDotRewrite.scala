@@ -32,13 +32,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *  - the seed must be literal +0.0 (a -0.0 seed surfaces through the
   *    fold on empty arrays where the native loop returns +0.0);
   *  - FloatVecDot reads null ELEMENT slots as 0 while the fold
-  *    null-propagates, so the rewrite only fires when both element
-  *    types are non-nullable, or under
-  *    `spark.graft.rewriteVecDot.assumeNonNullElements=true` (the
-  *    default — parquet list fields resolve nullable even when no null
-  *    exists; the embedding-table contract is non-null elements, same
-  *    as every direct FloatVecDot call site). Set it false to disable
-  *    the rewrite on nullable-element arrays.
+  *    null-propagates. For non-nullable element types the fast form is
+  *    emitted directly; for nullable-element arrays (parquet list
+  *    fields resolve nullable even when no null exists) the rewrite
+  *    adds a runtime `NOT exists(arr, e -> e IS NULL)` guard per
+  *    nullable side, so a genuine null element still yields NULL
+  *    exactly like the fold. Sessions that pin the non-null-elements
+  *    contract (the embedding tables — same contract as every direct
+  *    FloatVecDot call site) can set
+  *    `spark.graft.rewriteVecDot.assumeNonNullElements=true`
+  *    (default false) to skip the guard;
+  *  - both array children must be deterministic — the rewrite
+  *    duplicates them into the size guard and the dot, and a
+  *    non-deterministic child could disagree between occurrences
+  *    (the standard precondition for expression-duplicating rules).
   *
   * Both multiplication and the merge addition accept their operands in
   * either order (IEEE double `*` and `+` are commutative — the VALUE is
@@ -62,15 +69,25 @@ object VecDotRewrite extends Rule[LogicalPlan] {
                      x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
     (isVar(e1, x) && isVar(e2, y)) || (isVar(e1, y) && isVar(e2, x))
 
-  private def floatArray(e: Expression, assumeNonNull: Boolean): Boolean =
+  private def floatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** `NOT exists(e, el -> el IS NULL)` when the element type is nullable
+    * and the non-null contract is not assumed — the runtime guard that
+    * keeps the rewrite's NULL-propagation identical to the fold's. */
+  private def noNullElements(e: Expression, assumeNonNull: Boolean): Option[Expression] =
     e.dataType match {
-      case ArrayType(FloatType, containsNull) => !containsNull || assumeNonNull
-      case _ => false
+      case ArrayType(FloatType, true) if !assumeNonNull =>
+        val el = NamedLambdaVariable("el", FloatType, nullable = true)
+        Some(Not(ArrayExists(e, LambdaFunction(IsNull(el), Seq(el)))))
+      case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val assumeNonNull = conf
-      .getConfString("spark.graft.rewriteVecDot.assumeNonNullElements", "true")
+      .getConfString("spark.graft.rewriteVecDot.assumeNonNullElements", "false")
       .toBoolean
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -85,11 +102,15 @@ object VecDotRewrite extends Rule[LogicalPlan] {
           if zero.isInstanceOf[Double] &&
             java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
             m1.dataType == DoubleType && m2.dataType == DoubleType &&
-            floatArray(a, assumeNonNull) && floatArray(b, assumeNonNull) &&
+            floatArray(a) && floatArray(b) &&
+            a.deterministic && b.deterministic &&
             isPair(m1, m2, x, y) && isPair(s1, s2, acc, v) &&
             fin.exprId == fv.exprId =>
-        If(EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false)),
-          FloatVecDot(a, b), Literal(null, DoubleType))
+        val sizeEq =
+          EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false))
+        val cond = (Seq(sizeEq) ++ noNullElements(a, assumeNonNull) ++
+          noNullElements(b, assumeNonNull)).reduceLeft(And(_, _))
+        If(cond, FloatVecDot(a, b), Literal(null, DoubleType))
     }
   }
 }

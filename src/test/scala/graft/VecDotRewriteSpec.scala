@@ -95,17 +95,65 @@ class VecDotRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
-  test("soundness gate: nullable elements block the rewrite when assume=false") {
+  test("nullable elements get a runtime null-element guard (default assume=false)") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ VecDotRewrite
-    spark.conf.set("spark.graft.rewriteVecDot.assumeNonNullElements", "false")
     try {
-      // parquet-read list elements resolve nullable → gate must hold
-      val df = frame.selectExpr("vec_id", s"$dotSql AS d")
-      assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      // parquet-read list elements resolve nullable → the rewrite still
+      // fires, but guarded by NOT exists(arr, e -> e IS NULL) so a real
+      // null element yields NULL exactly like the fold
+      val plan = frame.selectExpr("vec_id", s"$dotSql AS d")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("vec_dot"), "guarded rewrite did not fire")
+      assert(plan.contains("exists"), "null-element guard missing")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("a genuine null element yields NULL under the guarded rewrite, like the fold") {
+    // build a nullable-element float array via an expression (element_at
+    // of a map with a missing key is typed nullable), one row poisoned
+    val mk = "transform(embedding, (e, i) -> " +
+      "CASE WHEN vec_id = 3 AND i = 0 THEN cast(null as float) ELSE e END)"
+    def q = frame.selectExpr("vec_id", s"$mk AS embedding", "e2")
+      .selectExpr("vec_id", s"$dotSql AS d").orderBy("vec_id")
+    val folded = q.collect() // no rule: real fold semantics
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val got = q
+      assert(got.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      val rows = got.collect()
+      assert(rows.toSeq == folded.toSeq)
+      assert(rows.exists(_.isNullAt(1)), "poisoned row should be NULL")
+      assert(rows.exists(!_.isNullAt(1)), "clean rows should stay non-NULL")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("assumeNonNullElements=true skips the guard (embedding-table contract)") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    spark.conf.set("spark.graft.rewriteVecDot.assumeNonNullElements", "true")
+    try {
+      val plan = frame.selectExpr("vec_id", s"$dotSql AS d")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("vec_dot"))
+      assert(!plan.contains("exists"), "guard should be skipped under the contract flag")
     } finally {
       spark.conf.unset("spark.graft.rewriteVecDot.assumeNonNullElements")
       spark.experimental.extraOptimizations = prev
     }
+  }
+
+  test("non-deterministic array children are not rewritten") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      // shuffle() is non-deterministic; the rewrite would duplicate it
+      // into the size guard and the dot with possibly different values
+      val df = frame.selectExpr("vec_id",
+        "aggregate(zip_with(shuffle(embedding), e2, (x, y) -> cast(x as double) * cast(y as double)), " +
+          "cast(0 as double), (acc, v) -> acc + v) AS d")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    } finally spark.experimental.extraOptimizations = prev
   }
 }
