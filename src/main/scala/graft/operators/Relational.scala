@@ -425,10 +425,31 @@ object Relational {
   // --- approximate distinct (no DuckDB oracle: HLL is engine-specific) -----
   /** approx_count_distinct = HyperLogLog++; the scale path for A4-style
     * distinct counting when exactness isn't required. Rows-only check. */
+  /** Approximate distinct customers per order status, oracle-checked in
+    * the Sketches bound style: the HLL++ estimate itself is
+    * engine-internal, so the emitted contract is the exact count plus a
+    * boolean asserting the estimate landed within 3× the requested
+    * relative standard deviation (default rsd 0.05 → 15% bound — vastly
+    * wider than HLL++'s actual behavior, so the check is stable, while
+    * still catching a broken sketch). DuckDB recomputes the exact count
+    * and states the boolean literally. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+      .agg(approx_count_distinct(col("o_custkey")).as("approx"),
+           countDistinct(col("o_custkey")).as("exact_customers"),
            count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("exact_customers"), col("n_orders"),
+        (abs(col("approx") - col("exact_customers")) <=
+          col("exact_customers") * lit(0.15)).as("within_3rsd"))
       .orderBy(col("o_orderstatus"))
+
+  val approxDistinctSql: String =
+    """SELECT o_orderstatus,
+      |       count(DISTINCT o_custkey) AS exact_customers,
+      |       count(*) AS n_orders,
+      |       true AS within_3rsd
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }
