@@ -274,25 +274,37 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
         .as("cl"))
 
-  def pqCodes(spark: SparkSession, dir: String,
-              subspaces: Int = 4, width: Int = 16): DataFrame = {
-    val cb = pqCodebook(spark, dir, width)
-    val sub = Tables.embeddings(spark, dir)
+  /** (vec_id, s, sv): the corpus exploded to one subvector row per
+    * (vector, subspace) — shared by code assignment and the trainer. */
+  private def subvectors(spark: SparkSession, dir: String,
+                         subspaces: Int, width: Int): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${subspaces - 1}), s -> " +
           s"named_struct('s', cast(s as int), 'sv', slice(embedding, s*$width+1, $width)))"))
         .as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+
+  /** Nearest-codebook-entry assignment per (vec_id, s): one broadcast
+    * join + one ranking window, codebook-agnostic (stand-in or trained —
+    * `cb` must carry (c_label, s, cl)). */
+  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "s").orderBy("d", "c_label")
     sub.join(broadcast(cb), Seq("s"))
       .withColumn("d",
         org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("sv"), col("cl")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s").as("subspace"),
+      .select(col("vec_id"), col("s"),
         col("c_label").cast("int").as("code"), col("d").as("sq_err"))
-      .orderBy(col("vec_id"), col("subspace"))
   }
+
+  def pqCodes(spark: SparkSession, dir: String,
+              subspaces: Int = 4, width: Int = 16): DataFrame =
+    assignCodes(subvectors(spark, dir, subspaces, width),
+        pqCodebook(spark, dir, width))
+      .select(col("vec_id"), col("s").as("subspace"), col("code"), col("sq_err"))
+      .orderBy(col("vec_id"), col("subspace"))
 
   val pqCodesSql: String =
     """WITH emb AS (
@@ -355,22 +367,24 @@ object Similarity {
     * ([[kmeansFit]] on subvectors is the drop-in trainer); the operator
     * here is the QUERY-TIME dataflow, which is independent of how the
     * codebook was trained. */
-  def annPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    // geometry is pinned to the oracle's constants (4x16, like
-    // annBruteForce's fixed query set) — a configurable shape here would
-    // silently desync from the fixed SQL twin
+  /** The ADC dataflow, codebook-agnostic: assign corpus codes against
+    * `cb`, precompute the per-query LUT against the SAME `cb` subtree
+    * (identical aliases → the codebook aggregation canonicalizes to one
+    * reusable exchange), stream codes through the broadcast LUT join and
+    * the fixed-order slot sum. Geometry is pinned to the oracle's
+    * constants (4x16, like annBruteForce's fixed query set) — a
+    * configurable shape here would silently desync from the fixed SQL
+    * twins. */
+  private def adcSearch(spark: SparkSession, dir: String, cb: DataFrame,
+                        k: Int): DataFrame = {
     val subspaces = 4
     val width = 16
-    val codes = pqCodes(spark, dir, subspaces, width)
-      .select(col("vec_id"), col("subspace").as("s"), col("code"))
-    // same builder AND aliases as the pqCodes call above — the two
-    // centroid-aggregation subtrees canonicalize identically, so the
-    // exchanges below them are reusable instead of recomputed
-    val cb = pqCodebook(spark, dir, width)
-      .select(col("c_label").as("code"), col("s"), col("cl"))
+    val codes = assignCodes(subvectors(spark, dir, subspaces, width), cb)
+      .select(col("vec_id"), col("s"), col("code"))
+    val lutCb = cb.select(col("c_label").cast("int").as("code"), col("s"), col("cl"))
     val queries = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val lut = queries.crossJoin(cb)
+    val lut = queries.crossJoin(lutCb)
       .withColumn("qs", expr(s"slice(q_emb, s * $width + 1, $width)"))
       .withColumn("d",
         org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("qs"), col("cl")))
@@ -390,6 +404,10 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("adc_dist"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  def annPq(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    adcSearch(spark, dir,
+      pqCodebook(spark, dir, 16).select(col("c_label"), col("s"), col("cl")), k)
 
   val annPqSql: String =
     """WITH emb AS (
@@ -424,6 +442,161 @@ object Similarity {
       |           i -> (CAST(q_emb[cbl.s*16+i+1] AS DOUBLE) - cl[i+1])
       |              * (CAST(q_emb[cbl.s*16+i+1] AS DOUBLE) - cl[i+1]))) AS d
       |  FROM q CROSS JOIN cbl
+      |), slot AS (
+      |  SELECT q_id, c.vec_id,
+      |         sum(CASE WHEN c.s = 0 THEN l.d ELSE 0 END) AS d0,
+      |         sum(CASE WHEN c.s = 1 THEN l.d ELSE 0 END) AS d1,
+      |         sum(CASE WHEN c.s = 2 THEN l.d ELSE 0 END) AS d2,
+      |         sum(CASE WHEN c.s = 3 THEN l.d ELSE 0 END) AS d3
+      |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      |  WHERE c.vec_id <> l.q_id
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT q_id, vec_id, d0 + d1 + d2 + d3 AS adc_dist,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                ORDER BY d0 + d1 + d2 + d3, vec_id) AS INT) AS rank
+      |  FROM slot
+      |)
+      |SELECT q_id, vec_id, adc_dist, rank FROM ranked
+      |WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
+  // --- trained PQ codebook (per-subspace Lloyd) -----------------------------
+  /** Codebook entries and training rounds, shared with the oracle SQL so
+    * non-default call sites can't diverge. Rounds are FIXED (no
+    * convergence early-exit) — that keeps the trainer a pure function of
+    * the corpus that the DuckDB twin replays as two unrolled
+    * assign→update CTE chains instead of a recursive CTE. */
+  val PqTrainCodes: Int = 16
+  val PqTrainRounds: Int = 2
+
+  /** Per-subspace Lloyd-trained PQ codebook — [[kmeansFit]]'s E/M steps
+    * applied independently to each 16-dim subspace (the production PQ
+    * trainer, closing the documented stand-in-codebook caveat on
+    * [[annPq]]): deterministic init (subvectors of the first k vec_ids),
+    * then `rounds` rounds of nearest-centroid assignment (broadcast
+    * codebook, codegen'd FloatVecSqDist, (d, c_label) tie-break) and
+    * DECIMAL-quantized mean recomputation. Empty clusters keep their
+    * previous centroid (left-join coalesce — the Lloyd degeneracy guard).
+    *
+    * Scale shape per round: ONE subvector-corpus scan for the E-step
+    * (codebook is k×subspaces×width doubles → broadcast), one shuffle
+    * keyed (c_label, s, dim) for the M-step, lineage truncated per round
+    * (localCheckpoint — the kmeansFit/CC-loop rule). Training cost is
+    * `rounds` corpus scans regardless of cluster count. */
+  private[graft] def pqTrainedCodebook(spark: SparkSession, dir: String,
+      subspaces: Int = 4, width: Int = 16, k: Int = PqTrainCodes,
+      rounds: Int = PqTrainRounds): DataFrame = {
+    val sub = subvectors(spark, dir, subspaces, width).localCheckpoint(true)
+    var cb = sub.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_label"), col("s"),
+        expr("transform(sv, x -> round(cast(x as double), 6))").as("cl"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("vec_id", "s").orderBy("d", "c_label")
+    for (_ <- 0 until rounds) {
+      val assigned = sub.join(broadcast(cb), Seq("s"))
+        .withColumn("d",
+          org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("sv"), col("cl")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("c_label"), col("sv"))
+      val means = assigned
+        .select(col("c_label"), col("s"), posexplode(col("sv")))
+        .select(col("c_label"), col("s"), col("pos").as("dim"),
+          round(col("col").cast("double"), 6).as("v"))
+        .groupBy(col("c_label"), col("s"), col("dim"))
+        .agg((expr("CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)") / count(lit(1))).as("c"))
+        .groupBy(col("c_label"), col("s"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+          .as("cl_new"))
+      cb = cb.join(means, Seq("c_label", "s"), "left")
+        .select(col("c_label"), col("s"), coalesce(col("cl_new"), col("cl")).as("cl"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** ADC top-k over the TRAINED codebook — the same query-time dataflow
+    * as [[annPq]] (codes + LUT + slot sums are codebook-agnostic), fed by
+    * [[pqTrainedCodebook]] instead of the per-label stand-in. 16 Lloyd
+    * centroids per subspace vs the stand-in's 10 label means: this is the
+    * query whose recall [[annRecall]] measures against brute force. */
+  def annPqTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    adcSearch(spark, dir, pqTrainedCodebook(spark, dir), k)
+
+  /** The trained pipeline replayed: two unrolled Lloyd rounds (s1/a1/m1 →
+    * cb1, s2/a2/m2 → cb2), then exactly [[annPqSql]]'s codes/lut/slot
+    * tail against cb2. */
+  val annPqTrainedSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, CAST(s AS INT) AS s, embedding[s*16+1 : s*16+16] AS sv
+      |  FROM emb, LATERAL (SELECT unnest(range(4)) AS s)
+      |), cb0 AS (
+      |  SELECT vec_id AS c_label, s,
+      |         list_transform(sv, x -> round(CAST(x AS DOUBLE), 6)) AS cl
+      |  FROM sub WHERE vec_id < 16
+      |), s1 AS (
+      |  SELECT sub.vec_id, sub.s, cb0.c_label, sub.sv,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(sv[i+1] AS DOUBLE) - cl[i+1]) * (CAST(sv[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM sub JOIN cb0 ON sub.s = cb0.s
+      |), a1 AS (
+      |  SELECT vec_id, s, c_label, sv FROM (
+      |    SELECT vec_id, s, c_label, sv,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c_label) AS rn
+      |    FROM s1) WHERE rn = 1
+      |), m1 AS (
+      |  SELECT c_label, s, i AS dim,
+      |         CAST(sum(CAST(round(CAST(sv[i+1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS c
+      |  FROM a1, LATERAL (SELECT unnest(range(16)) AS i)
+      |  GROUP BY 1, 2, 3
+      |), cb1m AS (
+      |  SELECT c_label, s, list(c ORDER BY dim) AS cl FROM m1 GROUP BY 1, 2
+      |), cb1 AS (
+      |  SELECT cb0.c_label, cb0.s, COALESCE(cb1m.cl, cb0.cl) AS cl
+      |  FROM cb0 LEFT JOIN cb1m ON cb0.c_label = cb1m.c_label AND cb0.s = cb1m.s
+      |), s2 AS (
+      |  SELECT sub.vec_id, sub.s, cb1.c_label, sub.sv,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(sv[i+1] AS DOUBLE) - cl[i+1]) * (CAST(sv[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM sub JOIN cb1 ON sub.s = cb1.s
+      |), a2 AS (
+      |  SELECT vec_id, s, c_label, sv FROM (
+      |    SELECT vec_id, s, c_label, sv,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c_label) AS rn
+      |    FROM s2) WHERE rn = 1
+      |), m2 AS (
+      |  SELECT c_label, s, i AS dim,
+      |         CAST(sum(CAST(round(CAST(sv[i+1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS c
+      |  FROM a2, LATERAL (SELECT unnest(range(16)) AS i)
+      |  GROUP BY 1, 2, 3
+      |), cb2m AS (
+      |  SELECT c_label, s, list(c ORDER BY dim) AS cl FROM m2 GROUP BY 1, 2
+      |), cb2 AS (
+      |  SELECT cb1.c_label, cb1.s, COALESCE(cb2m.cl, cb1.cl) AS cl
+      |  FROM cb1 LEFT JOIN cb2m ON cb1.c_label = cb2m.c_label AND cb1.s = cb2m.s
+      |), scored AS (
+      |  SELECT sub.vec_id, sub.s, cb2.c_label,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(sv[i+1] AS DOUBLE) - cl[i+1]) * (CAST(sv[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM sub JOIN cb2 ON sub.s = cb2.s
+      |), codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, CAST(c_label AS INT) AS code,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c_label) AS rn
+      |    FROM scored) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 5
+      |), lut AS (
+      |  SELECT q_id, cb2.s, CAST(cb2.c_label AS INT) AS code,
+      |         list_sum(list_transform(range(16),
+      |           i -> (CAST(q_emb[cb2.s*16+i+1] AS DOUBLE) - cl[i+1])
+      |              * (CAST(q_emb[cb2.s*16+i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM q CROSS JOIN cb2
       |), slot AS (
       |  SELECT q_id, c.vec_id,
       |         sum(CASE WHEN c.s = 0 THEN l.d ELSE 0 END) AS d0,
@@ -671,4 +844,64 @@ object Similarity {
       |  FROM scored
       |) WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
+
+  // --- recall@k vs brute force ----------------------------------------------
+  /** Recall@10 of every approximate ANN variant against the exact
+    * brute-force top-10 — the metric that makes the whole family's
+    * fitness measurable instead of asserted: per query, how many of the
+    * true top-10 neighbors does each index surface? Composes the four
+    * registered queries verbatim (brute force = truth; stand-in-codebook
+    * PQ, Lloyd-trained PQ, label-partitioned IVF = candidates), so the
+    * number this query reports is exactly the recall of the queries a
+    * user runs.
+    *
+    * Scale shape: each component keeps its own (already audited) plan;
+    * the overlap join keys on (q_id, vec_id) — queries×k rows per side,
+    * broadcast-sized by construction no matter the corpus.
+    *
+    * The fixture's embeddings are random gaussians — the documented PQ
+    * worst case (distances concentrate, quantization erases the margin),
+    * so absolute recalls here are floors, not representative numbers;
+    * the spec pins trained-PQ ≥ stand-in-PQ on this fixture, the
+    * direction that must survive any corpus. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val bf = annBruteForce(spark, dir, k).select(col("q_id"), col("vec_id"))
+    def hits(cand: DataFrame, name: String): DataFrame = cand
+      .select(col("q_id"), col("vec_id"), lit(1L).as(name))
+    bf.join(hits(annPq(spark, dir, k), "h_pq"), Seq("q_id", "vec_id"), "left")
+      .join(hits(annPqTrained(spark, dir, k), "h_tr"), Seq("q_id", "vec_id"), "left")
+      .join(hits(annIvf(spark, dir, k), "h_ivf"), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("h_pq"), lit(0L))).as("hits_pq"),
+        sum(coalesce(col("h_tr"), lit(0L))).as("hits_pq_trained"),
+        sum(coalesce(col("h_ivf"), lit(0L))).as("hits_ivf"))
+      .select(col("q_id"), col("hits_pq"), col("hits_pq_trained"), col("hits_ivf"),
+        (col("hits_pq").cast("double") / k).as("recall_pq"),
+        (col("hits_pq_trained").cast("double") / k).as("recall_pq_trained"),
+        (col("hits_ivf").cast("double") / k).as("recall_ivf"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The component twins nested verbatim as CTEs (DuckDB scopes each
+    * nested WITH), so the oracle recomputes recall from the SAME four
+    * definitions the registry checks individually. */
+  val annRecallSql: String =
+    s"""WITH bf AS ($annBruteForceSql
+       |), pq AS ($annPqSql
+       |), tr AS ($annPqTrainedSql
+       |), ivf AS ($annIvfSql
+       |)
+       |SELECT bf.q_id,
+       |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
+       |       CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq_trained,
+       |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf,
+       |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_pq,
+       |       CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_pq_trained,
+       |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_ivf
+       |FROM bf
+       |LEFT JOIN pq  ON bf.q_id = pq.q_id  AND bf.vec_id = pq.vec_id
+       |LEFT JOIN tr  ON bf.q_id = tr.q_id  AND bf.vec_id = tr.vec_id
+       |LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+       |GROUP BY bf.q_id
+       |ORDER BY bf.q_id""".stripMargin
 }

@@ -181,4 +181,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.0) // structural sanity; exact recall is data-dependent
     assert(ivf.count() > 0)
   }
+
+  test("trained PQ codebook: Lloyd rounds lift recall@10 over the stand-in") {
+    // ann_recall is deterministic (md5/DECIMAL trainer, fixed rounds), so
+    // the direction training must deliver is pinnable: per query the
+    // trained codebook recalls at least as many true neighbors as the
+    // per-label stand-in, and strictly more in total (fixture: 14 vs 2).
+    val r = Similarity.annRecall(spark, sf).collect()
+    assert(r.length == 5, "one row per fixed query")
+    r.foreach { row =>
+      val pq = row.getAs[Long]("hits_pq")
+      val tr = row.getAs[Long]("hits_pq_trained")
+      assert(tr >= pq, s"q_id ${row.get(0)}: trained $tr < stand-in $pq")
+    }
+    val totTr = r.map(_.getAs[Long]("hits_pq_trained")).sum
+    val totPq = r.map(_.getAs[Long]("hits_pq")).sum
+    assert(totTr > totPq, s"training lifted nothing: $totTr vs $totPq")
+    assert(totTr >= 10, s"mean trained recall@10 below 0.2 floor: $totTr/50")
+  }
+
+  test("trained PQ codebook is deterministic with full k x subspaces coverage") {
+    def snap() = Similarity.pqTrainedCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val cb1 = snap()
+    assert(cb1 == snap(), "trainer must be bit-reproducible run to run")
+    assert(cb1.size == 16 * 4, "k x subspaces codebook entries")
+    assert(cb1.values.forall(_.length == 16), "every centroid spans its subspace width")
+  }
 }

@@ -13,9 +13,13 @@ class PlanGuardSpec extends SparkSpec {
   // against a broadcast query/centroid table (no shuffle of the big side),
   // a broadcast ONE-ROW scalar (tfidf_terms' corpus size N), or
   // ann_pq_adc's LUT construction (queries x codebook — both tiny by
-  // definition; the corpus side only ever sees a broadcast hash join)
-  private val bnljAllowed = Set("ann_brute_force", "kmeans_assign", "tfidf_terms",
-    "ann_pq_adc", "txt_lm_score")
+  // definition; the corpus side only ever sees a broadcast hash join).
+  // Counts are EXACT per query: ann_recall composes three sanctioned
+  // ANN plans (brute force + both PQ LUTs; IVF joins hash) — a fourth
+  // nested loop regressing in must still fail.
+  private val bnljAllowed = Map("ann_brute_force" -> 1, "kmeans_assign" -> 1,
+    "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
+    "ann_pq_trained" -> 1, "ann_recall" -> 3)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -47,9 +51,9 @@ class PlanGuardSpec extends SparkSpec {
         if (spCount > spAllowed.getOrElse(name, 0))
           Some(s"$name: $spCount Exchange SinglePartition(s), " +
             s"${spAllowed.getOrElse(name, 0)} sanctioned") else None,
-        if (bnljCount > (if (bnljAllowed(name)) 1 else 0))
+        if (bnljCount > bnljAllowed.getOrElse(name, 0))
           Some(s"$name: $bnljCount BroadcastNestedLoopJoin(s), " +
-            s"${if (bnljAllowed(name)) 1 else 0} sanctioned") else None
+            s"${bnljAllowed.getOrElse(name, 0)} sanctioned") else None
       ).flatten
     }
     assert(violations.isEmpty, violations.mkString("\n"))
