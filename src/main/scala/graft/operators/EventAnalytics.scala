@@ -390,6 +390,60 @@ object EventAnalytics {
       }
   }
 
+  case class FunnelStateLate(s1: Option[Long], s2: Option[Long], s3: Option[Long],
+                             maxSeen: Long, late: Long) {
+    def stage: Int = Seq(s1, s2, s3).takeWhile(_.isDefined).size
+  }
+  case class FunnelProgressLate(user_id: Long, stage: Int,
+                                s1: Option[Long], s2: Option[Long], s3: Option[Long],
+                                late_events: Long)
+
+  /** [[funnelStateful]] with the late-data policy made explicit instead
+    * of implicit: an event whose ts precedes the newest event already
+    * processed for its user arrived LATE (a later micro-batch outran it),
+    * and this variant DROPS it and counts it — the per-key analog of
+    * what an event-time watermark does to a streaming aggregation, with
+    * the count surfaced per user instead of buried in a metric.
+    *
+    * The two variants bracket the design space the batch replay resolves:
+    * [[funnelStateful]] still applies a late event to an empty slot
+    * (maximal salvage, no retroactive conversion — pinned by its spec);
+    * this one refuses all late data (deterministic under any arrival
+    * order of DISTINCT timestamps once per-batch sorting is applied, and
+    * `late_events` tells the operator exactly how much truth the
+    * streaming answer is missing — the signal to trigger a batch replay).
+    * Ties (ts == maxSeen) are on time: equal-ts events sort together in
+    * batch, so refusing them would diverge from in-order delivery.
+    *
+    * Scale shape: identical to [[funnelStateful]] — two more longs of
+    * per-user state behind the state store, no extra shuffle. */
+  def funnelStatefulLate(evs: Dataset[FunnelEv]): Dataset[FunnelProgressLate] = {
+    import evs.sparkSession.implicits._
+    val Seq(t1, t2, t3) = FunnelStages
+    evs.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelStateLate, FunnelProgressLate](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var st = state.getOption.getOrElse(
+            FunnelStateLate(None, None, None, Long.MinValue, 0L))
+          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+            if (e.ts_ms < st.maxSeen) {
+              st = st.copy(late = st.late + 1)
+            } else {
+              st = (e.event_type match {
+                case `t1` if st.s1.isEmpty => st.copy(s1 = Some(e.ts_ms))
+                case `t2` if st.s2.isEmpty && st.s1.exists(e.ts_ms > _) =>
+                  st.copy(s2 = Some(e.ts_ms))
+                case `t3` if st.s3.isEmpty && st.s2.exists(e.ts_ms > _) =>
+                  st.copy(s3 = Some(e.ts_ms))
+                case _ => st
+              }).copy(maxSeen = e.ts_ms)
+            }
+          }
+          state.update(st)
+          FunnelProgressLate(uid, st.stage, st.s1, st.s2, st.s3, st.late)
+      }
+  }
+
   val eventTransitionsSql: String =
     Tables.eventsOracleCte +
       """, seq AS (

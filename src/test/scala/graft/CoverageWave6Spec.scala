@@ -103,6 +103,48 @@ class CoverageWave6Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStatefulLate: late events are dropped AND counted; ties are on time") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.EventAnalytics.{FunnelEv, FunnelProgressLate}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEv]
+    val q = EventAnalytics.funnelStatefulLate(input.toDS())
+      .writeStream.format("memory").queryName("funnel_late").outputMode("update").start()
+    try {
+      // batch 1: u1's click arrives first (discarded, but ON TIME -> it
+      // advances maxSeen); u2 and u3 open their funnels; u2 also converts
+      input.addData(FunnelEv(1, "click", 20),
+        FunnelEv(2, "view", 10), FunnelEv(3, "view", 10))
+      q.processAllAvailable()
+      // batch 2: u1's view@5 is LATE (outrun by the click@20) -> dropped
+      // and counted, NOT salvaged into the empty s1 slot (contrast with
+      // funnelStateful's behavior, pinned above); u2 progresses in order;
+      // u3's click TIES its view's ts -> on time (late 0), but the
+      // strictly-after rule still refuses the conversion
+      input.addData(FunnelEv(1, "view", 5),
+        FunnelEv(2, "click", 20), FunnelEv(3, "click", 10))
+      q.processAllAvailable()
+      val last = spark.table("funnel_late").as[FunnelProgressLate].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(r => (r.stage, r.late_events)) }
+      assert(last(1L).stage == 0 && last(1L).s1.isEmpty && last(1L).late_events == 1L)
+      assert(last(2L).stage == 2 && last(2L).s2.contains(20L) && last(2L).late_events == 0L)
+      assert(last(3L).stage == 1 && last(3L).s2.isEmpty && last(3L).late_events == 0L)
+    } finally q.stop()
+  }
+
+  test("funnelStatefulLate: equals funnelStateful on in-order data with zero late") {
+    val typed = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .as[EventAnalytics.FunnelEv]
+    val strict = EventAnalytics.funnelStatefulLate(typed).collect()
+    assert(strict.forall(_.late_events == 0L), "single-batch groups cannot be late")
+    val loose = EventAnalytics.funnelStateful(typed).collect()
+      .map(s => s.user_id -> (s.stage, s.s1, s.s2, s.s3)).toMap
+    strict.foreach { s =>
+      assert(loose(s.user_id) == ((s.stage, s.s1, s.s2, s.s3)), s"user ${s.user_id}")
+    }
+  }
+
   test("txt_lm_score: negative scores, token totals agree with tokenCount") {
     val lm = TextAnalytics.lmScore(spark, sf)
     val rows = lm.collect()
