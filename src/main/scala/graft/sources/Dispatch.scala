@@ -100,33 +100,52 @@ object Dispatch {
       .map(r => Req(r.getLong(0), r.getString(1),
         Option(r.getString(2)), Option(r.getString(3)),
         Option(r.getString(4)), Option(r.getString(5))))
-    val fulfilled = todo.flatMap { req =>
-      route(req) match {
-        case Right(fn) =>
-          // A failing request must not abort the pass (the reference loop
-          // continues past failures); unledgered failures retry next pass.
-          try {
-            // Reference filename: `<fn>_<%Y-%m-%d %H-%S>.csv`
-            // (process.py:101,177,219). Two same-second requests would
-            // collide there; the `_req<id>` suffix is the one deliberate
-            // divergence (uniqueness), documented in SURVEY X7.
-            val stamp = java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd HH-ss").format(java.time.LocalDateTime.now())
-            val path = s"$outDir/${req.fn}_${stamp}_req${req.id}"
-            fn(spark, sfDir).coalesce(1)
-              .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-            Some(req.id -> path)
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[dispatch] request ${req.id} failed: ${e.getMessage}")
-              None
-          }
-        case Left(Some(complaint)) => // invalid args: skip, do NOT ledger
-          System.err.println(s"[dispatch] request ${req.id}: $complaint")
-          None
-        case Left(None) => None // unknown function: silent skip
+    def runOne(req: Req): Option[(Long, String)] = route(req) match {
+      case Right(fn) =>
+        // A failing request must not abort the pass (the reference loop
+        // continues past failures); unledgered failures retry next pass.
+        try {
+          // Reference filename: `<fn>_<%Y-%m-%d %H-%S>.csv`
+          // (process.py:101,177,219). Two same-second requests would
+          // collide there; the `_req<id>` suffix is the one deliberate
+          // divergence (uniqueness), documented in SURVEY X7.
+          val stamp = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH-ss").format(java.time.LocalDateTime.now())
+          val path = s"$outDir/${req.fn}_${stamp}_req${req.id}"
+          fn(spark, sfDir).coalesce(1)
+            .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+          Some(req.id -> path)
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[dispatch] request ${req.id} failed: ${e.getMessage}")
+            None
+        }
+      case Left(Some(complaint)) => // invalid args: skip, do NOT ledger
+        System.err.println(s"[dispatch] request ${req.id}: $complaint")
+        None
+      case Left(None) => None // unknown function: silent skip
+    }
+    // The requests are independent DataFrame jobs, so the pass submits
+    // them from a bounded driver-side pool and lets Spark's scheduler
+    // interleave their stages (with spark.scheduler.mode=FAIR they
+    // time-share; even under FIFO small jobs pipeline behind each other's
+    // planning). Results are joined in request_id order, so fulfillment
+    // order — and therefore the ledger and every spec — is identical to
+    // the serial loop. Failure isolation is per-request, unchanged.
+    val par = spark.conf.getOption("spark.graft.dispatch.parallelism")
+      .map(_.toInt).getOrElse(8).max(1)
+    val fulfilled: Seq[(Long, String)] =
+      if (todo.length <= 1 || par == 1) todo.flatMap(runOne).toSeq
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(par, todo.length))
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val fs = todo.map(req => scala.concurrent.Future(runOne(req))(ec))
+          fs.flatMap(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)).toSeq
+        } finally pool.shutdown()
       }
-    }.toSeq
     if (fulfilled.nonEmpty)
       fulfilled.toDF("request_id", "file_location")
         .withColumn("fulfilled_at", current_timestamp())

@@ -291,4 +291,36 @@ class StreamingSpec extends SparkSpec {
     val again = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
     assert(again.isEmpty)
   }
+
+  test("dispatch crash between CSV write and ledger append: at-least-once retry, no duplicate ledger rows") {
+    import spark.implicits._
+    val outDir = tmp("csvc")
+    val requests = Seq(
+      (30L, "aggregate_user", 0, """{"sessionId": "view", "clientId": 3}"""),
+      (31L, "user_energy", 0, """{"clientId": 5, "entityType": 1}""")
+    ).toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+    // a regular FILE on the ledger path's parent makes the ledger append —
+    // the LAST step of the pass — fail after the CSVs landed: exactly the
+    // crash window between result durability and fulfillment durability
+    val blocker = java.nio.file.Files.createTempFile("dispatch_blocker", ".txt")
+    val badLedger = s"$blocker/ledger"
+    intercept[Exception] {
+      Dispatch.run(spark, sf, requests, outDir, badLedger)
+    }
+    // the work happened (CSVs exist) but fulfillment was never recorded
+    val csvDirs = new java.io.File(outDir).listFiles()
+    assert(csvDirs != null && csvDirs.length == 2, "both CSVs written before the crash")
+    // restart against a healthy ledger: both requests are still pending
+    // (at-least-once), rerun end-to-end, CSV overwrite is idempotent
+    val ledgerDir = tmp("ledgerc") + "/ledger"
+    val done = Dispatch.run(spark, sf, requests, outDir, ledgerDir)
+    assert(done.map(_._1) === Seq(30L, 31L))
+    done.foreach { case (_, loc) => assert(new java.io.File(loc).exists()) }
+    // one fulfillment row per request — the retry did not double-ledger
+    val led = spark.read.parquet(ledgerDir).select("request_id").as[Long].collect()
+    assert(led.sorted.toSeq === Seq(30L, 31L))
+    // third pass: fulfilled -> nothing reruns, ledger unchanged
+    assert(Dispatch.run(spark, sf, requests, outDir, ledgerDir).isEmpty)
+    assert(spark.read.parquet(ledgerDir).count() === 2)
+  }
 }
