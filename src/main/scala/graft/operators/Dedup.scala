@@ -287,7 +287,14 @@ object Dedup {
     * with 60-bit rotations + XOR — positive-long arithmetic that both
     * engines compute identically. */
   def minhashLsh(spark: SparkSession, dir: String,
-                 maxBucket: Int = 50): DataFrame = {
+                 maxBucket: Int = 50): DataFrame =
+    minhashLshFrom(Tables.documents(spark, dir), maxBucket)
+
+  /** Corpus-parameterized body (the embNearDupFrom pattern) so the skew
+    * spec can feed a degenerate boilerplate corpus through the REAL
+    * pipeline. */
+  private[graft] def minhashLshFrom(docs: DataFrame, maxBucket: Int = 50,
+                                    checkpoint: Boolean = true): DataFrame = {
     // Exploded distinct (doc_id, shingle) rows — every stage below is a
     // plain projection/aggregation over this, so the whole pipeline stays
     // inside whole-stage codegen (an earlier array-lambda formulation ran
@@ -295,7 +302,7 @@ object Dedup {
     // references it from the signature build and both verification joins,
     // and at any scale the shingle table is the artifact you materialize
     // once per corpus.
-    val sh = shingleRows(Tables.documents(spark, dir)).persist()
+    val sh = shingleRows(docs).persist()
     // 60 minhash slots from TWO 60-bit base hashes per shingle — the two
     // halves of ONE md5 (hex digits 1-15 and 17-31), so one string hash
     // yields both. Slot i's hash = rot60(h1, 7i mod 60) XOR
@@ -382,10 +389,13 @@ object Dedup {
     // otherwise pin a shingle explosion + signature table in executor
     // storage per invocation with no unpersist (the r3 review's storage
     // leak, the likely mechanism behind BENCH_r03's inflated g–p band).
-    val out = result.localCheckpoint(true)
-    sh.unpersist()
-    sigCached.unpersist()
-    out
+    if (!checkpoint) result // spec-only: the LIVE plan, for shape audits
+    else {
+      val out = result.localCheckpoint(true)
+      sh.unpersist()
+      sigCached.unpersist()
+      out
+    }
   }
 
   /** DuckDB recomputes the identical signatures (same md5-halves base

@@ -26,4 +26,41 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts === 8)
   }
+
+  test("minhash-lsh bucket cap drops a degenerate 10x-cap boilerplate bucket wholesale") {
+    import spark.implicits._
+    // 500 byte-identical boilerplate documents: identical shingle sets ->
+    // identical signatures -> ALL 15 bands put all 500 docs in one bucket,
+    // 10x the default cap of 50. Without the cap the candidate self-join
+    // is quadratic in the bucket (500*499/2 pairs per band); with it the
+    // bucket is dropped before the join ever sees it.
+    val boiler = "terms of service apply to all users of this site without exception"
+    val degenerate = (1L to 500L).map(i => (i, boiler))
+    // plus a genuine near-dup pair and an unrelated doc, each in tiny buckets
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val c = "completely different content about distributed query engines and shuffles"
+    val docs = (degenerate ++ Seq((1001L, a), (1002L, b), (1003L, c)))
+      .toDF("doc_id", "text")
+    val result = graft.operators.Dedup.minhashLshFrom(docs).collect()
+    // the boilerplate pairs (jaccard 1.0, ~125k of them uncapped) are gone
+    assert(!result.exists(r => r.getLong(0) <= 500L || r.getLong(1) <= 500L),
+      "degenerate bucket must be dropped wholesale, not paired")
+    // the true near-dup pair in a healthy bucket is still found
+    val pair = result.find(r => r.getLong(0) == 1001L && r.getLong(1) == 1002L)
+    assert(pair.isDefined, "cap must not cost recall on healthy buckets")
+    assert(pair.get.getDouble(2) > 0.8, s"near-identical docs: ${pair.get.getDouble(2)}")
+  }
+
+  test("minhash-lsh cap path is window-free (splittable under a hot bucket)") {
+    import spark.implicits._
+    // the cap must be aggregate + join (map-side partial, AQE-splittable),
+    // never a count-over-window — a window partition cannot be split, so
+    // a million-row boilerplate bucket would serialize through one task
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.minhashLshFrom(docs, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bucket cap regressed to a window count")
+  }
 }
