@@ -468,4 +468,69 @@ object Relational3 {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  // --- TPC-H Q21 shape (suppliers who kept the order waiting) ---------------
+  /** Q21 adapted to the fixture (no receipt/commit dates → "late" is
+    * `l_returnflag = 'R'`): suppliers in one nation whose line item was
+    * late on a completed multi-supplier order where NO other supplier
+    * was late — the classic triple-lineitem self-join with EXISTS and
+    * NOT EXISTS, the one join topology the relational surface lacked.
+    *
+    * Spark-first rewrite instead of three lineitem scans: ONE scan
+    * aggregates to per-(order, supplier) late-row counts, then a window
+    * over that AGGREGATED table (partitions = suppliers-per-order, tiny
+    * and bounded — not the low-cardinality-window hazard) derives the
+    * per-order supplier/late-supplier counts. EXISTS ⇔ nsupp > 1;
+    * NOT EXISTS ⇔ nlate = 1 (the late row's own supplier is the one
+    * late supplier by construction). numwait = late line items of the
+    * lone late supplier, so the count survives the aggregation. The
+    * oracle twin deliberately stays in the textbook EXISTS/NOT EXISTS
+    * form — DuckDB independently validates the rewrite, not a copy of
+    * it. Orders ('F' filter) joins the aggregated table, and the
+    * supplier×nation dimension broadcasts. */
+  def sqlQ21(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("late_rows"))
+    val w = Window.partitionBy("l_orderkey")
+    val lone = perSupp
+      // one projection -> ONE Window operator for both per-order counts
+      // (the two withColumn forms planned as two stacked Windows)
+      .select(col("*"), count(lit(1)).over(w).as("nsupp"),
+        sum(when(col("late_rows") > 0, 1L).otherwise(0L)).over(w).as("nlate"))
+      .filter(col("late_rows") > 0 && col("nsupp") > 1 && col("nlate") === 1)
+    val sn = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    lone
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey")), "l_orderkey")
+      .join(broadcast(sn), "l_suppkey")
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_rows")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Classic EXISTS/NOT-EXISTS form; lineitem re-aliased through a CTE
+    * (the inliner appends `AS lineitem`, so direct `lineitem l1` aliases
+    * can't be used). */
+  val sqlQ21Sql: String =
+    """WITH l AS (SELECT * FROM lineitem),
+      |     f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+      |     sn AS (SELECT s_suppkey, s_name FROM supplier
+      |            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7')
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM l l1
+      |JOIN f ON l1.l_orderkey = f.o_orderkey
+      |JOIN sn ON l1.l_suppkey = sn.s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |              AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |                  AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }
