@@ -10,9 +10,11 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are down to the one genuinely engine-internal sketch") {
+  test("every registered query has an oracle (zero rows-only since r8)") {
+    // approx_distinct, the last rows-only row, carries the Sketches-style
+    // bound oracle now — a new query without an oracle is a regression
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("approx_distinct"))
+    assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
   }
 
   test("every registered query executes on sf0.001") {
