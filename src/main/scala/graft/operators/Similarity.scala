@@ -845,6 +845,149 @@ object Similarity {
       |) WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
 
+  // --- IVF with a TRAINED coarse quantizer ----------------------------------
+  /** Cluster count and probe width, shared with the oracle SQL. */
+  val IvfTrainClusters: Int = 8
+  val IvfProbes: Int = 2
+
+  /** IVF top-k over a Lloyd-TRAINED coarse quantizer instead of the
+    * fixture's label column ([[annIvf]]'s stand-in): the quantizer is
+    * [[pqTrainedCodebook]] degenerated to ONE subspace spanning the whole
+    * vector (subspaces=1, width=64, k=8) — the same fixed-round trainer,
+    * so the DuckDB twin replays it with the same two unrolled CTE chains.
+    * Each query probes its `IvfProbes` nearest centroids (multi-probe,
+    * the standard recall lever: probe cost scales with nprobe, never the
+    * corpus) and candidates are re-ranked by EXACT cosine.
+    *
+    * Scale shape: centroids broadcast twice (corpus assignment, query
+    * probe ranking); the corpus-side join keys on cluster id against the
+    * broadcast probe list — one scan, no shuffle of the corpus beyond
+    * the final per-query top-k. */
+  def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cb = pqTrainedCodebook(spark, dir,
+      subspaces = 1, width = 64, k = IvfTrainClusters)
+    val clusters = assignCodes(subvectors(spark, dir, 1, 64), cb)
+      .select(col("vec_id"), col("code").as("cluster"))
+    val corpus = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val queries = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val wp = Window.partitionBy("q_id").orderBy(col("pd"), col("cluster"))
+    val probes = queries
+      .crossJoin(broadcast(cb.select(col("c_label").cast("int").as("cluster"), col("cl"))))
+      .withColumn("pd",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("q_emb"), col("cl")))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cluster"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(clusters, "vec_id")
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", dot("embedding", "q_emb") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The trainer replayed full-vector (one subspace), then assignment,
+    * nprobe-2 probe ranking, and exact-cosine re-rank. */
+  val annIvfTrainedSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |), cb0 AS (
+      |  SELECT vec_id AS c_label,
+      |         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS cl
+      |  FROM emb WHERE vec_id < 8
+      |), s1 AS (
+      |  SELECT emb.vec_id, cb0.c_label, emb.embedding,
+      |         list_sum(list_transform(range(64),
+      |           i -> (CAST(embedding[i+1] AS DOUBLE) - cl[i+1])
+      |              * (CAST(embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM emb CROSS JOIN cb0
+      |), a1 AS (
+      |  SELECT vec_id, c_label, embedding FROM (
+      |    SELECT vec_id, c_label, embedding,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |    FROM s1) WHERE rn = 1
+      |), m1 AS (
+      |  SELECT c_label, i AS dim,
+      |         CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS c
+      |  FROM a1, LATERAL (SELECT unnest(range(64)) AS i)
+      |  GROUP BY 1, 2
+      |), cb1m AS (
+      |  SELECT c_label, list(c ORDER BY dim) AS cl FROM m1 GROUP BY 1
+      |), cb1 AS (
+      |  SELECT cb0.c_label, COALESCE(cb1m.cl, cb0.cl) AS cl
+      |  FROM cb0 LEFT JOIN cb1m ON cb0.c_label = cb1m.c_label
+      |), s2 AS (
+      |  SELECT emb.vec_id, cb1.c_label, emb.embedding,
+      |         list_sum(list_transform(range(64),
+      |           i -> (CAST(embedding[i+1] AS DOUBLE) - cl[i+1])
+      |              * (CAST(embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM emb CROSS JOIN cb1
+      |), a2 AS (
+      |  SELECT vec_id, c_label, embedding FROM (
+      |    SELECT vec_id, c_label, embedding,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |    FROM s2) WHERE rn = 1
+      |), m2 AS (
+      |  SELECT c_label, i AS dim,
+      |         CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS c
+      |  FROM a2, LATERAL (SELECT unnest(range(64)) AS i)
+      |  GROUP BY 1, 2
+      |), cb2m AS (
+      |  SELECT c_label, list(c ORDER BY dim) AS cl FROM m2 GROUP BY 1
+      |), cb2 AS (
+      |  SELECT cb1.c_label, COALESCE(cb2m.cl, cb1.cl) AS cl
+      |  FROM cb1 LEFT JOIN cb2m ON cb1.c_label = cb2m.c_label
+      |), s3 AS (
+      |  SELECT emb.vec_id, cb2.c_label,
+      |         list_sum(list_transform(range(64),
+      |           i -> (CAST(embedding[i+1] AS DOUBLE) - cl[i+1])
+      |              * (CAST(embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM emb CROSS JOIN cb2
+      |), cl AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, CAST(c_label AS INT) AS cluster,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |    FROM s3) WHERE rn = 1
+      |), c AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM emb
+      |), q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c WHERE vec_id < 5
+      |), probe AS (
+      |  SELECT q_id, cluster FROM (
+      |    SELECT q.q_id, CAST(cb2.c_label AS INT) AS cluster,
+      |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |             list_sum(list_transform(range(64),
+      |               i -> (CAST(q_emb[i+1] AS DOUBLE) - cl[i+1])
+      |                  * (CAST(q_emb[i+1] AS DOUBLE) - cl[i+1]))), cb2.c_label) AS rn
+      |    FROM q CROSS JOIN cb2) WHERE rn <= 2
+      |), scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |         list_dot_product(c.embedding::DOUBLE[], q.q_emb::DOUBLE[])
+      |           / (c.norm * q.q_norm) AS cos_sim
+      |  FROM c
+      |  JOIN cl ON c.vec_id = cl.vec_id
+      |  JOIN probe ON cl.cluster = probe.cluster
+      |  JOIN q ON probe.q_id = q.q_id
+      |  WHERE c.vec_id <> q.q_id
+      |)
+      |SELECT q_id, vec_id, cos_sim, rank FROM (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY q_id
+      |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      |  FROM scored
+      |) WHERE rank <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   // --- recall@k vs brute force ----------------------------------------------
   /** Recall@10 of every approximate ANN variant against the exact
     * brute-force top-10 — the metric that makes the whole family's
@@ -871,14 +1014,18 @@ object Similarity {
     bf.join(hits(annPq(spark, dir, k), "h_pq"), Seq("q_id", "vec_id"), "left")
       .join(hits(annPqTrained(spark, dir, k), "h_tr"), Seq("q_id", "vec_id"), "left")
       .join(hits(annIvf(spark, dir, k), "h_ivf"), Seq("q_id", "vec_id"), "left")
+      .join(hits(annIvfTrained(spark, dir, k), "h_ivt"), Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("h_pq"), lit(0L))).as("hits_pq"),
         sum(coalesce(col("h_tr"), lit(0L))).as("hits_pq_trained"),
-        sum(coalesce(col("h_ivf"), lit(0L))).as("hits_ivf"))
-      .select(col("q_id"), col("hits_pq"), col("hits_pq_trained"), col("hits_ivf"),
+        sum(coalesce(col("h_ivf"), lit(0L))).as("hits_ivf"),
+        sum(coalesce(col("h_ivt"), lit(0L))).as("hits_ivf_trained"))
+      .select(col("q_id"), col("hits_pq"), col("hits_pq_trained"),
+        col("hits_ivf"), col("hits_ivf_trained"),
         (col("hits_pq").cast("double") / k).as("recall_pq"),
         (col("hits_pq_trained").cast("double") / k).as("recall_pq_trained"),
-        (col("hits_ivf").cast("double") / k).as("recall_ivf"))
+        (col("hits_ivf").cast("double") / k).as("recall_ivf"),
+        (col("hits_ivf_trained").cast("double") / k).as("recall_ivf_trained"))
       .orderBy(col("q_id"))
   }
 
@@ -890,18 +1037,22 @@ object Similarity {
        |), pq AS ($annPqSql
        |), tr AS ($annPqTrainedSql
        |), ivf AS ($annIvfSql
+       |), ivt AS ($annIvfTrainedSql
        |)
        |SELECT bf.q_id,
        |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq,
        |       CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_pq_trained,
        |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf,
+       |       CAST(sum(CASE WHEN ivt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_ivf_trained,
        |       CAST(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_pq,
        |       CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_pq_trained,
-       |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_ivf
+       |       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_ivf,
+       |       CAST(sum(CASE WHEN ivt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_ivf_trained
        |FROM bf
        |LEFT JOIN pq  ON bf.q_id = pq.q_id  AND bf.vec_id = pq.vec_id
        |LEFT JOIN tr  ON bf.q_id = tr.q_id  AND bf.vec_id = tr.vec_id
        |LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+       |LEFT JOIN ivt ON bf.q_id = ivt.q_id AND bf.vec_id = ivt.vec_id
        |GROUP BY bf.q_id
        |ORDER BY bf.q_id""".stripMargin
 }

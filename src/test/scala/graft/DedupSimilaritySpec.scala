@@ -200,6 +200,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(totTr >= 10, s"mean trained recall@10 below 0.2 floor: $totTr/50")
   }
 
+  test("trained IVF: nprobe-2 Lloyd quantizer dominates the label stand-in's recall") {
+    val r = Similarity.annRecall(spark, sf).collect()
+    r.foreach { row =>
+      val ivf = row.getAs[Long]("hits_ivf")
+      val ivt = row.getAs[Long]("hits_ivf_trained")
+      assert(ivt >= ivf, s"q_id ${row.get(0)}: trained $ivt < stand-in $ivf")
+    }
+    val tot = r.map(_.getAs[Long]("hits_ivf_trained")).sum
+    assert(tot >= 30, s"trained-IVF recall@10 below 0.6 floor: $tot/50")
+    // exact-cosine re-rank: every trained-IVF hit IS a true neighbor by
+    // construction, so recall == hits; the subset property needs no spec
+  }
+
   test("trained PQ codebook is deterministic with full k x subspaces coverage") {
     def snap() = Similarity.pqTrainedCodebook(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap

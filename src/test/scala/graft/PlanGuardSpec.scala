@@ -19,7 +19,7 @@ class PlanGuardSpec extends SparkSpec {
   // nested loop regressing in must still fail.
   private val bnljAllowed = Map("ann_brute_force" -> 1, "kmeans_assign" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
-    "ann_pq_trained" -> 1, "ann_recall" -> 3)
+    "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
