@@ -533,4 +533,78 @@ object Relational3 {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  // --- TPC-H Q4 shape (order priority checking) -----------------------------
+  /** Q4 adapted to the fixture (no commit/receipt dates → "problem
+    * order" = some line item shipped more than 60 days after the order
+    * date): orders in one quarter with at least one such line item,
+    * counted per priority. The shape of interest is the correlated
+    * EXISTS carrying a NON-EQUI predicate across the two tables
+    * (l_shipdate > o_orderdate + 60d) — Spark plans it as a left-semi
+    * join with the range condition attached to the equi-join on
+    * orderkey, so the fact table crosses exactly one exchange and no
+    * row multiplies. */
+  def sqlQ4(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+        expr("o_orderdate < TIMESTAMP '1996-04-01'"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  val sqlQ4Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- TPC-H Q16 shape (supplier count minus a NOT-IN blacklist) ------------
+  /** Q16 adapted to the fixture: the part-supplier relation is derived
+    * from lineitem (the fixture carries no partsupp table), and the
+    * blacklist subquery is negative-balance suppliers (no s_comment
+    * column). The topology is the point: distinct supplier counting per
+    * part attribute bucket AFTER a NOT IN subquery — Spark-first that is
+    * a broadcast left-anti join (the blacklist is provably tiny; NOT IN
+    * is safe to plan as anti because s_suppkey is non-null), a distinct
+    * projection of the fact table, and a broadcast dimension join, so
+    * the only fact-scale exchanges are the distinct and the final
+    * count-distinct aggregation. */
+  def sqlQ16(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val blacklist = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val partDim = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#2" && !col("p_type").like("ECONOMY%") &&
+        col("p_size").isin(5, 11, 28))
+      .select(col("p_partkey").as("l_partkey"),
+        col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(broadcast(blacklist), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(partDim), "l_partkey")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val sqlQ16Sql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#2'
+      |  AND p_type NOT LIKE 'ECONOMY%'
+      |  AND p_size IN (5, 11, 28)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 }
