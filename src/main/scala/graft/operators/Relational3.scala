@@ -607,4 +607,83 @@ object Relational3 {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --- TPC-H Q15 shape (top supplier via scalar subquery) -------------------
+  /** Q15: the supplier(s) whose quarter revenue EQUALS the maximum — the
+    * scalar-subquery-over-an-aggregate topology (the classic uses a
+    * view; the subquery form is the same plan). Spark-first: the revenue
+    * aggregate is computed once, its one-row max broadcast back over
+    * itself (a one-row BNLJ, the tfidf_terms N pattern), and equality on
+    * the DECIMAL-derived double is exact because both sides come from
+    * the same order-independent accumulation. Supplier dim broadcasts. */
+  def sqlQ15(spark: SparkSession, dir: String): DataFrame = {
+    val revExpr = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+    val rev = Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+        "l_shipdate < TIMESTAMP '1996-04-01'"))
+      .groupBy(col("l_suppkey"))
+      .agg(expr(revExpr).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val sqlQ15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |              AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --- TPC-H Q22 shape (dormant high-balance customers) ---------------------
+  /** Q22 adapted to the fixture (no phone column → the country bucket is
+    * c_nationkey mod 5; "never ordered" → no order since 2000, which the
+    * fixture's order-date range makes selective): customers with
+    * above-average positive balance and no recent order, rolled up per
+    * bucket. The topology is the point: a scalar AVG subquery (one-row
+    * broadcast; the average is DECIMAL-summed then divided once, so the
+    * threshold is bit-identical in both engines) plus a NOT EXISTS
+    * anti-join against the fact table. */
+  def sqlQ22(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+        / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(expr("o_orderdate >= TIMESTAMP '2000-01-01'"))
+      .select(col("o_custkey").as("c_custkey"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).as("cntry_grp"))
+      .agg(count(lit(1)).as("numcust"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("totacctbal"))
+      .orderBy(col("cntry_grp"))
+  }
+
+  val sqlQ22Sql: String =
+    """SELECT c_nationkey % 5 AS cntry_grp, CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                          / count(*)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1
+      |ORDER BY cntry_grp""".stripMargin
 }

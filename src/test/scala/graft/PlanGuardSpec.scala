@@ -19,7 +19,8 @@ class PlanGuardSpec extends SparkSpec {
   // nested loop regressing in must still fail.
   private val bnljAllowed = Map("ann_brute_force" -> 1, "kmeans_assign" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
-    "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4)
+    "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
+    "sql_q15" -> 1, "sql_q22" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -34,9 +35,12 @@ class PlanGuardSpec extends SparkSpec {
   // sanctioned ones (e.g. the funnel's user window losing its PARTITION
   // BY) must still fail the guard. dq_checks unions three independent
   // global-metric branches (lineitem fused pass, orders nulls, FK count).
+  // sql_q15's revenue max and sql_q22's average balance are one-row
+  // scalar aggregates: per-partition partials reduce to one double each
+  // before the exchange — the tfidf_terms corpus-N shape.
   private val spAllowed = Map("approx_topk_check" -> 1, "tfidf_terms" -> 1,
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
-    "profile_approx" -> 2, "dq_checks" -> 3)
+    "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
