@@ -235,9 +235,15 @@ object EventAnalytics {
     * the sort order, so the second (lead) window reuses both the
     * partitioning and the sort. Output is change-points-sized, not
     * events-sized. */
-  def scd2Status(spark: SparkSession, dir: String): DataFrame = {
+  /** SCD-2 core over an arbitrary (user_id, event_type, ts_ms, event_id)
+    * frame — shared by the registered batch query and the streaming
+    * merge sink ([[graft.streaming.Scd2Merge]]), which additionally
+    * keeps the change event_id so retroactive merges re-order ties
+    * exactly like the batch twin. */
+  private[graft] def scd2From(events: DataFrame,
+                              keepEventId: Boolean = false): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    Tables.events(spark, dir)
+    val base = events
       .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
@@ -247,11 +253,15 @@ object EventAnalytics {
       // output ordering (and the spec's interval chaining) ambiguous
       .withColumn("version", row_number().over(w))
       .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
-      .select(col("user_id"), col("version"), col("event_type").as("status"),
-        col("ts_ms").as("valid_from"), col("valid_to"),
-        col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
+    val cols = Seq(col("user_id"), col("version"), col("event_type").as("status"),
+      col("ts_ms").as("valid_from"), col("valid_to"),
+      col("valid_to").isNull.as("is_current")) ++
+      (if (keepEventId) Seq(col("event_id").as("change_eid")) else Nil)
+    base.select(cols: _*).orderBy(col("user_id"), col("version"))
   }
+
+  def scd2Status(spark: SparkSession, dir: String): DataFrame =
+    scd2From(Tables.events(spark, dir))
 
   val scd2StatusSql: String =
     Tables.eventsOracleCte +

@@ -292,6 +292,80 @@ class StreamingSpec extends SparkSpec {
     assert(again.isEmpty)
   }
 
+  test("scd2 streaming merge: in-order batches reproduce the batch twin; late event splits its interval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Scd2Merge
+    import graft.streaming.Scd2Merge.StatusEv
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = tmp("scd2m") + "/dim"
+    val ck = tmp("scd2ck")
+    val input = MemoryStream[StatusEv]
+    val q = Scd2Merge.scd2MergeSink(input.toDS(), tableDir, ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    def drain(): Unit = { val qq = Scd2Merge.scd2MergeSink(input.toDS(), tableDir, ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()); qq.awaitTermination() }
+    q.awaitTermination()
+    // batch 1 (in order): u1 A@100 -> C@300; u2 A@100
+    input.addData(StatusEv(1, "A", 100, 1), StatusEv(1, "C", 300, 3),
+      StatusEv(2, "A", 100, 10))
+    drain()
+    // batch 2: u1's LATE B@200 arrives -> must retroactively SPLIT [100,300)
+    input.addData(StatusEv(1, "B", 200, 2))
+    drain()
+    val table = spark.read.parquet(tableDir)
+      .select("user_id", "version", "status", "valid_from", "valid_to", "is_current")
+    // equivalence: the table equals the batch SCD-2 core over ALL events
+    val all = Seq((1L, "A", 100L, 1L), (1L, "C", 300L, 3L), (2L, "A", 100L, 10L),
+      (1L, "B", 200L, 2L)).toDF("user_id", "event_type", "ts_ms", "event_id")
+    val batchTwin = graft.operators.EventAnalytics.scd2From(all)
+    assert(table.orderBy("user_id", "version").collect().toSeq ==
+      batchTwin.collect().toSeq)
+    // and the late event really split: u1 is A[100,200) B[200,300) C[300,_)
+    val u1 = table.filter($"user_id" === 1).orderBy("version")
+      .select("status", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(u1.toSeq == Seq(("A", 100L, 200L), ("B", 200L, 300L), ("C", 300L, -1L)))
+  }
+
+  test("scd2 streaming merge: change-compressed history is the documented replay limit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Scd2Merge
+    import graft.streaming.Scd2Merge.StatusEv
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = tmp("scd2c") + "/dim"
+    val ck = tmp("scd2cck")
+    val input = MemoryStream[StatusEv]
+    def drain(): Unit = { val qq = Scd2Merge.scd2MergeSink(input.toDS(), tableDir, ck,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()); qq.awaitTermination() }
+    // batch 1: A@100 then duplicate A@200 — compression records only A@100
+    input.addData(StatusEv(1, "A", 100, 1), StatusEv(1, "A", 200, 3))
+    drain()
+    // batch 2: late B@150 lands between the pair. Full-history replay
+    // would yield A,B,A; the merge sees only the COMPRESSED history, so
+    // the table ends A[100,150) B[150,_) — the pinned approximation
+    input.addData(StatusEv(1, "B", 150, 2))
+    drain()
+    val got = spark.read.parquet(tableDir).orderBy("version")
+      .select("status", "valid_from").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("A", 100L), ("B", 150L)))
+  }
+
+  test("scd2 streaming merge: stale backup dir makes the merge refuse, table intact") {
+    import spark.implicits._
+    val base = tmp("scd2s"); val tableDir = base + "/dim"
+    val batch1 = Seq((1L, "A", 100L, 1L)).toDF("user_id", "event_type", "ts_ms", "event_id")
+    graft.streaming.Scd2Merge.mergeBatch(batch1, tableDir)
+    // simulate an interrupted swap: the backup dir still exists
+    new java.io.File(base + "/dim_premerge").mkdirs()
+    val batch2 = Seq((1L, "B", 200L, 2L)).toDF("user_id", "event_type", "ts_ms", "event_id")
+    intercept[IllegalStateException] {
+      graft.streaming.Scd2Merge.mergeBatch(batch2, tableDir)
+    }
+    assert(spark.read.parquet(tableDir).count() == 1, "live table untouched on refusal")
+  }
+
   test("dispatch crash between CSV write and ledger append: at-least-once retry, no duplicate ledger rows") {
     import spark.implicits._
     val outDir = tmp("csvc")
