@@ -264,6 +264,73 @@ object Dedup {
       |) WHERE jaccard >= 0.02
       |ORDER BY jaccard DESC, d1, d2""".stripMargin
 
+  // --- asymmetric shingle containment (doc-inside-doc) ----------------------
+  /** Directed containment C(A,B) = |shingles(A) ∩ shingles(B)| / |A|: the
+    * inclusion detector Jaccard structurally misses — a short document
+    * quoted whole inside a much larger one scores near-zero Jaccard (the
+    * union is dominated by B) but containment ≈ 1. The corpus-curation
+    * use is quote/concatenation detection: drop or attribute the
+    * contained copy, keep the container. Both directions of every
+    * intersecting pair are scored from ONE undirected pair join (the
+    * ngramJaccard inverted-index shape — same blocking applies at scale:
+    * candidates via minhash of the SMALLER side's shingles, since
+    * one-sided normalization keeps LSH-able form). (containment DESC,
+    * contained, container) is a total order on directed pairs. */
+  def containment(spark: SparkSession, dir: String,
+                  threshold: Double = 0.03): DataFrame = {
+    val docs  = Tables.documents(spark, dir).filter(col("source") === "src0")
+    val sh    = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val joined = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val ab = joined.select(col("d1").as("contained"), col("d2").as("container"),
+      col("inter"), col("n1").as("n_contained"),
+      (col("inter").cast("double") / col("n1").cast("double")).as("containment"))
+    val ba = joined.select(col("d2").as("contained"), col("d1").as("container"),
+      col("inter"), col("n2").as("n_contained"),
+      (col("inter").cast("double") / col("n2").cast("double")).as("containment"))
+    ab.unionByName(ba)
+      .filter(col("containment") >= threshold)
+      .orderBy(col("containment").desc, col("contained"), col("container"))
+  }
+
+  val containmentSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE source = 'src0'
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      |    FROM d)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT p.d1, p.d2, p.inter, s1.n AS n1, s2.n AS n2
+      |  FROM pairs p
+      |  JOIN sizes s1 ON p.d1 = s1.doc_id
+      |  JOIN sizes s2 ON p.d2 = s2.doc_id
+      |), directed AS (
+      |  SELECT d1 AS contained, d2 AS container, inter, n1 AS n_contained,
+      |         CAST(inter AS DOUBLE) / CAST(n1 AS DOUBLE) AS containment
+      |  FROM joined
+      |  UNION ALL
+      |  SELECT d2, d1, inter, n2, CAST(inter AS DOUBLE) / CAST(n2 AS DOUBLE)
+      |  FROM joined
+      |)
+      |SELECT contained, container, inter, n_contained, containment
+      |FROM directed WHERE containment >= 0.03
+      |ORDER BY containment DESC, contained, container""".stripMargin
+
   // --- MinHash + LSH (scalable near-dup candidates; rows-only check) -------
   /** 60 minhashes per document, banded 15×4: documents agreeing on all
     * four hashes of any band land in the same LSH bucket and become a

@@ -99,4 +99,58 @@ object Sketches {
       |GROUP BY word
       |ORDER BY freq DESC, word
       |LIMIT 10""".stripMargin
+
+  // --- rolling 7-day active users via daily sketch reuse --------------------
+  /** Rolling 7-day distinct users per day — THE production DAU/WAU
+    * pattern: sketch each day ONCE (one scan, one tiny sketch row per
+    * day), then every 7-day window is a UNION of seven daily sketches —
+    * the whole rolling series costs days×7 sketch merges instead of
+    * rescanning 7× the stream per window (what the exact form, or any
+    * sliding-window countDistinct, fundamentally must do). The exact
+    * count rides along per the Sketches bound contract: the emitted
+    * truth is exact_users + a within-5% boolean the DuckDB twin states
+    * literally (both engines' exact side replicates each event into its
+    * 7 windows — at 100 TB you'd run ONLY the sketch side; the exact
+    * path here IS the oracle harness). Windows are keyed by their END
+    * day and only real event days emit (leading partial windows
+    * included — the standard rolling-metric convention). */
+  def dauRolling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("ts_ms div 86400000").as("day"), col("user_id"))
+    val days = ev.select(col("day")).distinct()
+    val wdays = days.withColumnRenamed("day", "wday")
+    val exact = ev
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .join(wdays, "wday")
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val est = ev.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wday"), col("sk"))
+      .join(wdays, "wday")
+      .groupBy(col("wday"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    exact.join(est, "wday")
+      .select(col("wday").as("window_end_day"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("window_end_day"))
+  }
+
+  val dauRollingSql: String =
+    graft.Tables.eventsOracleCte +
+      """, ev2 AS (
+        |  SELECT ts_ms // 86400000 AS day, user_id FROM ev
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev2
+        |), x AS (
+        |  SELECT user_id, day + i AS wday
+        |  FROM ev2, LATERAL (SELECT unnest(range(7)) AS i)
+        |)
+        |SELECT x.wday AS window_end_day,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       true AS within_5pct
+        |FROM x JOIN days ON x.wday = days.day
+        |GROUP BY 1
+        |ORDER BY window_end_day""".stripMargin
 }
