@@ -355,6 +355,60 @@ object EventAnalytics {
         |WHERE sd > 0 AND abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
         |ORDER BY event_id""".stripMargin
 
+  // --- robust (MAD) outliers -----------------------------------------------
+  /** Robust twin of [[eventsZscore]]: median / median-absolute-deviation
+    * instead of mean / stddev, so a burst of extreme values cannot mask
+    * itself by inflating its own yardstick (the classic z-score failure
+    * on heavy-tailed telemetry — the outliers drag the stddev up until
+    * nothing is 3σ out). Values quantize through DECIMAL(18,6) once, so
+    * the medians interpolate identical doubles in both engines
+    * (median_iqr's validated contract); deviations and the score are
+    * then identical IEEE arithmetic on identical inputs.
+    *
+    * Scale shape: two aggregation passes (per-type median, then per-type
+    * deviation median) with the 5-row results BROADCAST back — like the
+    * z-score, deliberately NOT a per-type window. Exact medians sort per
+    * group; at 100 TB swap approx_percentile into the same plan (the
+    * approx_pctl_check contract). */
+  def eventsMad(spark: SparkSession, dir: String, k: Double = 6.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("cast(cast(round(value, 6) as decimal(18,6)) as double)").as("v"))
+    val med = ev.groupBy(col("event_type")).agg(expr("median(v)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("absdev"))
+      .groupBy(col("event_type")).agg(expr("median(absdev)").as("mad"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      // mad > 0 guard: a zero-MAD type (over half the values identical)
+      // defines no outliers — and Spark's x/0 -> NULL vs IEEE inf would
+      // split the engines (the z-score sd guard)
+      .filter(col("mad") > 0 && abs(col("v") - col("med")) > col("mad") * lit(k))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("v") - col("med")) / col("mad")).as("score"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsMadSql: String =
+    Tables.eventsOracleCte +
+      """, q AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(CAST(round(value, 6) AS DECIMAL(18,6)) AS DOUBLE) AS v
+        |  FROM ev
+        |), med AS (
+        |  SELECT event_type, median(v) AS med FROM q GROUP BY 1
+        |), mad AS (
+        |  SELECT q.event_type, median(abs(v - med.med)) AS mad
+        |  FROM q JOIN med ON q.event_type = med.event_type
+        |  GROUP BY 1
+        |)
+        |SELECT event_id, q.event_type, value, (v - med.med) / mad.mad AS score
+        |FROM q
+        |JOIN med ON q.event_type = med.event_type
+        |JOIN mad ON q.event_type = mad.event_type
+        |WHERE mad.mad > 0 AND abs(v - med.med) > mad.mad * 6.0
+        |ORDER BY event_id""".stripMargin
+
   // --- stateful streaming funnel tracker -----------------------------------
   case class FunnelEv(user_id: Long, event_type: String, ts_ms: Long)
   case class FunnelState(s1: Option[Long], s2: Option[Long], s3: Option[Long]) {

@@ -93,6 +93,55 @@ object Pipeline {
        |FROM x GROUP BY 1, 2
        |ORDER BY source, seq_id""".stripMargin
 
+  // --- packing manifest with document boundaries ----------------------------
+  /** [[packSequences]]'s companion at the granularity training actually
+    * consumes: one row per (sequence, contributing document) with the
+    * document's token span INSIDE the sequence — exactly the offsets a
+    * loss-mask / attention-reset builder needs to keep cross-document
+    * attention from leaking between packed neighbors. Same single
+    * prefix-sum window + bounded explode as the packing itself; spans
+    * are pure arithmetic on the running offset ([start_in_seq,
+    * end_in_seq) within the budget-sized sequence). (source, seq_id,
+    * start_in_seq) is unique by construction — document starts strictly
+    * increase within a sequence — so the ordering is total. */
+  def packManifest(spark: SparkSession, dir: String,
+                   budget: Int = PackBudget): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nToks.cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0) // packSequences' descending-range guard
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("off"), col("n_toks"),
+        explode(expr(s"sequence(off div $budget, (off + n_toks - 1) div $budget)"))
+          .as("seq_id"))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("off") - col("seq_id") * budget).as("start_in_seq"),
+        least(lit(budget.toLong),
+          col("off") + col("n_toks") - col("seq_id") * budget).as("end_in_seq"))
+      .orderBy(col("source"), col("seq_id"), col("start_in_seq"), col("doc_id"))
+  }
+
+  val packManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |), o AS (
+       |  SELECT source, doc_id, n_toks,
+       |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM d WHERE n_toks > 0
+       |), x AS (
+       |  SELECT source, doc_id, off, n_toks, s AS seq_id
+       |  FROM o, LATERAL unnest(range(off // $PackBudget,
+       |                               (off + n_toks - 1) // $PackBudget + 1)) AS t(s)
+       |)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |       CAST(greatest(0, off - seq_id * $PackBudget) AS BIGINT) AS start_in_seq,
+       |       CAST(least($PackBudget, off + n_toks - seq_id * $PackBudget) AS BIGINT) AS end_in_seq
+       |FROM x
+       |ORDER BY source, seq_id, start_in_seq, doc_id""".stripMargin
+
   // --- deterministic shard assignment (export layout) -----------------------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */
   val ShardCount: Int = 32
