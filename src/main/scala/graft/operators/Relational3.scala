@@ -675,6 +675,78 @@ object Relational3 {
       .orderBy(col("cntry_grp"))
   }
 
+  // --- TPC-H Q12 shape (priority counts by line status) ---------------------
+  /** Q12 adapted (no shipmode column → l_linestatus carries the grouping
+    * role): per status, how many of a quarter's line items belong to
+    * high-priority orders vs the rest — the join + dual conditional-sum
+    * shape. The priority split is computed in ONE pass over the joined
+    * quarter (two `sum(case)` aggregates, no second scan or self-join). */
+  def sqlQ12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+        "l_shipdate < TIMESTAMP '1996-04-01'"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  val sqlQ12Sql: String =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // --- TPC-H Q14 shape (promo revenue share) --------------------------------
+  /** Q14: the share of one month's revenue from PROMO-typed parts — the
+    * conditional-numerator / total-denominator ratio in ONE aggregation
+    * (no second pass; the part dimension broadcasts into the month
+    * scan). Both sums accumulate DECIMAL(18,2) (order-independent), so
+    * the final division is identical IEEE on identical inputs. */
+  def sqlQ14(spark: SparkSession, dir: String): DataFrame = {
+    val revTerm = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+        "l_shipdate < TIMESTAMP '1996-02-01'"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))), "l_partkey")
+      .agg(
+        expr(s"CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revTerm " +
+          s"ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)").as("promo_rev"),
+        expr(s"CAST(sum($revTerm) AS DOUBLE)").as("total_rev"))
+      .select(
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_revenue_pct"),
+        col("promo_rev"), col("total_rev"))
+  }
+
+  val sqlQ14Sql: String =
+    """SELECT 100.0 * promo_rev / total_rev AS promo_revenue_pct,
+      |       promo_rev, total_rev
+      |FROM (
+      |  SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |              AS DOUBLE) AS total_rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-02-01'
+      |)""".stripMargin
+
   val sqlQ22Sql: String =
     """SELECT c_nationkey % 5 AS cntry_grp, CAST(count(*) AS BIGINT) AS numcust,
       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal

@@ -31,6 +31,29 @@ class PipelineLayoutSpec extends SparkSpec {
     assert(packed.map(_.getLong(3)).sum == corpusToks)
   }
 
+  test("pack_manifest spans tile each sequence exactly (consistency with pack_sequences)") {
+    import org.apache.spark.sql.functions._
+    val manifest = graft.operators.Pipeline.packManifest(spark, sf)
+    // spans are non-empty, inside the budget, and doc starts strictly
+    // increase within a sequence (gap- and overlap-free tiling)
+    val rows = manifest.collect()
+    rows.foreach { r =>
+      val (s0, e0) = (r.getLong(3), r.getLong(4))
+      assert(s0 >= 0 && e0 > s0 && e0 <= graft.operators.Pipeline.PackBudget, r.toString)
+    }
+    // per (source, seq_id): span lengths sum to pack_sequences' n_tokens
+    // and the row count equals its n_docs — the two views must agree
+    val fromManifest = manifest.groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs_m"),
+        sum(col("end_in_seq") - col("start_in_seq")).as("n_tokens_m"))
+    val packed = graft.operators.Pipeline.packSequences(spark, sf)
+    val mismatches = packed.join(fromManifest, Seq("source", "seq_id"), "full_outer")
+      .filter(col("n_docs").isNull || col("n_docs_m").isNull ||
+        col("n_docs") =!= col("n_docs_m") || col("n_tokens") =!= col("n_tokens_m"))
+      .count()
+    assert(mismatches == 0, "manifest and packing manifest disagree")
+  }
+
   test("split_assign partitions the corpus and is stable across runs") {
     val a = Pipeline.splitAssign(spark, sf).collect()
     val b = Pipeline.splitAssign(spark, sf).collect()
