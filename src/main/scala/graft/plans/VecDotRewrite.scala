@@ -3,15 +3,16 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graft.FloatVecDot
+import org.apache.spark.sql.graft.{FloatVecDot, FloatVecSqDist}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-/** Optimizer rule: rewrite the declarative higher-order dot product
+/** Optimizer rule: rewrite the declarative higher-order vector folds
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) }}}
+  * {{{ aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v) }}}
   *
   * (with the usual float→double casts) into the native codegen'd
-  * [[FloatVecDot]]. Lambda-bearing array functions evaluate interpreted,
+  * [[FloatVecDot]] / [[FloatVecSqDist]]. Lambda-bearing array functions evaluate interpreted,
   * one InternalRow per element, outside whole-stage codegen — the
   * measured-17x trap documented on the Similarity operators. With this
   * rule injected (GraftExtensions / `spark.experimental
@@ -85,14 +86,16 @@ object VecDotRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    val assumeNonNull = conf
-      .getConfString("spark.graft.rewriteVecDot.assumeNonNullElements", "false")
-      .toBoolean
-    plan.transformAllExpressions {
+  /** The shared outer shape — a +0.0-seeded double summation fold over
+    * zip_with of two deterministic float arrays — with `body` the
+    * per-element lambda expression. Returns the (a, b, x, y, body) parts
+    * when everything but the element operation matches. */
+  private object VecFold {
+    def unapply(e: Expression): Option[(Expression, Expression,
+        NamedLambdaVariable, NamedLambdaVariable, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(m1, m2, _),
+              LambdaFunction(body,
                 Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             Literal(zero, DoubleType),
             LambdaFunction(Add(s1, s2, _),
@@ -101,16 +104,48 @@ object VecDotRewrite extends Rule[LogicalPlan] {
               Seq(fv: NamedLambdaVariable), _))
           if zero.isInstanceOf[Double] &&
             java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
-            m1.dataType == DoubleType && m2.dataType == DoubleType &&
             floatArray(a) && floatArray(b) &&
             a.deterministic && b.deterministic &&
-            isPair(m1, m2, x, y) && isPair(s1, s2, acc, v) &&
+            isPair(s1, s2, acc, v) &&
             fin.exprId == fv.exprId =>
-        val sizeEq =
-          EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false))
-        val cond = (Seq(sizeEq) ++ noNullElements(a, assumeNonNull) ++
-          noNullElements(b, assumeNonNull)).reduceLeft(And(_, _))
-        If(cond, FloatVecDot(a, b), Literal(null, DoubleType))
+        Some((a, b, x, y, body))
+      case _ => None
+    }
+  }
+
+  private def guarded(a: Expression, b: Expression, assumeNonNull: Boolean,
+                      fused: Expression): Expression = {
+    val sizeEq =
+      EqualTo(Size(a, legacySizeOfNull = false), Size(b, legacySizeOfNull = false))
+    val cond = (Seq(sizeEq) ++ noNullElements(a, assumeNonNull) ++
+      noNullElements(b, assumeNonNull)).reduceLeft(And(_, _))
+    If(cond, fused, Literal(null, DoubleType))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val assumeNonNull = conf
+      .getConfString("spark.graft.rewriteVecDot.assumeNonNullElements", "false")
+      .toBoolean
+    plan.transformAllExpressions {
+      // dot product: (x, y) -> x * y under double casts
+      case VecFold(a, b, x, y, Multiply(m1, m2, _))
+          if m1.dataType == DoubleType && m2.dataType == DoubleType &&
+            isPair(m1, m2, x, y) =>
+        guarded(a, b, assumeNonNull, FloatVecDot(a, b))
+      // squared L2: (x, y) -> (x - y) * (x - y) under double casts. The
+      // square makes operand order free bit-exactly (IEEE negation is
+      // exact), so either subtraction direction rewrites — but both
+      // factors must be the SAME subtraction (a (x-y)*(y-x) product is a
+      // NEGATED square, not a distance). The asymmetric native signature
+      // (float[], double[]) gets its right side from an exact
+      // element-wise float->double cast.
+      case VecFold(a, b, x, y,
+            Multiply(d1 @ Subtract(u1, u2, _), d2: Subtract, _))
+          if d1.dataType == DoubleType && d1.semanticEquals(d2) &&
+            isPair(u1, u2, x, y) =>
+        guarded(a, b, assumeNonNull,
+          FloatVecSqDist(a, Cast(b, ArrayType(DoubleType,
+            b.dataType.asInstanceOf[ArrayType].containsNull))))
     }
   }
 }

@@ -144,6 +144,35 @@ class VecDotRewriteSpec extends SparkSpec {
     }
   }
 
+  test("squared-L2 fold is rewritten to vec_sqdist and stays bit-exact") {
+    val distSql =
+      "aggregate(zip_with(embedding, e2, (x, y) -> (cast(x as double) - cast(y as double)) " +
+        "* (cast(x as double) - cast(y as double))), " +
+        "cast(0 as double), (acc, v) -> acc + v)"
+    def q = frame.selectExpr("vec_id", s"$distSql AS d").orderBy("vec_id")
+    val folded = q.collect() // no rule: the real fold
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val df = q
+      assert(df.queryExecution.optimizedPlan.toString.contains("vec_sqdist"),
+        "sqdist rule did not fire")
+      assert(df.collect().toSeq == folded.toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("a (x-y)*(y-x) product is a negated square — never rewritten") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ VecDotRewrite
+    try {
+      val df = frame.selectExpr("vec_id",
+        "aggregate(zip_with(embedding, e2, (x, y) -> (cast(x as double) - cast(y as double)) " +
+          "* (cast(y as double) - cast(x as double))), " +
+          "cast(0 as double), (acc, v) -> acc + v) AS d")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("vec_sqdist"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("non-deterministic array children are not rewritten") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ VecDotRewrite
