@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Behavioral analytics over the `events` stream — the funnel / cohort /
   * path family every product-analytics deployment of the reference's
@@ -505,6 +505,70 @@ object EventAnalytics {
           }
           state.update(st)
           FunnelProgressLate(uid, st.stage, st.s1, st.s2, st.s3, st.late)
+      }
+  }
+
+  case class FunnelDone(user_id: Long, outcome: String, stage: Int,
+                        s1: Option[Long], s2: Option[Long], s3: Option[Long])
+
+  /** The state-BOUNDED streaming funnel — the variant a 100 TB stream
+    * actually runs, because [[funnelStateful]]'s store grows with every
+    * user ever seen: a user's state is EVICTED the moment it can no
+    * longer change an outcome. Completion evicts immediately (stage 3
+    * emits "converted" and removes — a later journey starts a fresh
+    * funnel); inactivity evicts by EVENT time ("expired" after `idleMs`
+    * with no events, enforced with an EventTimeTimeout against the
+    * stream's watermark — the watermark clock, not the wall clock, so
+    * expiry is deterministic and replayable, and the spec drives it by
+    * injecting event times). Store size is therefore bounded by the
+    * ACTIVE user population, not the historical one.
+    *
+    * Emits one row per completed or expired funnel (append-mode
+    * semantics); in-flight funnels stay silent until resolved. */
+  def funnelStatefulExpiring(evs: Dataset[FunnelEv],
+                             idleMs: Long): Dataset[FunnelDone] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val Seq(t1, t2, t3) = FunnelStages
+    val withTime = evs
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "0 milliseconds")
+    withTime.groupByKey(r => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState[FunnelState, FunnelDone](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(FunnelDone(uid, "expired", st.stage, st.s1, st.s2, st.s3))
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(None, None, None))
+            var maxSeen = Long.MinValue
+            it.toSeq.sortBy(_.getAs[Long]("ts_ms")).foreach { r =>
+              val ts = r.getAs[Long]("ts_ms")
+              maxSeen = math.max(maxSeen, ts)
+              st = r.getAs[String]("event_type") match {
+                case `t1` if st.s1.isEmpty => st.copy(s1 = Some(ts))
+                case `t2` if st.s2.isEmpty && st.s1.exists(ts > _) =>
+                  st.copy(s2 = Some(ts))
+                case `t3` if st.s3.isEmpty && st.s2.exists(ts > _) =>
+                  st.copy(s3 = Some(ts))
+                case _ => st
+              }
+            }
+            if (st.stage == 3) {
+              state.remove() // completion eviction: re-entry starts fresh
+              Iterator.single(FunnelDone(uid, "converted", 3, st.s1, st.s2, st.s3))
+            } else {
+              state.update(st)
+              // the timeout must sit strictly past the current watermark
+              // or the state store rejects it (a late-arriving group call
+              // can see maxSeen + idleMs already expired)
+              state.setTimeoutTimestamp(
+                math.max(maxSeen + idleMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
       }
   }
 

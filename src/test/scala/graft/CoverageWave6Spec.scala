@@ -132,6 +132,40 @@ class CoverageWave6Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStatefulExpiring: completion and idle expiry both evict state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.EventAnalytics.{FunnelEv, FunnelDone}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEv]
+    val q = EventAnalytics.funnelStatefulExpiring(input.toDS(), idleMs = 1500L)
+      .writeStream.format("memory").queryName("funnel_exp").outputMode("append").start()
+    def rows() = spark.table("funnel_exp").as[FunnelDone].collect()
+    try {
+      // batch 1: u1 and u2 both open funnels
+      input.addData(FunnelEv(1, "view", 1000), FunnelEv(2, "view", 1000))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "in-flight funnels stay silent")
+      // batch 2: u1 converts (emit + evict); watermark advances to 3000,
+      // putting u2's timeout (1000 + 1500) in the past
+      input.addData(FunnelEv(1, "click", 2000), FunnelEv(1, "purchase", 3000))
+      q.processAllAvailable()
+      // batch 3: any event lets the expired timeout fire
+      input.addData(FunnelEv(3, "view", 10000))
+      q.processAllAvailable()
+      val byUser = rows().groupBy(_.user_id)
+      assert(byUser(1L).map(_.outcome).toSeq == Seq("converted"))
+      assert(byUser(2L).map(r => (r.outcome, r.stage)).toSeq == Seq(("expired", 1)))
+      // batch 4: u1 re-enters AFTER eviction — a fresh funnel converts
+      // again, proving completion really removed the state
+      input.addData(FunnelEv(1, "view", 11000), FunnelEv(1, "click", 12000),
+        FunnelEv(1, "purchase", 13000))
+      q.processAllAvailable()
+      val u1 = rows().filter(_.user_id == 1L)
+      assert(u1.map(_.outcome).toSeq == Seq("converted", "converted"))
+      assert(u1.map(_.s1).toSet == Set(Some(1000L), Some(11000L)))
+    } finally q.stop()
+  }
+
   test("funnelStatefulLate: equals funnelStateful on in-order data with zero late") {
     val typed = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), col("ts_ms"))
