@@ -355,6 +355,105 @@ object EventAnalytics {
         |WHERE sd > 0 AND abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
         |ORDER BY event_id""".stripMargin
 
+  // --- session-scoped funnel -----------------------------------------------
+  /** Gap shared with the oracle SQL so non-default call sites can't
+    * diverge (same 30 min as the sessionize family). */
+  val SessionFunnelGapMs: Long = 1800000L
+
+  /** [[eventsFunnel]] denominated in SESSIONS: the conversion must
+    * complete within one gap-session (30 min inactivity closes it), the
+    * standard product-analytics framing — a purchase three days after
+    * the view is a new journey, not a conversion. Sessionization is the
+    * lag/running-sum pair over the user-ordered window; the funnel is
+    * the same chained conditional mins re-partitioned by
+    * (user, session).
+    *
+    * Scale shape: one exchange on user_id for the ordered
+    * session-numbering window, one on (user_id, sess_no) feeding all
+    * three funnel windows AND the per-session dedup (same key →
+    * exchange reuse), then the sanctioned one-triple-per-partition
+    * global roll-up. Session partitions are bounded by a user's
+    * per-session activity — never corpus-scale. */
+  def sessionFunnel(spark: SparkSession, dir: String,
+                    gapMs: Long = SessionFunnelGapMs): DataFrame = {
+    val Seq(t1, t2, t3) = FunnelStages
+    val wo = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wo))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sess_no")
+    val staged = sess
+      .withColumn("s1", min(when(col("event_type") === t1, col("ts_ms"))).over(ws))
+      .withColumn("s2", min(when(col("event_type") === t2 &&
+        col("ts_ms") > col("s1"), col("ts_ms"))).over(ws))
+      .withColumn("s3", min(when(col("event_type") === t3 &&
+        col("ts_ms") > col("s2"), col("ts_ms"))).over(ws))
+    staged
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      .agg(count(col("s1")).as("n1"), count(col("s2")).as("n2"),
+        count(col("s3")).as("n3"))
+      .selectExpr(
+        s"""stack(3,
+           |  1, '$t1', n1, CAST(NULL AS DOUBLE),
+           |  2, '$t2', n2, CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END,
+           |  3, '$t3', n3, CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END
+           |) AS (stage_idx, stage, n_sessions, conv_from_prev)""".stripMargin)
+      .orderBy(col("stage_idx"))
+  }
+
+  val sessionFunnelSql: String = {
+    val Seq(t1, t2, t3) = FunnelStages
+    Tables.eventsOracleCte +
+      s""", sl AS (
+         |  SELECT user_id, event_type, ts_ms, event_id,
+         |         lag(ts_ms, 1) OVER (PARTITION BY user_id
+         |                             ORDER BY ts_ms, event_id) AS prev_ts
+         |  FROM ev
+         |), sn AS (
+         |  SELECT user_id, event_type, ts_ms,
+         |         CAST(sum(CASE WHEN prev_ts IS NULL
+         |                       OR ts_ms - prev_ts > $SessionFunnelGapMs
+         |                       THEN 1 ELSE 0 END)
+         |              OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS BIGINT) AS sess_no
+         |  FROM sl
+         |), u1 AS (
+         |  SELECT user_id, sess_no,
+         |         min(CASE WHEN event_type = '$t1' THEN ts_ms END) AS s1
+         |  FROM sn GROUP BY 1, 2
+         |), u2 AS (
+         |  SELECT sn.user_id, sn.sess_no, u1.s1,
+         |         min(CASE WHEN event_type = '$t2' AND ts_ms > s1 THEN ts_ms END) AS s2
+         |  FROM sn JOIN u1 USING (user_id, sess_no) GROUP BY 1, 2, 3
+         |), u3 AS (
+         |  SELECT sn.user_id, sn.sess_no, u2.s1, u2.s2,
+         |         min(CASE WHEN event_type = '$t3' AND ts_ms > s2 THEN ts_ms END) AS s3
+         |  FROM sn JOIN u2 USING (user_id, sess_no) GROUP BY 1, 2, 3, 4
+         |), agg AS (
+         |  SELECT CAST(count(s1) AS BIGINT) AS n1, CAST(count(s2) AS BIGINT) AS n2,
+         |         CAST(count(s3) AS BIGINT) AS n3
+         |  FROM u3
+         |)
+         |SELECT stage_idx, stage, n_sessions, conv_from_prev FROM (
+         |  SELECT 1 AS stage_idx, '$t1' AS stage, n1 AS n_sessions,
+         |         CAST(NULL AS DOUBLE) AS conv_from_prev FROM agg
+         |  UNION ALL
+         |  SELECT 2, '$t2', n2,
+         |         CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END FROM agg
+         |  UNION ALL
+         |  SELECT 3, '$t3', n3,
+         |         CASE WHEN n2 > 0 THEN n3 / CAST(n2 AS DOUBLE) END FROM agg
+         |)
+         |ORDER BY stage_idx""".stripMargin
+  }
+
   // --- robust (MAD) outliers -----------------------------------------------
   /** Robust twin of [[eventsZscore]]: median / median-absolute-deviation
     * instead of mean / stddev, so a burst of extreme values cannot mask

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
   // before the exchange — the tfidf_terms corpus-N shape.
   private val spAllowed = Map("approx_topk_check" -> 1, "tfidf_terms" -> 1,
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
-    "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1, "sql_q14" -> 1)
+    "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1,
+    "sql_q14" -> 1, "session_funnel" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
