@@ -747,6 +747,99 @@ object Relational3 {
       |    AND l_shipdate < TIMESTAMP '1996-02-01'
       |)""".stripMargin
 
+  // --- RFM customer segmentation --------------------------------------------
+  /** Classic recency/frequency/monetary segmentation, built
+    * SCALE-CORRECTLY: the quintile boundaries come from ONE exact
+    * percentile aggregate broadcast back over the customer base — NOT
+    * from `ntile(5) OVER (ORDER BY metric)`, which is a global sort into
+    * a single window partition (the exact hazard PlanGuardSpec exists
+    * for; at 100 TB the percentile pass swaps to approx_percentile in
+    * place). Scores are threshold-rank comparisons (strict > on both
+    * engines; the percentile doubles are bit-identical per the
+    * median_iqr contract, monetary accumulates DECIMAL), recency counts
+    * days from each customer's last order to the corpus's last date.
+    * Segments follow the standard r×f grid. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("monetary"))
+    val corpusMax = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate")).as("corpus_last"))
+    // materialized ONCE: both the threshold pass and the scoring pass
+    // read the per-customer metrics, and without this the whole orders
+    // aggregation subtree (corpus-scale) would be computed twice — the
+    // same cache-the-reduced-table discipline as the ANN trainers
+    val withR = base.crossJoin(broadcast(corpusMax))
+      .select(col("c_custkey"),
+        datediff(col("corpus_last"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint(true)
+    val cuts = withR.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def rank(v: String, q: String): org.apache.spark.sql.Column =
+      (lit(1L) + (0 until 4).map(i =>
+        when(col(v) > element_at(col(q), i + 1), 1L).otherwise(0L)).reduce(_ + _))
+    withR.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(6L) - rank("recency_days", "rq"))
+      .withColumn("f_score", rank("frequency", "fq"))
+      .withColumn("m_score", rank("monetary", "mq"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customerRfmSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_order,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1
+      |), withr AS (
+      |  SELECT c_custkey,
+      |         CAST(date_diff('day', last_order,
+      |                        (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+      |         frequency, monetary
+      |  FROM base
+      |), cuts AS (
+      |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+      |         quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fq,
+      |         quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mq
+      |  FROM withr
+      |), scored AS (
+      |  SELECT c_custkey, recency_days, frequency, monetary,
+      |         6 - (1 + CAST(recency_days > rq[1] AS INT) + CAST(recency_days > rq[2] AS INT)
+      |                + CAST(recency_days > rq[3] AS INT) + CAST(recency_days > rq[4] AS INT))
+      |           AS r_score,
+      |         1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+      |           + CAST(frequency > fq[3] AS INT) + CAST(frequency > fq[4] AS INT) AS f_score,
+      |         1 + CAST(monetary > mq[1] AS INT) + CAST(monetary > mq[2] AS INT)
+      |           + CAST(monetary > mq[3] AS INT) + CAST(monetary > mq[4] AS INT) AS m_score
+      |  FROM withr CROSS JOIN cuts
+      |)
+      |SELECT c_custkey, recency_days, frequency, monetary,
+      |       CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |       CAST(m_score AS BIGINT) AS m_score,
+      |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+      |            WHEN r_score >= 3 AND f_score >= 4 THEN 'loyal'
+      |            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+      |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |            ELSE 'regular' END AS segment
+      |FROM scored
+      |ORDER BY c_custkey""".stripMargin
+
   val sqlQ22Sql: String =
     """SELECT c_nationkey % 5 AS cntry_grp, CAST(count(*) AS BIGINT) AS numcust,
       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
