@@ -442,6 +442,70 @@ object TextAnalytics {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram LM score — [[lmScore]] upgraded to first-order context:
+    * each document's mean log P(w2 | w1) under the corpus's own bigram
+    * MLE (c(w1,w2) / c(w1·), both exact integers; every document bigram
+    * exists in the corpus counts by construction, so the MLE needs no
+    * smoothing floor). The quality-filter signal this adds over the
+    * unigram score is word ORDER: scrambled or templated text keeps its
+    * unigram distribution but collapses its bigram likelihood. Same
+    * transcendental contract as lmScore: each ln quantizes to
+    * DECIMAL(18,6), the per-doc sum is DECIMAL (order-independent), one
+    * double division at the end.
+    *
+    * Scale shape: bigram extraction is a per-row transform (no join);
+    * the model tables are two aggregations of the SAME (doc, w1, w2)
+    * counts, and the scoring join keys on the bigram — left to the
+    * planner (a bigram vocabulary is NOT safely broadcast-sized at
+    * corpus scale, unlike the unigram vocab). The `size >= 2` guard is
+    * the packSequences descending-sequence rule. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("f"))
+    val cb = bgf.groupBy(col("w1"), col("w2")).agg(sum(col("f")).as("c12"))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bgf.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("term", expr(
+        "cast(f as decimal(18,6)) * " +
+          "cast(ln(cast(c12 as double) / cast(c1 as double)) as decimal(18,6))"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_bigrams"), sum(col("term")).as("lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (expr("cast(lp as double)") / col("n_bigrams").cast("double")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM d, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      |), bgf AS (
+      |  SELECT doc_id, w1, w2, count(*) AS f FROM bg GROUP BY 1, 2, 3
+      |), cb AS (
+      |  SELECT w1, w2, CAST(sum(f) AS BIGINT) AS c12 FROM bgf GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1
+      |), terms AS (
+      |  SELECT doc_id, f,
+      |         CAST(f AS DECIMAL(18,6)) *
+      |           CAST(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS DECIMAL(18,6)) AS term
+      |  FROM bgf JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+      |)
+      |SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(term) AS DOUBLE) / CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) AS avg_logp
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- per-document token entropy -------------------------------------------
   /** Shannon entropy of each document's own token distribution — the
     * repetition/diversity signal that complements [[repetitionScore]]'s
