@@ -506,6 +506,71 @@ object TextAnalytics {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Minimum bigram support for [[collocations]], shared with the twin. */
+  val CollocationMinCount: Int = 5
+
+  /** Collocation extraction via pointwise mutual information: the token
+    * pairs that co-occur far more than their positional frequencies
+    * predict — PMI = ln(c12·N / (c1·c2)) with c1/c2 the word's count in
+    * the left/right bigram slot and N the corpus bigram total, floored
+    * at `CollocationMinCount` occurrences (raw PMI over-rewards hapax
+    * pairs). The corpus-curation use is multiword-expression and
+    * boilerplate-phrase discovery. PMI quantizes to DECIMAL(18,6)
+    * BEFORE the ranking (the tfidf transcendental-ordering contract),
+    * and (pmi DESC, w1, w2) is a total order.
+    *
+    * Scale shape: everything derives from the corpus bigram-count table
+    * (one extraction scan + one aggregation); slot marginals are two
+    * re-aggregations of that table, joined back on their word keys; N
+    * is the one-row broadcast scalar. */
+  def collocations(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val cb = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = cb.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = cb.agg(sum(col("c12")).as("n_bigrams"))
+    cb.filter(col("c12") >= CollocationMinCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", expr(
+        "cast(cast(ln((cast(c12 as double) * cast(n_bigrams as double)) / " +
+          "(cast(c1 as double) * cast(c2 as double))) as decimal(18,6)) as double)"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val collocationsSql: String =
+    s"""WITH d AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2
+       |), bg AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM d, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+       |), cb AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1
+       |), c2 AS (
+       |  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams FROM cb
+       |)
+       |SELECT w1, w2, c12,
+       |       CAST(CAST(ln((CAST(c12 AS DOUBLE) * CAST(n_bigrams AS DOUBLE)) /
+       |                    (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+       |                 AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+       |FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+       |WHERE c12 >= $CollocationMinCount
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT 20""".stripMargin
+
   // --- per-document token entropy -------------------------------------------
   /** Shannon entropy of each document's own token distribution — the
     * repetition/diversity signal that complements [[repetitionScore]]'s

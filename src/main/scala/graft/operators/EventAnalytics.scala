@@ -355,6 +355,52 @@ object EventAnalytics {
         |WHERE sd > 0 AND abs((CAST(v AS DOUBLE) - mean) / sd) >= 3
         |ORDER BY event_id""".stripMargin
 
+  // --- time-decayed trending score -----------------------------------------
+  /** Half-life shared with the oracle SQL. */
+  val TrendHalfLifeDays: Double = 7.0
+
+  /** Exponentially time-decayed event counts per type — the "trending"
+    * ranking (an event today counts 1, one half-life ago counts 0.5, …):
+    * recency-weighted popularity in ONE scan, no windowing, no
+    * per-period sub-aggregation. Each decay weight quantizes to
+    * DECIMAL(18,6) immediately after the transcendental (the lmScore
+    * contract — the sum is then order-independent and engine-identical),
+    * and the reference "now" is the corpus max timestamp (broadcast
+    * one-row scalar), so the query is a pure function of the data.
+    *
+    * Scale shape: scan → per-type partial sums → 5-row result. The
+    * incremental form at 100 TB is the same math: decayed sums compose
+    * (S(t+Δ) = S(t)·2^(-Δ/h) + new events), so daily partials merge. */
+  def trendingEvents(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.events(spark, dir).agg(max(col("ts_ms")).as("max_ts"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ms"))
+      .crossJoin(broadcast(mx))
+      .withColumn("w", expr(
+        s"cast(exp(-(ln(2.0) * ((cast(max_ts as double) - cast(ts_ms as double)) " +
+          s"/ 86400000.0)) / $TrendHalfLifeDays) as decimal(18,6))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(w) as double)").as("trend_score"))
+      .orderBy(col("trend_score").desc, col("event_type"))
+  }
+
+  val trendingEventsSql: String =
+    Tables.eventsOracleCte +
+      s""", mx AS (
+         |  SELECT max(ts_ms) AS max_ts FROM ev
+         |), q AS (
+         |  SELECT event_type,
+         |         CAST(exp(-(ln(2.0) * ((CAST(max_ts AS DOUBLE) - CAST(ts_ms AS DOUBLE))
+         |                               / 86400000.0)) / $TrendHalfLifeDays)
+         |              AS DECIMAL(18,6)) AS w
+         |  FROM ev CROSS JOIN mx
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(w) AS DOUBLE) AS trend_score
+         |FROM q GROUP BY 1
+         |ORDER BY trend_score DESC, event_type""".stripMargin
+
   // --- session-scoped funnel -----------------------------------------------
   /** Gap shared with the oracle SQL so non-default call sites can't
     * diverge (same 30 min as the sessionize family). */

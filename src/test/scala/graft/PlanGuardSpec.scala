@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
   private val bnljAllowed = Map("ann_brute_force" -> 1, "kmeans_assign" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
-    "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1)
+    "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1,
+    "txt_collocations" -> 1, "trending_events" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -41,7 +42,8 @@ class PlanGuardSpec extends SparkSpec {
   private val spAllowed = Map("approx_topk_check" -> 1, "tfidf_terms" -> 1,
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
     "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1,
-    "sql_q14" -> 1, "session_funnel" -> 1, "customer_rfm" -> 1)
+    "sql_q14" -> 1, "session_funnel" -> 1, "customer_rfm" -> 1,
+    "txt_collocations" -> 1, "trending_events" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
