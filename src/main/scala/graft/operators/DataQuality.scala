@@ -183,4 +183,45 @@ object DataQuality {
       |SELECT check_name, n_violations, n_violations = 0 AS passed
       |FROM checks
       |ORDER BY check_name""".stripMargin
+
+  // --- embedding-column hygiene ---------------------------------------------
+  /** Vector-column data quality per label — the check the relational
+    * profiles can't see and broken embeddings fail SILENTLY in ANN
+    * (a zero vector cosines to NaN and vanishes from every top-k; a
+    * wrong-dimension vector truncates the distance loop): per label,
+    * vector count, zero-norm count, off-dimension count, and the norm
+    * range. Norms quantize to DECIMAL(18,6) (exact min/max ordering,
+    * engine-identical); the squared norm comes from the codegen'd
+    * FloatVecDot, bit-equal to the oracle's fold. One scan, one 10-row
+    * aggregation. */
+  def embNormStats(spark: SparkSession, dir: String, dims: Int = 64): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("label"),
+        sqrt(org.apache.spark.sql.graft.VectorFunctions
+          .vec_dot(col("embedding"), col("embedding")))
+          .cast("decimal(18,6)").as("nrm"),
+        size(col("embedding")).as("dim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("dim") =!= dims, 1L).otherwise(0L)).as("n_bad_dim"),
+        expr("cast(min(nrm) as double)").as("min_norm"),
+        expr("cast(max(nrm) as double)").as("max_norm"))
+      .orderBy(col("label"))
+
+  val embNormStatsSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |         CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |              AS DECIMAL(18,6)) AS nrm,
+      |         len(embedding) AS dim
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+      |       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+      |       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+      |       CAST(min(nrm) AS DOUBLE) AS min_norm,
+      |       CAST(max(nrm) AS DOUBLE) AS max_norm
+      |FROM q GROUP BY 1
+      |ORDER BY label""".stripMargin
 }
