@@ -22,9 +22,10 @@ object BenchDispatch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // requests are submitted concurrently (Dispatch.run's pool); FAIR
-      // lets the small per-request jobs time-share executor slots instead
-      // of queueing whole jobs FIFO
+      // requests are submitted concurrently (Dispatch.run's pool, one
+      // scheduler pool per worker thread) — FAIR shares slots BETWEEN
+      // those pools, so small per-request jobs time-share instead of
+      // queueing whole jobs FIFO
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,16 +45,18 @@ object BenchDispatch {
     }.toDF("request_id", "aggregation_function", "message")
     // warmup: one tiny pass compiles the three analytics' codegen
     Dispatch.run(spark, sfDir, requests.limit(3), s"$base/warm_csv", s"$base/warm_ledger")
-    // serial reference pass, then the concurrent pass (the default path) —
-    // one artifact carries its own speedup evidence
+    // CONCURRENT pass first, serial reference second: whatever JIT/page-
+    // cache warmth the first full pass leaves behind then favors the
+    // SERIAL baseline, so the reported speedup is the conservative bound
+    // (measuring serial first would inflate it)
+    val t1 = System.nanoTime()
+    val done = Dispatch.run(spark, sfDir, requests, s"$base/csv", s"$base/ledger")
+    val sec = (System.nanoTime() - t1) / 1e9
     spark.conf.set("spark.graft.dispatch.parallelism", "1")
     val t0 = System.nanoTime()
     val serial = Dispatch.run(spark, sfDir, requests, s"$base/csv_serial", s"$base/ledger_serial")
     val serialSec = (System.nanoTime() - t0) / 1e9
     spark.conf.unset("spark.graft.dispatch.parallelism")
-    val t1 = System.nanoTime()
-    val done = Dispatch.run(spark, sfDir, requests, s"$base/csv", s"$base/ledger")
-    val sec = (System.nanoTime() - t1) / 1e9
     assert(done.map(_._1) == serial.map(_._1), "concurrent pass must fulfill the same requests in order")
     println(f"""{"metric":"dispatch_100req","value":$sec%.3f,"unit":"sec","fulfilled":${done.size},"per_request_sec":${sec / n}%.4f,"serial_sec":$serialSec%.3f,"speedup":${serialSec / sec}%.2f,"sf":"$sfDir"}""")
     spark.stop()

@@ -523,7 +523,11 @@ object TextAnalytics {
     * (one extraction scan + one aggregation); slot marginals are two
     * re-aggregations of that table, joined back on their word keys; N
     * is the one-row broadcast scalar. */
-  def collocations(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  /** Result size shared with the twin's LIMIT. */
+  val CollocationTopK: Int = 20
+
+  def collocations(spark: SparkSession, dir: String,
+                   k: Int = CollocationTopK): DataFrame = {
     val cb = Tables.documents(spark, dir)
       .withColumn("t", toks)
       .filter(size(col("t")) >= 2)
@@ -569,7 +573,7 @@ object TextAnalytics {
        |FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
        |WHERE c12 >= $CollocationMinCount
        |ORDER BY pmi DESC, w1, w2
-       |LIMIT 20""".stripMargin
+       |LIMIT $CollocationTopK""".stripMargin
 
   // --- per-document token entropy -------------------------------------------
   /** Shannon entropy of each document's own token distribution — the

@@ -194,7 +194,10 @@ object DataQuality {
     * engine-identical); the squared norm comes from the codegen'd
     * FloatVecDot, bit-equal to the oracle's fold. One scan, one 10-row
     * aggregation. */
-  def embNormStats(spark: SparkSession, dir: String, dims: Int = 64): DataFrame =
+  /** Expected embedding dimension, shared with the oracle SQL. */
+  val EmbDims: Int = 64
+
+  def embNormStats(spark: SparkSession, dir: String, dims: Int = EmbDims): DataFrame =
     graft.Tables.embeddings(spark, dir)
       .select(col("label"),
         sqrt(org.apache.spark.sql.graft.VectorFunctions
@@ -210,7 +213,7 @@ object DataQuality {
       .orderBy(col("label"))
 
   val embNormStatsSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT label,
       |         CAST(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
       |              AS DECIMAL(18,6)) AS nrm,
@@ -219,7 +222,7 @@ object DataQuality {
       |)
       |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
       |       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-      |       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+      |       CAST(sum(CASE WHEN dim <> $EmbDims THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
       |       CAST(min(nrm) AS DOUBLE) AS min_norm,
       |       CAST(max(nrm) AS DOUBLE) AS max_norm
       |FROM q GROUP BY 1

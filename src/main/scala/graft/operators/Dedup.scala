@@ -276,8 +276,11 @@ object Dedup {
     * candidates via minhash of the SMALLER side's shingles, since
     * one-sided normalization keeps LSH-able form). (containment DESC,
     * contained, container) is a total order on directed pairs. */
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val ContainmentThreshold: Double = 0.03
+
   def containment(spark: SparkSession, dir: String,
-                  threshold: Double = 0.03): DataFrame = {
+                  threshold: Double = ContainmentThreshold): DataFrame = {
     val docs  = Tables.documents(spark, dir).filter(col("source") === "src0")
     val sh    = shingleRows(docs)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -299,7 +302,7 @@ object Dedup {
   }
 
   val containmentSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS t
       |  FROM documents WHERE source = 'src0'
       |), sh AS (
@@ -328,7 +331,7 @@ object Dedup {
       |  FROM joined
       |)
       |SELECT contained, container, inter, n_contained, containment
-      |FROM directed WHERE containment >= 0.03
+      |FROM directed WHERE containment >= $ContainmentThreshold
       |ORDER BY containment DESC, contained, container""".stripMargin
 
   // --- MinHash + LSH (scalable near-dup candidates; rows-only check) -------
@@ -456,8 +459,15 @@ object Dedup {
     // otherwise pin a shingle explosion + signature table in executor
     // storage per invocation with no unpersist (the r3 review's storage
     // leak, the likely mechanism behind BENCH_r03's inflated g–p band).
-    if (!checkpoint) result // spec-only: the LIVE plan, for shape audits
-    else {
+    if (!checkpoint) {
+      // spec-only: the LIVE plan, for shape audits. The caches still
+      // release — unpersist is lazy and leaves the frame computable
+      // (just uncached), so no storage pins outlive the call (the r3
+      // leak this block's checkpoint path exists to prevent).
+      sh.unpersist()
+      sigCached.unpersist()
+      result
+    } else {
       val out = result.localCheckpoint(true)
       sh.unpersist()
       sigCached.unpersist()

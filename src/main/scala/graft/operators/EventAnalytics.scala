@@ -515,7 +515,10 @@ object EventAnalytics {
     * z-score, deliberately NOT a per-type window. Exact medians sort per
     * group; at 100 TB swap approx_percentile into the same plan (the
     * approx_pctl_check contract). */
-  def eventsMad(spark: SparkSession, dir: String, k: Double = 6.0): DataFrame = {
+  /** Outlier multiplier shared with the oracle SQL. */
+  val MadK: Double = 6.0
+
+  def eventsMad(spark: SparkSession, dir: String, k: Double = MadK): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"),
         expr("cast(cast(round(value, 6) as decimal(18,6)) as double)").as("v"))
@@ -536,7 +539,7 @@ object EventAnalytics {
 
   val eventsMadSql: String =
     Tables.eventsOracleCte +
-      """, q AS (
+      s""", q AS (
         |  SELECT event_id, event_type, value,
         |         CAST(CAST(round(value, 6) AS DECIMAL(18,6)) AS DOUBLE) AS v
         |  FROM ev
@@ -551,7 +554,7 @@ object EventAnalytics {
         |FROM q
         |JOIN med ON q.event_type = med.event_type
         |JOIN mad ON q.event_type = mad.event_type
-        |WHERE mad.mad > 0 AND abs(v - med.med) > mad.mad * 6.0
+        |WHERE mad.mad > 0 AND abs(v - med.med) > mad.mad * $MadK
         |ORDER BY event_id""".stripMargin
 
   // --- stateful streaming funnel tracker -----------------------------------
@@ -689,6 +692,11 @@ object EventAnalytics {
           } else {
             var st = state.getOption.getOrElse(FunnelState(None, None, None))
             var maxSeen = Long.MinValue
+            val done = scala.collection.mutable.ArrayBuffer.empty[FunnelDone]
+            // completion is checked PER EVENT, not per batch: a journey
+            // that completes mid-batch emits and resets immediately, so
+            // trailing events open the next funnel — output must not
+            // depend on where the micro-batch boundary happens to fall
             it.toSeq.sortBy(_.getAs[Long]("ts_ms")).foreach { r =>
               val ts = r.getAs[Long]("ts_ms")
               maxSeen = math.max(maxSeen, ts)
@@ -700,10 +708,13 @@ object EventAnalytics {
                   st.copy(s3 = Some(ts))
                 case _ => st
               }
+              if (st.stage == 3) {
+                done += FunnelDone(uid, "converted", 3, st.s1, st.s2, st.s3)
+                st = FunnelState(None, None, None) // completion eviction
+              }
             }
-            if (st.stage == 3) {
-              state.remove() // completion eviction: re-entry starts fresh
-              Iterator.single(FunnelDone(uid, "converted", 3, st.s1, st.s2, st.s3))
+            if (st == FunnelState(None, None, None) && done.nonEmpty) {
+              state.remove() // nothing in flight after the last completion
             } else {
               state.update(st)
               // the timeout must sit strictly past the current watermark
@@ -711,8 +722,8 @@ object EventAnalytics {
               // can see maxSeen + idleMs already expired)
               state.setTimeoutTimestamp(
                 math.max(maxSeen + idleMs, state.getCurrentWatermarkMs() + 1))
-              Iterator.empty
             }
+            done.iterator
           }
       }
   }

@@ -1007,7 +1007,10 @@ object Similarity {
     * so absolute recalls here are floors, not representative numbers;
     * the spec pins trained-PQ ≥ stand-in-PQ on this fixture, the
     * direction that must survive any corpus. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // k is NOT a parameter: every component twin pins its own top-10,
+    // so a different k here would silently diverge from all five oracles
+    val k = 10
     val bf = annBruteForce(spark, dir, k).select(col("q_id"), col("vec_id"))
     def hits(cand: DataFrame, name: String): DataFrame = cand
       .select(col("q_id"), col("vec_id"), lit(1L).as(name))

@@ -126,12 +126,15 @@ object Dispatch {
       case Left(None) => None // unknown function: silent skip
     }
     // The requests are independent DataFrame jobs, so the pass submits
-    // them from a bounded driver-side pool and lets Spark's scheduler
-    // interleave their stages (with spark.scheduler.mode=FAIR they
-    // time-share; even under FIFO small jobs pipeline behind each other's
-    // planning). Results are joined in request_id order, so fulfillment
-    // order — and therefore the ledger and every spec — is identical to
-    // the serial loop. Failure isolation is per-request, unchanged.
+    // them from a bounded driver-side pool. Each worker thread claims its
+    // OWN scheduler pool (a thread-local Spark property): under
+    // spark.scheduler.mode=FAIR, fair sharing applies BETWEEN pools —
+    // jobs inside one pool (including the default pool) still queue FIFO,
+    // so without this the conf would be a no-op. Under the default FIFO
+    // mode the property is harmless and concurrency still overlaps
+    // planning with execution. Results are joined in request_id order,
+    // so fulfillment order — and therefore the ledger and every spec —
+    // is identical to the serial loop. Failure isolation is per-request.
     val par = spark.conf.getOption("spark.graft.dispatch.parallelism")
       .map(_.toInt).getOrElse(8).max(1)
     val fulfilled: Seq[(Long, String)] =
@@ -141,7 +144,12 @@ object Dispatch {
           math.min(par, todo.length))
         try {
           val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val fs = todo.map(req => scala.concurrent.Future(runOne(req))(ec))
+          val fs = todo.map(req => scala.concurrent.Future {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+              s"dispatch-${Thread.currentThread().getId}")
+            try runOne(req)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }(ec))
           fs.flatMap(f => scala.concurrent.Await.result(
             f, scala.concurrent.duration.Duration.Inf)).toSeq
         } finally pool.shutdown()

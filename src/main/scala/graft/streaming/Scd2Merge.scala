@@ -41,8 +41,16 @@ object Scd2Merge {
   def mergeBatch(batch: DataFrame, tableDir: String): Unit = {
     if (batch.isEmpty) return // an empty micro-batch must not rewrite the table
     val spark = batch.sparkSession
+    // Only a genuinely ABSENT table means bootstrap. A catch-all here
+    // would turn any transient read failure on an EXISTING table into
+    // "no table", and the swap below would then replace the whole
+    // dimension with just this batch's users and delete the backup —
+    // silent loss of every untouched user's history. Any other read
+    // error must abort the batch (foreachBatch retries it).
+    val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(tableDir)) catch { case _: Exception => None }
+      if (tableFs.exists(tablePath)) Some(spark.read.parquet(tableDir)) else None
     val affected = batch.select(col("user_id")).distinct()
     val oldAsEvents = existing.map(
       _.join(affected, Seq("user_id"), "left_semi")

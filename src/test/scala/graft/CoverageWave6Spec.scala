@@ -178,6 +178,23 @@ class CoverageWave6Spec extends SparkSpec {
       val u1 = rows().filter(_.user_id == 1L)
       assert(u1.map(_.outcome).toSeq == Seq("converted", "converted"))
       assert(u1.map(_.s1).toSet == Set(Some(1000L), Some(11000L)))
+      // batch 5: TWO complete journeys plus a trailing view in ONE batch —
+      // completion is per event, so both emit and the trailing view opens
+      // funnel #3 (output must not depend on micro-batch boundaries)
+      input.addData( // all past the current watermark (13000), else dropped
+        FunnelEv(4, "view", 20100), FunnelEv(4, "click", 20200), FunnelEv(4, "purchase", 20300),
+        FunnelEv(4, "view", 20400), FunnelEv(4, "click", 20500), FunnelEv(4, "purchase", 20600),
+        FunnelEv(4, "view", 20700))
+      q.processAllAvailable()
+      val u4 = rows().filter(_.user_id == 4L)
+      assert(u4.map(_.outcome).toSeq == Seq("converted", "converted"))
+      assert(u4.map(_.s1).toSet == Set(Some(20100L), Some(20400L)))
+      // the trailing view's in-flight funnel then expires once the
+      // watermark passes (any later event advances it)
+      input.addData(FunnelEv(5, "view", 60000))
+      q.processAllAvailable()
+      val u4b = rows().filter(r => r.user_id == 4L && r.outcome == "expired")
+      assert(u4b.map(r => (r.stage, r.s1)).toSeq == Seq((1, Some(20700L))))
     } finally q.stop()
   }
 
