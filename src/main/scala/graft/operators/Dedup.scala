@@ -264,6 +264,71 @@ object Dedup {
       |) WHERE jaccard >= 0.02
       |ORDER BY jaccard DESC, d1, d2""".stripMargin
 
+  // --- corpus snapshot diff -------------------------------------------------
+  /** Hash-based diff of two corpus snapshots — the primitive every
+    * incremental pipeline runs between crawls: per document id, classify
+    * added / removed / changed / same by comparing content hashes across
+    * a full-outer join, rolled up per source. At 100 TB only (id, md5)
+    * pairs cross the exchange — the documents themselves never move,
+    * which is the entire point of hashing before diffing. */
+  private[graft] def snapshotDiffFrom(oldSnap: DataFrame,
+                                      newSnap: DataFrame): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), col("source").as("src_old"),
+      md5(col("text")).as("h_old"))
+    val b = newSnap.select(col("doc_id"), col("source").as("src_new"),
+      md5(col("text")).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_old"), col("src_new")).as("source"),
+        when(col("h_new").isNull, "removed")
+          .when(col("h_old").isNull, "added")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+      .orderBy(col("source"))
+  }
+
+  /** Registered form: the corpus diffed against a deterministic edited
+    * view of itself (every 10th document dropped, every 7th survivor's
+    * text revision-marked) — the fixture has one snapshot, so the second
+    * is derived; the operator itself takes any two. The fixture
+    * exercises removed/changed/same; `added` is the symmetric branch of
+    * the same full-outer classification. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edited = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    snapshotDiffFrom(docs, edited)
+  }
+
+  val snapshotDiffSql: String =
+    """WITH oldsnap AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents
+      |), newsnap AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |), d AS (
+      |  SELECT COALESCE(o.source, n.source) AS source,
+      |         CASE WHEN n.h IS NULL THEN 'removed'
+      |              WHEN o.h IS NULL THEN 'added'
+      |              WHEN o.h <> n.h THEN 'changed'
+      |              ELSE 'same' END AS status
+      |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+      |)
+      |SELECT source,
+      |       CAST(sum(CASE WHEN status = 'added'   THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(sum(CASE WHEN status = 'same'    THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+      |FROM d GROUP BY 1
+      |ORDER BY source""".stripMargin
+
   // --- asymmetric shingle containment (doc-inside-doc) ----------------------
   /** Directed containment C(A,B) = |shingles(A) ∩ shingles(B)| / |A|: the
     * inclusion detector Jaccard structurally misses — a short document
