@@ -747,6 +747,74 @@ object Relational3 {
       |    AND l_shipdate < TIMESTAMP '1996-02-01'
       |)""".stripMargin
 
+  // --- winsorized moments ---------------------------------------------------
+  /** Winsorized mean/stddev of extended price per line status: values
+    * clamp to their group's [p05, p95] band before the moments — the
+    * robust-statistics middle ground between raw moments (outlier-
+    * dominated) and [[medianIqr]] (discards magnitude entirely). Two
+    * passes: the per-group quantile bounds (a handful of rows, broadcast
+    * back), then the clamped DECIMAL-quantized moment accumulation —
+    * the eventsZscore contract exactly (scale-6 re-quantization before
+    * the double cast, precision 38, variance clamped ≥ 0), so mean and
+    * sd are bit-identical across engines. At 100 TB the bounds pass
+    * swaps to approx_percentile in place. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("q"))
+      .select(col("l_linestatus"),
+        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+      .join(broadcast(qs), "l_linestatus")
+      // winsorize to INTEGER dollars: relative to a p05/p95 clamp the
+      // cent digits are noise, and integer quantization is what makes
+      // the moments exactly portable — every downstream value (v, v*v,
+      // both sums) is then an exact integer decimal: no scale reduction
+      // (whose rounding mode differs between engines: Spark half-up,
+      // DuckDB truncating) and no backing integer past 2^53 (the
+      // decimal->double double-rounding trap) anywhere in the plan.
+      // Exactness bound: ss stays under 2^53 through ~1e9 rows per group
+      // at these magnitudes; past that, shift the clamp to coarser units
+      // (the same trade at the next decade)
+      .withColumn("v", expr(
+        "cast(round(least(greatest(l_extendedprice, lo), hi), 0) as decimal(18,0))"))
+      .groupBy(col("l_linestatus"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(v) as double)").as("s"),
+        expr("cast(sum(v * v) as double)").as("ss"))
+      .select(col("l_linestatus"), col("n"), col("lo"), col("hi"),
+        (col("s") / col("n")).as("w_mean"),
+        sqrt(greatest((col("ss") - col("s") * col("s") / col("n")) / col("n"),
+          lit(0.0))).as("w_sd"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH qs AS (
+      |  SELECT l_linestatus,
+      |         quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1
+      |), v AS (
+      |  SELECT l_linestatus, lo, hi,
+      |         CAST(round(least(greatest(l_extendedprice, lo), hi), 0)
+      |              AS DECIMAL(18,0)) AS v
+      |  FROM lineitem JOIN qs USING (l_linestatus)
+      |), m AS (
+      |  SELECT l_linestatus, lo, hi, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(v) AS DOUBLE) AS s,
+      |         -- one operand widened so the exact integer product fits
+      |         -- precision 38 without DuckDB's silent DOUBLE fallback
+      |         CAST(sum(CAST(v AS DECIMAL(19,0)) * v) AS DOUBLE) AS ss
+      |  FROM v GROUP BY 1, 2, 3
+      |)
+      |SELECT l_linestatus, n, lo, hi,
+      |       s / n AS w_mean,
+      |       sqrt(greatest((ss - s * s / n) / n, 0)) AS w_sd
+      |FROM m
+      |ORDER BY l_linestatus""".stripMargin
+
   // --- RFM customer segmentation --------------------------------------------
   /** Classic recency/frequency/monetary segmentation, built
     * SCALE-CORRECTLY: the quintile boundaries come from ONE exact
