@@ -72,19 +72,24 @@ object Sampling {
 
   // --- weighted sampling without replacement (Efraimidis–Spirakis) ----------
   /** Keep the K smallest (priority, id, payload) triples — BottomK for
-    * long-scaled priorities carrying one payload column. */
+    * long-scaled priorities carrying one payload column. The buffer is
+    * ordered by the FULL triple, so the O(1) rejection below and the
+    * sort agree on every key: a candidate that ties buf.last on
+    * (priority, id) is rejected only if it also loses on payload.
+    * (In practice t._2 is the unique doc_id, so (t._1, t._2) ties are
+    * impossible — the full-triple order just makes that a non-issue.) */
   class BottomKWeighted(k: Int) extends Aggregator[(String, Long, Long, Long),
       List[(Long, Long, Long)], Seq[(Long, Long)]] {
     override def zero: List[(Long, Long, Long)] = Nil
     private def trim(l: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
-      l.sortBy(t => (t._1, t._2)).take(k)
+      l.sorted.take(k)
     // Sorted-buffer invariant (see BottomK): O(1) rejection of rows that
-    // can't beat the current k-th smallest priority.
+    // can't beat the current k-th smallest triple.
     override def reduce(buf: List[(Long, Long, Long)],
                         in: (String, Long, Long, Long)): List[(Long, Long, Long)] = {
       val cand = (in._2, in._3, in._4)
       if (buf.lengthCompare(k) < 0 ||
-          Ordering[(Long, Long)].lt((cand._1, cand._2), (buf.last._1, buf.last._2)))
+          Ordering[(Long, Long, Long)].lt(cand, buf.last))
         trim(cand :: buf)
       else buf
     }
@@ -92,7 +97,7 @@ object Sampling {
                        b: List[(Long, Long, Long)]): List[(Long, Long, Long)] =
       trim(a ++ b)
     override def finish(buf: List[(Long, Long, Long)]): Seq[(Long, Long)] =
-      buf.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3))
+      buf.sorted.map(t => (t._2, t._3))
     override def bufferEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long, Long)]]()
     override def outputEncoder =

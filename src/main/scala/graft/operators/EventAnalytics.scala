@@ -558,7 +558,12 @@ object EventAnalytics {
         |ORDER BY event_id""".stripMargin
 
   // --- stateful streaming funnel tracker -----------------------------------
-  case class FunnelEv(user_id: Long, event_type: String, ts_ms: Long)
+  /** event_id defaults to 0 for sources that don't carry one; when
+    * present it is the (ts_ms, event_id) tiebreak that makes equal-
+    * timestamp ordering deterministic across runs (the batch twin's
+    * total order). */
+  case class FunnelEv(user_id: Long, event_type: String, ts_ms: Long,
+                      event_id: Long = 0L)
   case class FunnelState(s1: Option[Long], s2: Option[Long], s3: Option[Long]) {
     def stage: Int = Seq(s1, s2, s3).takeWhile(_.isDefined).size
   }
@@ -587,7 +592,7 @@ object EventAnalytics {
       .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout) {
         (uid, it, state) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
             st = e.event_type match {
               case `t1` if st.s1.isEmpty => st.copy(s1 = Some(e.ts_ms))
               case `t2` if st.s2.isEmpty && st.s1.exists(e.ts_ms > _) =>
@@ -637,7 +642,10 @@ object EventAnalytics {
         (uid, it, state) =>
           var st = state.getOption.getOrElse(
             FunnelStateLate(None, None, None, Long.MinValue, 0L))
-          it.toSeq.sortBy(_.ts_ms).foreach { e =>
+          // (ts_ms, event_id) — the same total order as the batch twin,
+          // so equal-timestamp events within a micro-batch apply in a
+          // deterministic order, not arrival order.
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
             if (e.ts_ms < st.maxSeen) {
               st = st.copy(late = st.late + 1)
             } else {
@@ -697,7 +705,8 @@ object EventAnalytics {
             // that completes mid-batch emits and resets immediately, so
             // trailing events open the next funnel — output must not
             // depend on where the micro-batch boundary happens to fall
-            it.toSeq.sortBy(_.getAs[Long]("ts_ms")).foreach { r =>
+            it.toSeq.sortBy(r => (r.getAs[Long]("ts_ms"),
+              r.getAs[Long]("event_id"))).foreach { r =>
               val ts = r.getAs[Long]("ts_ms")
               maxSeen = math.max(maxSeen, ts)
               st = r.getAs[String]("event_type") match {
@@ -713,8 +722,13 @@ object EventAnalytics {
                 st = FunnelState(None, None, None) // completion eviction
               }
             }
-            if (st == FunnelState(None, None, None) && done.nonEmpty) {
-              state.remove() // nothing in flight after the last completion
+            if (st == FunnelState(None, None, None)) {
+              // nothing in flight: either the batch ended exactly on a
+              // completion, or the user never opened the funnel (e.g.
+              // click-only). Either way no store entry and no timeout —
+              // the store is bounded by active FUNNELS, not active
+              // users, and non-participants never emit an 'expired' row.
+              if (state.exists) state.remove()
             } else {
               state.update(st)
               // the timeout must sit strictly past the current watermark

@@ -135,6 +135,12 @@ object Dispatch {
     // planning with execution. Results are joined in request_id order,
     // so fulfillment order — and therefore the ledger and every spec —
     // is identical to the serial loop. Failure isolation is per-request.
+    // CONTRACT: routed functions run concurrently on ONE shared
+    // SparkSession, so they must be read-only w.r.t. session state —
+    // no spark.conf.set, no temp-view churn, no catalog DDL (the
+    // save/restore conf pattern in Ingest.scala would race here). All
+    // current routes satisfy this; a future route that needs conf
+    // mutation must run on spark.cloneSession() instead.
     val par = spark.conf.getOption("spark.graft.dispatch.parallelism")
       .map(_.toInt).getOrElse(8).max(1)
     val fulfilled: Seq[(Long, String)] =

@@ -68,7 +68,7 @@ class CoverageWave6Spec extends SparkSpec {
 
   test("funnelStateful: keyed-state tracker reproduces the batch funnel counts") {
     val typed = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
       .as[EventAnalytics.FunnelEv]
     val states = EventAnalytics.funnelStateful(typed).collect()
     val streamed = (1 to 3).map(k => states.count(_.stage >= k).toLong)
@@ -200,7 +200,7 @@ class CoverageWave6Spec extends SparkSpec {
 
   test("funnelStatefulLate: equals funnelStateful on in-order data with zero late") {
     val typed = Tables.events(spark, sf)
-      .select(col("user_id"), col("event_type"), col("ts_ms"))
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
       .as[EventAnalytics.FunnelEv]
     val strict = EventAnalytics.funnelStatefulLate(typed).collect()
     assert(strict.forall(_.late_events == 0L), "single-batch groups cannot be late")

@@ -69,7 +69,8 @@ class PropertySpec extends SparkSpec {
       val df = evs.toDF("user_id", "event_type", "ts_ms")
       val batch = EventAnalytics.eventsFunnelFrom(df)
         .collect().map(_.getLong(2)).toSeq
-      val states = EventAnalytics.funnelStateful(df.as[EventAnalytics.FunnelEv])
+      val states = EventAnalytics.funnelStateful(
+        df.withColumn("event_id", lit(0L)).as[EventAnalytics.FunnelEv])
         .collect()
       val streamed = (1 to 3).map(k => states.count(_.stage >= k).toLong)
       batch == streamed
