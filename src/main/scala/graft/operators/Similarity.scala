@@ -518,11 +518,13 @@ object Similarity {
 
   /** ADC top-k over the TRAINED codebook — the same query-time dataflow
     * as [[annPq]] (codes + LUT + slot sums are codebook-agnostic), fed by
-    * [[pqTrainedCodebook]] instead of the per-label stand-in. 16 Lloyd
-    * centroids per subspace vs the stand-in's 10 label means: this is the
-    * query whose recall [[annRecall]] measures against brute force. */
+    * the MATERIALIZED [[Codebooks.pq]] table (train-once: the Lloyd pass
+    * runs only when the table is absent or the corpus changed) instead
+    * of the per-label stand-in. 16 Lloyd centroids per subspace vs the
+    * stand-in's 10 label means: this is the query whose recall
+    * [[annRecall]] measures against brute force. */
   def annPqTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
-    adcSearch(spark, dir, pqTrainedCodebook(spark, dir), k)
+    adcSearch(spark, dir, Codebooks.pq(spark, dir), k)
 
   /** The trained pipeline replayed: two unrolled Lloyd rounds (s1/a1/m1 →
     * cb1, s2/a2/m2 → cb2), then exactly [[annPqSql]]'s codes/lut/slot
@@ -864,8 +866,7 @@ object Similarity {
     * broadcast probe list — one scan, no shuffle of the corpus beyond
     * the final per-query top-k. */
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val cb = pqTrainedCodebook(spark, dir,
-      subspaces = 1, width = 64, k = IvfTrainClusters)
+    val cb = Codebooks.ivf(spark, dir)
     val clusters = assignCodes(subvectors(spark, dir, 1, 64), cb)
       .select(col("vec_id"), col("code").as("cluster"))
     val corpus = withNorm(Tables.embeddings(spark, dir))

@@ -221,4 +221,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cb1.size == 16 * 4, "k x subspaces codebook entries")
     assert(cb1.values.forall(_.length == 16), "every centroid spans its subspace width")
   }
+
+  test("codebooks materialize once and serve every trained query bit-identically") {
+    import graft.operators.Codebooks
+    Codebooks.invalidate(sf)
+    val before = Codebooks.fitCount.get()
+    // first access trains + writes; the materialized table is value-
+    // identical to a fresh trainer run (doubles round-trip parquet)
+    val mat = Codebooks.pq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val fresh = Similarity.pqTrainedCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(mat == fresh, "materialized codebook must equal a fresh Lloyd run")
+    assert(Codebooks.fitCount.get() == before + 1, "first pq access trains")
+    // train-once: every further trained query reuses the tables — the
+    // full recall query (pq + ivf + both trained variants) pays exactly
+    // one more fit, the IVF family's
+    Similarity.annPqTrained(spark, sf).collect()
+    Similarity.annRecall(spark, sf).collect()
+    assert(Codebooks.fitCount.get() == before + 2,
+      "pq reused across ann_pq_trained/ann_recall; ivf trained exactly once")
+    // fit is idempotent once both tables exist
+    Codebooks.fit(spark, sf)
+    assert(Codebooks.fitCount.get() == before + 2, "fit is a no-op when current")
+  }
 }
