@@ -919,4 +919,170 @@ object Relational3 {
       |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1
       |ORDER BY cntry_grp""".stripMargin
+
+  // --- approx-percentile production variants --------------------------------
+  /** [[winsorizedStats]] with the documented at-scale swap actually
+    * shipped: the clamp bounds come from `approx_percentile` (KLL-style
+    * sketch, one pass, bounded memory — no per-group sort), and the
+    * moments computed under the APPROX clamp ride next to the exact
+    * ones as bound booleans. The emitted columns are the exact-side
+    * values (deterministic, hash-checked) plus the booleans — the
+    * Sketches bound-oracle contract: the oracle recomputes the exact
+    * side and pins each boolean `true`, so the sketch's accuracy is
+    * itself under test. Bounds: approx p05/p95 within 1% of exact (or
+    * a dollar, for near-zero tails); approx-clamp mean within 1%, sd
+    * within 5% — an order of magnitude looser than observed, an order
+    * tighter than useless.
+    *
+    * Scale shape: this CHECK query runs both arms; the production form
+    * drops the exact columns and is one sketch aggregate + one clamped
+    * moment pass — no sort at any scale. */
+  def winsorizedStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("q"),
+        expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)")
+          .as("qa"))
+      .select(col("l_linestatus"),
+        element_at(col("q"), 1).as("lo"), element_at(col("q"), 2).as("hi"),
+        element_at(col("qa"), 1).cast("double").as("lo_a"),
+        element_at(col("qa"), 2).cast("double").as("hi_a"))
+    def clamped(lo: String, hi: String) = expr(
+      s"cast(round(least(greatest(l_extendedprice, $lo), $hi), 0) as decimal(18,0))")
+    def near(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+             rel: Double) =
+      abs(a - e) <= greatest(abs(e) * lit(rel), lit(1.0))
+    Tables.lineitem(spark, dir)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+      .join(broadcast(qs), "l_linestatus")
+      .withColumn("v", clamped("lo", "hi"))
+      .withColumn("va", clamped("lo_a", "hi_a"))
+      .groupBy(col("l_linestatus"), col("lo"), col("hi"),
+        col("lo_a"), col("hi_a"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(v) as double)").as("s"),
+        expr("cast(sum(v * v) as double)").as("ss"),
+        expr("cast(sum(va) as double)").as("sa"),
+        expr("cast(sum(va * va) as double)").as("ssa"))
+      .select(col("l_linestatus"), col("n"), col("lo"), col("hi"),
+        (col("s") / col("n")).as("w_mean"),
+        sqrt(greatest((col("ss") - col("s") * col("s") / col("n")) / col("n"),
+          lit(0.0))).as("w_sd"),
+        col("lo_a"), col("hi_a"), col("sa"), col("ssa"))
+      .select(col("l_linestatus"), col("n"), col("lo"), col("hi"),
+        col("w_mean"), col("w_sd"),
+        (near(col("lo_a"), col("lo"), 0.01) &&
+          near(col("hi_a"), col("hi"), 0.01)).as("bounds_within_1pct"),
+        near(col("sa") / col("n"), col("w_mean"), 0.01).as("mean_within_1pct"),
+        near(sqrt(greatest((col("ssa") - col("sa") * col("sa") / col("n"))
+          / col("n"), lit(0.0))), col("w_sd"), 0.05).as("sd_within_5pct"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val winsorizedStatsApproxSql: String =
+    """WITH qs AS (
+      |  SELECT l_linestatus,
+      |         quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1
+      |), v AS (
+      |  SELECT l_linestatus, lo, hi,
+      |         CAST(round(least(greatest(l_extendedprice, lo), hi), 0)
+      |              AS DECIMAL(18,0)) AS v
+      |  FROM lineitem JOIN qs USING (l_linestatus)
+      |), m AS (
+      |  SELECT l_linestatus, lo, hi, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(v) AS DOUBLE) AS s,
+      |         CAST(sum(CAST(v AS DECIMAL(19,0)) * v) AS DOUBLE) AS ss
+      |  FROM v GROUP BY 1, 2, 3
+      |)
+      |SELECT l_linestatus, n, lo, hi,
+      |       s / n AS w_mean,
+      |       sqrt(greatest((ss - s * s / n) / n, 0)) AS w_sd,
+      |       true AS bounds_within_1pct,
+      |       true AS mean_within_1pct,
+      |       true AS sd_within_5pct
+      |FROM m
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** [[customerRfm]]'s quintile-cut pass with the at-scale
+    * `approx_percentile` swap shipped and CHECKED: one combined
+    * aggregate computes the exact and sketch cuts for all three RFM
+    * metrics, and the query emits the 12 (metric, quintile) cells with
+    * the exact cut plus a bound boolean. Per-customer scores are NOT
+    * re-emitted here — a cut moving by one neighboring value can
+    * legitimately flip boundary customers, so the stable contract is
+    * the cuts themselves (the exact scores stay pinned by
+    * [[customerRfm]]). Tolerance: 1% relative or 1.0 absolute,
+    * whichever is larger — the absolute arm covers the discrete
+    * metrics (frequency in single digits, recency in days) where the
+    * exact interpolated quantile falls between two adjacent data
+    * values and the sketch must return one of them. */
+  def customerRfmApprox(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("monetary"))
+    val corpusMax = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate")).as("corpus_last"))
+    val withR = base.crossJoin(broadcast(corpusMax))
+      .select(col("c_custkey"),
+        datediff(col("corpus_last"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val cuts = withR.agg(
+      expr("percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"),
+      expr("approx_percentile(recency_days, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("rqa"),
+      expr("approx_percentile(frequency, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("fqa"),
+      expr("approx_percentile(monetary, array(0.2D, 0.4D, 0.6D, 0.8D), 10000)").as("mqa"))
+    val cells = for {
+      (m, e, a) <- Seq(("recency", "rq", "rqa"), ("frequency", "fq", "fqa"),
+        ("monetary", "mq", "mqa"))
+      i <- 1 to 4
+    } yield {
+      val exact = element_at(col(e), i)
+      struct(lit(m).as("metric"), lit(i * 2).cast("int").as("quintile_x10"),
+        exact.as("cut_exact"),
+        (abs(element_at(col(a), i).cast("double") - exact) <=
+          greatest(abs(exact) * lit(0.01), lit(1.0))).as("within_tol"))
+    }
+    cuts.select(explode(array(cells: _*)).as("c"))
+      .select(col("c.metric"), col("c.quintile_x10"), col("c.cut_exact"),
+        col("c.within_tol"))
+      .orderBy(col("metric"), col("quintile_x10"))
+  }
+
+  val customerRfmApproxSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_order,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY 1
+      |), withr AS (
+      |  SELECT c_custkey,
+      |         CAST(date_diff('day', last_order,
+      |                        (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+      |         frequency, monetary
+      |  FROM base
+      |), qarr AS (
+      |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+      |         quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fq,
+      |         quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS mq
+      |  FROM withr
+      |), cells AS (
+      |  SELECT 'recency' AS metric, i, rq[i] AS cut_exact
+      |  FROM qarr, (SELECT unnest([1, 2, 3, 4]) AS i)
+      |  UNION ALL
+      |  SELECT 'frequency', i, fq[i]
+      |  FROM qarr, (SELECT unnest([1, 2, 3, 4]) AS i)
+      |  UNION ALL
+      |  SELECT 'monetary', i, mq[i]
+      |  FROM qarr, (SELECT unnest([1, 2, 3, 4]) AS i)
+      |)
+      |SELECT metric, CAST(i * 2 AS INT) AS quintile_x10, cut_exact,
+      |       true AS within_tol
+      |FROM cells
+      |ORDER BY metric, quintile_x10""".stripMargin
 }

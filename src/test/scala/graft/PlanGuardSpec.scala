@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkSpec {
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
     "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1,
+    "customer_rfm_approx" -> 1,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
@@ -43,6 +44,11 @@ class PlanGuardSpec extends SparkSpec {
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
     "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1,
     "sql_q14" -> 1, "session_funnel" -> 1, "customer_rfm" -> 1,
+    // customer_rfm_approx: the corpus-last scalar agg plus the combined
+    // exact+sketch quintile aggregate — each a map-side-partial one-row
+    // reduction (the customer_rfm shape, one more because the exact and
+    // approx cut passes share one aggregate here)
+    "customer_rfm_approx" -> 2,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
