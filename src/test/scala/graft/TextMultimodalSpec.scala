@@ -40,13 +40,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(bags.count() === 1)
   }
 
-  test("multimodal decode stub preserves cardinality and is deterministic") {
+  test("typed decodeMedia: cardinality, determinism, and unknown-format totality") {
+    // text-byte payloads are no recognized container: the decoder must
+    // classify them 'unknown' and still return a total row per record
     val recs = Multimodal.mediaRecords(spark, sf)
-    val f1 = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
-    val f2 = Multimodal.decodeStub(recs).collect().sortBy(_.doc_id)
+    val f1 = Multimodal.decodeMedia(recs).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeMedia(recs).collect().sortBy(_.doc_id)
     assert(f1.length === recs.count())
-    assert(f1.map(_.frame0_crc).toSeq === f2.map(_.frame0_crc).toSeq)
-    assert(f1.forall(f => f.width < 640 && f.height < 480 && f.n_frames >= 1))
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(f => f.format == "unknown" && f.width.isEmpty && f.byte_len > 0))
+  }
+
+  test("decodeMedia parses golden real-format bytes exactly") {
+    import spark.implicits._
+    // PNG: the canonical 1x1 RGBA header (real signature, real IHDR)
+    val png = ("89504E470D0A1A0A" + "0000000D49484452" +
+      "00000001" + "00000001" + "0806000000" + "1F15C489").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    // WAV: canonical 44-byte header written independently via ByteBuffer
+    // (LITTLE_ENDIAN), 2ch 16-bit 44100 Hz, 10 samples of real zeros
+    val dataSize = 10 * 2 * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4)
+      .putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, png, "image/png", "xx", 0L),
+      Multimodal.MediaRecord(2L, bb.array(), "audio/wav", "xx", 0L)).toDS()
+    val out = Multimodal.decodeMedia(recs).collect().sortBy(_.doc_id)
+    assert(out(0) === Multimodal.MediaMeta(1L, "png", png.length,
+      Some(1), Some(1), None, None, None))
+    assert(out(1) === Multimodal.MediaMeta(2L, "wav", 44 + dataSize,
+      None, None, Some(2), Some(44100), Some(10L)))
+  }
+
+  test("SQL parser and typed decoder agree on every fixture payload") {
+    import spark.implicits._
+    val typed = Multimodal.decodeMedia(
+      Multimodal.mediaPayloads(spark, sf)
+        .select(col("doc_id"), col("payload"), lit("application/octet-stream").as("mime"),
+          lit("xx").as("lang"), lit(0L).as("n_chars"))
+        .as[Multimodal.MediaRecord])
+      .collect().map(m => m.doc_id ->
+        (m.format, m.byte_len, m.width, m.height, m.channels,
+          m.sample_rate, m.n_samples)).toMap
+    val sql = Multimodal.mmDecodeMeta(spark, sf).collect()
+    assert(sql.nonEmpty)
+    sql.foreach { r =>
+      def optInt(c: String) = Option(r.getAs[Any](c)).map(_.asInstanceOf[Int])
+      val got = (r.getAs[String]("format"), r.getAs[Int]("byte_len"),
+        optInt("width"), optInt("height"), optInt("channels"),
+        optInt("sample_rate"),
+        Option(r.getAs[Any]("n_samples")).map(_.asInstanceOf[Long]))
+      assert(typed(r.getAs[Long]("doc_id")) === got, s"doc ${r.getAs[Long]("doc_id")}")
+    }
   }
 
   test("mm_features header_hex matches the payload's leading bytes") {
