@@ -40,19 +40,53 @@ object Dedup {
   /** Shared with the oracle SQL so non-default call sites can't diverge. */
   val IncrementalNewSource: String = "src19"
 
+  /** Bloom sizing for the incremental-dedup front: ~10 bits/item ≈ 1 %
+    * false positives at full load (far lower below it). 4 M items / 5 MB
+    * of bits — a broadcast-sized sketch, and within Spark's runtime-
+    * filter creation caps. */
+  private[graft] val BloomItems: Long = 4L * 1000 * 1000
+  private[graft] val BloomBits: Long = 10L * BloomItems
+
+  /** The bloom front itself: build a bloom over the (small) batch side's
+    * hashes, probe it on the (huge) corpus side BELOW the anti-join's
+    * exchange, so only corpus rows that *might* collide with a batch hash
+    * are ever shuffled. Attached as a scalar subquery — the exact shape
+    * Spark's own InjectRuntimeFilter emits — so the bloom builds once as
+    * a subquery stage with no driver round-trip. Correctness is
+    * unconditional: a bloom has no false NEGATIVES, so every corpus hash
+    * it drops is provably absent from the batch and could never have
+    * suppressed a batch row; false positives merely shuffle a few extra
+    * corpus rows into the exact anti-join. Empty batch → NULL bloom →
+    * probe drops all corpus rows — harmlessly, since the batch side of
+    * the anti-join is empty too. */
+  private[graft] def bloomFronted(batchHashes: DataFrame, corpus: DataFrame): DataFrame = {
+    val bloom = batchHashes.select(
+      org.apache.spark.sql.graft.BloomFunctions
+        .bloomFilterAgg(xxhash64(col("h")), BloomItems, BloomBits).as("bf"))
+    corpus.filter(org.apache.spark.sql.graft.BloomFunctions
+      .mightContain(bloom, xxhash64(col("h"))))
+  }
+
   /** The ingest-time dedup every growing corpus runs: dedupe the incoming
     * batch internally (min doc_id per content hash), then anti-join the
     * surviving hashes against the existing corpus — only genuinely new
-    * content lands. One shuffle keyed on the content hash; at 100 TB the
-    * corpus side is a hash index you'd additionally front with a bloom
-    * filter so the anti-join only shuffles probable collisions. */
+    * content lands. One shuffle keyed on the content hash, and the corpus
+    * side is fronted by [[bloomFronted]]'s batch-hash bloom filter at the
+    * scan, so at 100 TB only probable collisions (≈ batch-sized, not
+    * corpus-sized) cross the wire into the exact anti-join. */
   def incrementalDedup(spark: SparkSession, dir: String,
-                       newSource: String = IncrementalNewSource): DataFrame = {
+                       newSource: String = IncrementalNewSource,
+                       bloomFront: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val corpusHashes = docs.filter(col("source") =!= newSource)
-      .select(md5(col("text")).as("h")).distinct()
-    val batchKeepers = docs.filter(col("source") === newSource)
-      .groupBy(md5(col("text")).as("h"))
+    val batchHashes = docs.filter(col("source") === newSource)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+    val corpusAll = docs.filter(col("source") =!= newSource)
+      .select(md5(col("text")).as("h"))
+    val corpusHashes =
+      (if (bloomFront) bloomFronted(batchHashes, corpusAll) else corpusAll)
+        .distinct()
+    val batchKeepers = batchHashes
+      .groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
     batchKeepers.join(corpusHashes, Seq("h"), "left_anti")
       .select(col("doc_id"), col("n_in_batch"))
@@ -117,10 +151,13 @@ object Dedup {
           .select(col("h") +: batch.columns.map(c => col(s"r.$c")): _*)
         // first micro-batch: the corpus directory does not exist yet
         val existing =
-          try Some(spark.read.parquet(corpusDir)
-            .select(contentKey.as("h")).distinct())
+          try Some(spark.read.parquet(corpusDir).select(contentKey.as("h")))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        existing.fold(keepers)(ex => keepers.join(ex, Seq("h"), "left_anti"))
+        // same bloom front as the batch operator: the on-disk corpus only
+        // contributes rows that might collide with this micro-batch
+        existing.fold(keepers)(ex => keepers.join(
+          bloomFronted(keepers.select(col("h")), ex).distinct(),
+          Seq("h"), "left_anti"))
           .drop("h")
           .write.mode("append").parquet(corpusDir)
         ()

@@ -49,6 +49,11 @@ class PlanGuardSpec extends SparkSpec {
     // reduction (the customer_rfm shape, one more because the exact and
     // approx cut passes share one aggregate here)
     "customer_rfm_approx" -> 2,
+    // dedup_incremental: the bloom front's scalar subquery reduces the
+    // batch's hashes to ONE sketch row (bloom_filter_agg partials merge
+    // through a single-partition exchange — a broadcast-sized reduction
+    // by construction, exactly the runtime-filter shape)
+    "dedup_incremental" -> 1,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
