@@ -1085,4 +1085,106 @@ object Relational3 {
       |       true AS within_tol
       |FROM cells
       |ORDER BY metric, quintile_x10""".stripMargin
+
+  // --- TPC-H Q17 shape (small-quantity-order revenue) -----------------------
+  /** Q17 adapted to the fixture (no container column → the brand filter
+    * alone plays the small-dimension role): yearly-averaged revenue from
+    * line items whose quantity is below 20 % of that part's own average.
+    * The classic form is a correlated scalar AVG subquery per part;
+    * Spark-first that decorrelates into ONE lineitem scan — the brand
+    * dimension broadcast-semi-joins the scan down to qualifying parts,
+    * then a window over `l_partkey` computes each part's average in
+    * place, so the per-part aggregate never becomes a second scan or a
+    * self-join. The oracle keeps the literal correlated form, so the
+    * rewrite is independently validated. The average is DECIMAL-summed
+    * then divided once (count from the same window), keeping the
+    * threshold bit-identical across engines. */
+  def sqlQ17(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey").as("l_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(parts), "l_partkey")
+      .withColumn("part_avg_qty",
+        sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("part_avg_qty"))
+      .agg((expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+        / lit(7.0)).as("avg_yearly"))
+  }
+
+  // aliased re-reads of the fixture go through a CTE (Verify's inliner
+  // appends `AS lineitem`, so a direct `lineitem l2` would not parse)
+  val sqlQ17Sql: String =
+    """WITH li AS (SELECT * FROM lineitem)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly
+      |FROM li JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < 0.2 * (
+      |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |             / count(*)
+      |    FROM li l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // --- TPC-H Q20 shape (suppliers with excess part availability) ------------
+  /** Q20 adapted to the fixture (no partsupp table or availqty column →
+    * the partsupp relation is derived from lineitem as in [[sqlQ16]],
+    * and "excess availability" becomes: the pair shipped MORE than half
+    * its all-time volume inside the target year (1996) — non-vacuous, since the
+    * year's volume is a strict subset of all-time). The topology is the
+    * point: an IN-subquery over an aggregated partsupp with a nested
+    * part-name IN filter and a correlated per-pair scalar aggregate.
+    * Spark-first, both per-pair aggregates (year window and all-time)
+    * come out of ONE lineitem scan as conditional sums in a single
+    * groupBy — no correlated re-scan, no self-join — then the part
+    * filter broadcast-semi-joins, the surviving suppkeys semi-join the
+    * supplier dim, and the nation dim broadcasts. The oracle keeps the
+    * literal nested-correlated form. */
+  def sqlQ20(spark: SparkSession, dir: String): DataFrame = {
+    val forestParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("large%"))
+      .select(col("p_partkey").as("l_partkey"))
+    val excess = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        expr("CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+          "l_shipdate < TIMESTAMP '1997-01-01' " +
+          "THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)").as("year_qty"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("total_qty"))
+      .filter(coalesce(col("year_qty"), lit(0.0)) > lit(0.5) * col("total_qty"))
+      .join(broadcast(forestParts), "l_partkey")
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(excess, Seq("s_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_19")
+        .select(col("n_nationkey").as("s_nationkey"))), "s_nationkey")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
+
+  // same CTE re-alias rule as sqlQ17Sql for the correlated lineitem re-read
+  val sqlQ20Sql: String =
+    """WITH li AS (SELECT * FROM lineitem)
+      |SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_19'
+      |  AND s_suppkey IN (
+      |    SELECT ps.l_suppkey
+      |    FROM (SELECT l_partkey, l_suppkey,
+      |                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |                   AS year_qty
+      |          FROM li
+      |          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |            AND l_shipdate < TIMESTAMP '1997-01-01'
+      |          GROUP BY 1, 2) ps
+      |    WHERE ps.l_partkey IN
+      |            (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+      |      AND ps.year_qty > 0.5 * (
+      |        SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |        FROM li l2
+      |        WHERE l2.l_partkey = ps.l_partkey AND l2.l_suppkey = ps.l_suppkey))
+      |ORDER BY s_name, s_suppkey""".stripMargin
 }

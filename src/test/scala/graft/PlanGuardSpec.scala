@@ -44,6 +44,9 @@ class PlanGuardSpec extends SparkSpec {
     "events_funnel" -> 1, "txt_lm_score" -> 1, "data_profile" -> 1,
     "profile_approx" -> 2, "dq_checks" -> 3, "sql_q15" -> 1, "sql_q22" -> 1,
     "sql_q14" -> 1, "session_funnel" -> 1, "customer_rfm" -> 1,
+    // sql_q17: the avg_yearly result is a one-row scalar aggregate (the
+    // sql_q14/q15 shape — partials reduce to one double each first)
+    "sql_q17" -> 1,
     // customer_rfm_approx: the corpus-last scalar agg plus the combined
     // exact+sketch quintile aggregate — each a map-side-partial one-row
     // reduction (the customer_rfm shape, one more because the exact and
