@@ -397,4 +397,93 @@ class StreamingSpec extends SparkSpec {
     assert(Dispatch.run(spark, sf, requests, outDir, ledgerDir).isEmpty)
     assert(spark.read.parquet(ledgerDir).count() === 2)
   }
+
+  /** Simulate the foreachBatch crash window — side effect durable, batch
+    * commit not: drop the checkpoint's latest `commits/<n>` marker while
+    * leaving `offsets/<n>`, so a restarted query replays that batch from
+    * its recorded offsets, exactly as after a kill between the sink's
+    * write and the engine's commit. */
+  private def dropLatestCommit(ck: String): Unit = {
+    val commits = new java.io.File(s"$ck/commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not remove ${latest}")
+    // the local FS writes Hadoop checksum shadows; a stale .crc would make
+    // the recommit's atomic rename fail as a phantom concurrent writer
+    val crc = new java.io.File(commits, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+  }
+
+  test("dedup sink crash after corpus append, before commit: replay re-appends nothing") {
+    import spark.implicits._
+    val in = tmp("dkin"); val corpus = tmp("dkcorpus") + "/docs"; val ck = tmp("dkck")
+    def docs = spark.readStream.schema("doc_id LONG, text STRING").json(in)
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"doc_id":1,"text":"alpha beta"}
+        |{"doc_id":2,"text":"gamma delta"}
+        |{"doc_id":3,"text":"alpha beta"}""".stripMargin)
+    val q1 = graft.operators.Dedup.incrementalDedupSink(docs, corpus, ck)
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 2L))
+    dropLatestCommit(ck)
+    // restart: batch 0 replays, but its content already sits in the corpus,
+    // so every replayed row anti-joins away — content-level idempotence
+    val q2 = graft.operators.Dedup.incrementalDedupSink(docs, corpus, ck)
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    val after = spark.read.parquet(corpus)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(after.map(_._1).toSeq === Seq(1L, 2L), "replay re-appended content")
+    assert(after.count(_._2 == "alpha beta") === 1)
+    // and the recovered checkpoint still ingests NEW content normally
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"doc_id":10,"text":"alpha beta"}
+        |{"doc_id":11,"text":"epsilon zeta"}""".stripMargin)
+    val q3 = graft.operators.Dedup.incrementalDedupSink(docs, corpus, ck)
+    try q3.processAllAvailable() finally { q3.stop(); q3.awaitTermination() }
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 2L, 11L))
+  }
+
+  test("scd2 sink crash after table swap, before commit: replay yields no duplicate intervals") {
+    import spark.implicits._
+    val in = tmp("scin"); val table = tmp("sctab") + "/dim"; val ck = tmp("scck")
+    def evs = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ms LONG, event_id LONG")
+      .json(in).as[graft.streaming.Scd2Merge.StatusEv]
+    def run(): Unit = {
+      val q = graft.streaming.Scd2Merge.scd2MergeSink(evs, table, ck,
+        Trigger.ProcessingTime("1 second"))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"user_id":1,"event_type":"A","ts_ms":100,"event_id":1}
+        |{"user_id":2,"event_type":"A","ts_ms":150,"event_id":2}""".stripMargin)
+    run()
+    val snapshot = spark.read.parquet(table)
+      .select("user_id", "status", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    assert(snapshot.size === 2)
+    dropLatestCommit(ck)
+    // restart: the replayed batch re-merges its own events against the
+    // table they already produced — change compression collapses each
+    // replayed duplicate, so the swap rewrites an IDENTICAL table
+    run()
+    val replayed = spark.read.parquet(table)
+      .select("user_id", "status", "valid_from", "valid_to")
+      .collect().map(_.toSeq).toSet
+    assert(replayed === snapshot, "replayed merge changed the dimension")
+    val dupIntervals = spark.read.parquet(table)
+      .groupBy("user_id", "valid_from").count().filter(col("count") > 1).count()
+    assert(dupIntervals === 0L)
+    // and the recovered checkpoint still merges NEW changes correctly
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"user_id":1,"event_type":"B","ts_ms":200,"event_id":3}""".stripMargin)
+    run()
+    val u1 = spark.read.parquet(table).filter(col("user_id") === 1)
+      .orderBy(col("valid_from"))
+      .select("status", "valid_from", "valid_to")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    assert(u1.toSeq === Seq(("A", 100L, Some(200L)), ("B", 200L, None)))
+  }
 }
