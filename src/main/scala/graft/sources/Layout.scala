@@ -131,6 +131,36 @@ object Layout {
     (before, countFiles(path))
   }
 
+  // --- date-partitioned fact layout -------------------------------------------
+  /** Write the events fact date-partitioned (`event_date=YYYY-MM-DD/`
+    * directories) — the standard ingest layout for any time-series fact
+    * at 100 TB: a day predicate then prunes to directories BEFORE any
+    * file is opened, so a day-narrowed query over a 3-year table touches
+    * ~0.1 % of the files regardless of total volume. One-time
+    * maintenance pass, same role as [[compact]]. */
+  def writeDatePartitioned(spark: SparkSession, dir: String, out: String): Unit =
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(timestamp_millis(col("ts_ms"))))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+  /** The reference's energy topology (per-entity LAG kinematics,
+    * `process.py:300-340` / Komodo.userEnergy) narrowed to ONE day of
+    * the date-partitioned layout. The date equality lands in the scan's
+    * `PartitionFilters`, so only that day's directory is listed and
+    * read — the pruned-file-count proof lives in BucketingSpec. */
+  def energyForDay(spark: SparkSession, layoutDir: String, day: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    spark.read.parquet(layoutDir)
+      .filter(col("event_date") === lit(day).cast("date"))
+      .withColumn("dt", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("speed", when(col("dt") === 0, lit(null).cast("double"))
+        .otherwise(abs(col("dv")) / col("dt")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("speed"))
+      .orderBy(col("user_id"), col("ts_ms"), col("event_id"))
+  }
+
   // --- z-order clustered write ------------------------------------------------
   /** Write `df` z-clustered on two integer dimensions: range-partition by
     * the z-value (files own disjoint z-ranges — the file-level pruning

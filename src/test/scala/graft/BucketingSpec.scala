@@ -52,6 +52,45 @@ class BucketingSpec extends SparkSpec {
     assert(!read.contains("session_id=4") || read.contains("session_id=3"))
   }
 
+  test("date-partitioned events layout: one-day energy query reads only that day's files") {
+    val out = Files.createTempDirectory("dpart").toString + "/events_by_day"
+    graft.sources.Layout.writeDatePartitioned(spark, sf, out)
+    val dayDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(dayDirs.length >= 25, "fixture should span ~30 day directories")
+    def parquets(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+    val totalFiles = dayDirs.map(parquets).sum
+    val dayFiles = parquets(dayDirs.find(_.getName == "event_date=2024-01-03").get)
+    val q = graft.sources.Layout.energyForDay(spark, out, "2024-01-03")
+    val got = q.collect() // execute so the scan's metrics are final
+    assert(got.nonEmpty)
+    // physical proof of pruning: the scan opened exactly the day's files.
+    // (walk through the AQE wrappers — collectLeaves stops at query stages)
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(st.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Some(s)
+      case other => other.children.iterator.map(findScan).collectFirst {
+        case Some(s) => s
+      }
+    }
+    val scan = findScan(q.queryExecution.executedPlan).get
+    assert(scan.metrics("numFiles").value === dayFiles.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, expected $dayFiles")
+    assert(dayFiles < totalFiles, "pruning must exclude the other days")
+    // and it pruned via PartitionFilters, not a post-scan row filter
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("event_date"), s.take(2000))
+    // correctness: identical rows to the unpartitioned fixture's day slice
+    val expected = Tables.events(spark, sf)
+      .filter(to_date(timestamp_millis(col("ts_ms"))) === lit("2024-01-03").cast("date"))
+      .count()
+    assert(got.length.toLong === expected)
+  }
+
   test("runtime bloom filter pre-filters the fact side of a shuffle join") {
     // The row-level analog of DPP for NON-partition keys: the filtered
     // dim's join keys are bloom-aggregated and injected as a
