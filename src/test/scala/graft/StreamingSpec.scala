@@ -398,6 +398,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledgerDir).count() === 2)
   }
 
+  test("dispatch shared scan: clone-persisted events substitute into routed plans; a pass pins no cache") {
+    import spark.implicits._
+    // the mechanism run() relies on: persisting the shared frame on the
+    // serving clone rewrites every routed analytic's plan to the
+    // InMemoryRelation (plan-fragment equality across sessions)
+    val exec = org.apache.spark.sql.graft.SessionUtils.cloneSession(spark)
+    val sh = Tables.events(exec, sf)
+    sh.persist(); sh.count()
+    try {
+      val plan = graft.operators.Komodo.aggInteraction(exec, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"), plan.take(1500))
+    } finally sh.unpersist(true)
+    // end-to-end: a dispatch pass must release its cache when it finishes
+    val outDir = tmp("csvs"); val ledgerDir = tmp("ledgers") + "/ledger"
+    val requests = Seq(
+      (40L, "aggregate_user", 0, """{"sessionId": "view", "clientId": 3}"""),
+      (41L, "user_energy", 0, """{"clientId": 5, "entityType": 1}"""))
+      .toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+    assert(Dispatch.run(spark, sf, requests, outDir, ledgerDir).map(_._1) === Seq(40L, 41L))
+    assert(Tables.events(spark, sf).storageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE, "pass left the shared frame pinned")
+  }
+
   /** Simulate the foreachBatch crash window — side effect durable, batch
     * commit not: drop the checkpoint's latest `commits/<n>` marker while
     * leaving `offsets/<n>`, so a restarted query replays that batch from
