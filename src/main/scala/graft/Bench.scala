@@ -103,7 +103,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v.min >= 0 => v.min }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Failures are explicit next to the total (judge advice r9): a -1.0
+    // sentinel inside `queries` silently shrinks `value`, so a consumer
+    // reading only the headline would misread broken-but-fast as fast.
+    val failedNames = results.collect { case (k, v) if v.min < 0 => k }
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"failed_queries":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the stdout TAIL, which truncated a third of
     // every committed BENCH_r{N}.json mid-dict — the file is the full
@@ -112,7 +117,7 @@ object Bench {
     val samplesJson = results
       .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","wall_ms_epoch":${System.currentTimeMillis()},"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failedNames.size},"failed_queries":$failedJson,"wall_ms_epoch":${System.currentTimeMillis()},"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}"""
     // sf-stamped default (judge advice r6): a stale artifact from a prior
     // run at a DIFFERENT scale factor can no longer masquerade as this
     // run's record; round-stamped names still come from the env override.

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -12,12 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS,false), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading it as
-    * raw nanosecond longs (`spark.sql.legacy.parquet.nanosAsLong`) keeps the
-    * full precision and makes epoch-millisecond math exact integer
-    * arithmetic — mirroring the reference's epoch-ms `ts` bigint column
-    * (reference process.py:204), instead of lossy double division.
+  /** Some fixture generations write `events.ts` as parquet
+    * TIMESTAMP(NANOS,false), which Spark's parquet reader rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanosecond longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`). The conf is a no-op for the
+    * micros/NTZ encodings, so it is always set: whichever encoding the
+    * fixture carries, the scan succeeds and [[events]] normalizes `ts` to
+    * epoch-ms via [[tsMillis]] — mirroring the reference's epoch-ms `ts`
+    * bigint column (reference process.py:204).
     */
   private def withNanosAsLong(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,13 +50,40 @@ object Tables {
     *                (value, k) standing in for `message.pos` doubles
     *                (process.py:200-204).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw
+      .withColumn("ts_ms", tsMillis(raw))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("x", col("value"))
       .withColumn("y", col("k").cast("double"))
       .withColumn("z", col("value") - col("k").cast("double"))
+  }
+
+  /** Epoch-millisecond derivation that adapts to how the fixture encodes
+    * `ts` — the parquet has shipped as TIMESTAMP(NANOS) (read as raw longs
+    * via nanosAsLong) and as timestamp[us]; both must yield the identical
+    * `ts_ms` bigint so every oracle and golden constant is
+    * encoding-independent:
+    *   - LongType (nanos-as-long):   exact integer `ts div 1_000_000`
+    *   - TIMESTAMP_NTZ:              wall-clock == instant under the pinned
+    *                                 UTC session, so cast to TIMESTAMP then
+    *                                 `unix_millis` (truncating, exact for
+    *                                 the post-1970 fixture range)
+    *   - TIMESTAMP (ltz):            `unix_millis` directly
+    * Anything else is a fixture-contract break — fail loudly with the type
+    * instead of 27 silent downstream analysis errors (TsEncodingSpec pins
+    * the three-way equivalence).
+    */
+  private def tsMillis(raw: DataFrame): Column = raw.schema("ts").dataType match {
+    case LongType         => expr("ts div 1000000")
+    case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+    case TimestampType    => unix_millis(col("ts"))
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected nanos-long, TIMESTAMP_NTZ or TIMESTAMP " +
+          "(fixture schema contract, see Tables.tsMillis)")
+  }
 
   /** The same enrichment as ANSI SQL fragments for the DuckDB oracle —
     * kept adjacent to the Spark definitions so the two stay in lockstep.

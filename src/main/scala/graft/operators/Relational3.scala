@@ -934,9 +934,12 @@ object Relational3 {
     * within 5% — an order of magnitude looser than observed, an order
     * tighter than useless.
     *
-    * Scale shape: this CHECK query runs both arms; the production form
-    * drops the exact columns and is one sketch aggregate + one clamped
-    * moment pass — no sort at any scale. */
+    * Scale shape: this is a CHECK-ONLY query (docs/SCALE.md §Check-only):
+    * it runs both arms, so it inherits the exact arm's per-group value
+    * buffer — never ship it to a 100× run. The production form is
+    * [[winsorizedStatsSketch]] (registered as `winsorized_stats_sketch`):
+    * one sketch aggregate + one clamped moment pass, no sort at any
+    * scale. */
   def winsorizedStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val qs = Tables.lineitem(spark, dir)
       .groupBy(col("l_linestatus"))
@@ -976,6 +979,40 @@ object Relational3 {
         near(col("sa") / col("n"), col("w_mean"), 0.01).as("mean_within_1pct"),
         near(sqrt(greatest((col("ssa") - col("sa") * col("sa") / col("n"))
           / col("n"), lit(0.0))), col("w_sd"), 0.05).as("sd_within_5pct"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** The production form of winsorized stats at 100 TB — sketch arm ONLY.
+    * One `approx_percentile` aggregate (KLL-style sketch, bounded memory,
+    * no per-group value buffer) produces the clamp bounds; a broadcast
+    * join feeds one clamped-moment pass. Two scans, zero sorts,
+    * executor memory independent of group size. Values are within the
+    * tolerances [[winsorizedStatsApprox]] pins against the exact arm, but
+    * not bit-reproducible in other engines — so it is deliberately NOT a
+    * registered oracle query: the dual-arm check query proves the sketch's
+    * accuracy, and SketchOnlySpec proves this plan carries no exact
+    * percentile aggregate. */
+  def winsorizedStatsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.05D, 0.95D), 10000)")
+        .as("qa"))
+      .select(col("l_linestatus"),
+        element_at(col("qa"), 1).cast("double").as("lo"),
+        element_at(col("qa"), 2).cast("double").as("hi"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_linestatus"), col("l_extendedprice"))
+      .join(broadcast(qs), "l_linestatus")
+      .withColumn("v",
+        expr("cast(round(least(greatest(l_extendedprice, lo), hi), 0) as decimal(18,0))"))
+      .groupBy(col("l_linestatus"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(v) as double)").as("s"),
+        expr("cast(sum(v * v) as double)").as("ss"))
+      .select(col("l_linestatus"), col("n"), col("lo"), col("hi"),
+        (col("s") / col("n")).as("w_mean"),
+        sqrt(greatest((col("ss") - col("s") * col("s") / col("n")) / col("n"),
+          lit(0.0))).as("w_sd"))
       .orderBy(col("l_linestatus"))
   }
 

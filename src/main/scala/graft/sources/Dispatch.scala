@@ -157,11 +157,12 @@ object Dispatch {
           // own shape (pandas read_sql → to_csv, process.py:100-101 —
           // the result ALWAYS transits the driver there) and ~160 ms
           // cheaper per request than a Spark CSV job+commit round for
-          // these request-scoped aggregates. toLocalIterator keeps
-          // driver memory bounded by one partition and preserves the
-          // analytic's ORDER BY. The distributed writer remains one
-          // conf away for a deployment whose results outgrow a single
-          // consumer file.
+          // these request-scoped aggregates. The write buffers the whole
+          // result on the driver (collect(), see writeCsvDriverSide) —
+          // the same memory bound as the reference's pandas frame; the
+          // distributed writer remains one conf away
+          // (spark.graft.dispatch.driverCsv=false) for a deployment
+          // whose results outgrow a single consumer file.
           if (spark.conf.getOption("spark.graft.dispatch.driverCsv")
               .forall(_.toBoolean))
             writeCsvDriverSide(result, path)

@@ -17,9 +17,13 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object EventStream {
 
-  /** nanos-long `ts` (Tables.events) → proper event-time column. */
+  /** epoch-ms `ts_ms` (the [[Tables.events]] contract — already normalized
+    * across the fixture's ts encodings) → proper event-time column. Derive
+    * from `ts_ms`, never raw `ts`: the raw column's type varies by fixture
+    * generation (nanos-long vs timestamp[us]), and ms precision is the
+    * event-time contract everywhere downstream. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time", timestamp_millis(col("ts_ms")))
 
   // --- watermarked tumbling-window aggregation (streaming form) -----------
   /** 1-hour tumbling windows per event_type with a 10-minute watermark:

@@ -34,6 +34,10 @@ class BloomFrontSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // cached fragments from earlier suites substitute InMemoryTableScan
+      // into the tree and hide the filter text — drop them so the walk sees
+      // the real scan-side plan regardless of suite order
+      spark.catalog.clearCache()
       // executedPlan, not sparkPlan: exchanges only exist after
       // EnsureRequirements runs in the prepare phase
       val plan = Dedup.incrementalDedup(spark, sf).queryExecution.executedPlan

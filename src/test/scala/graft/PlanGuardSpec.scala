@@ -22,6 +22,9 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
     "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1,
     "customer_rfm_approx" -> 1,
+    // sql_q11: the 1%-of-total threshold is a one-row broadcast joined
+    // back over the per-part aggregate (the tfidf/Q15 scalar pattern)
+    "sql_q11" -> 1,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
@@ -57,6 +60,11 @@ class PlanGuardSpec extends SparkSpec {
     // through a single-partition exchange — a broadcast-sized reduction
     // by construction, exactly the runtime-filter shape)
     "dedup_incremental" -> 1,
+    // round-10 TPC-H: q6 and q19 are one-row global revenue sums, q11's
+    // threshold is a one-row scalar — all the sql_q14/q15 map-side-partial
+    // shape (per-partition partials reduce to one value each before the
+    // exchange)
+    "sql_q6" -> 1, "sql_q19" -> 1, "sql_q11" -> 1,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
