@@ -283,6 +283,136 @@ object EventAnalytics {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
         |ORDER BY user_id, version""".stripMargin
 
+  // --- point-in-time (as-of) dimension join --------------------------------
+  /** Each purchase event joined to the SCD-2 profile status (derived from
+    * the user's NON-purchase events) that was valid AT the purchase's
+    * timestamp — the point-in-time feature lookup a training pipeline
+    * needs to avoid label leakage: a feature row must reflect the
+    * dimension as of the observation, never a later version. Purchases
+    * before a user's first status change carry NULL (left as-of).
+    *
+    * Spark-first this is NOT a range join at all: change rows and
+    * observation rows UNION into one stream, one window partitioned by
+    * user_id carries the latest non-null status forward (changes sort
+    * before observations at the same millisecond, same-ms change bursts
+    * in version order so the last version wins — exactly the
+    * `valid_from <= ts < valid_to` interval semantics), and the
+    * observations filter back out. One exchange on user_id, no join, no
+    * per-interval expansion — at 100 TB the equivalent interval join
+    * would shuffle the dimension per event; this ships each change row
+    * once. The oracle keeps the literal interval-join form, so the
+    * rewrite is independently validated row-for-row. */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2From(ev.filter(col("event_type") =!= "purchase"))
+    val changes = dim.select(col("user_id"), col("valid_from").as("ts_ms"),
+      lit(0).as("is_obs"), col("version").cast("long").as("tie"),
+      col("status"), col("version"), lit(null).cast("long").as("event_id"))
+    val obs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"),
+        lit(1).as("is_obs"), col("event_id").as("tie"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("int").as("version"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_obs"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(obs)
+      .withColumn("status_at", last(col("status"), ignoreNulls = true).over(w))
+      .withColumn("status_version", last(col("version"), ignoreNulls = true).over(w))
+      .filter(col("is_obs") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("status_at"), col("status_version"))
+      .orderBy(col("event_id"))
+  }
+
+  val scd2PitJoinSql: String =
+    Tables.eventsOracleCte +
+      """, marked AS (
+        |  SELECT user_id, event_type, ts_ms, event_id,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts_ms, event_id) AS prev
+        |  FROM ev WHERE event_type <> 'purchase'
+        |), dim AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER w AS INT) AS version,
+        |         event_type AS status, ts_ms AS valid_from,
+        |         lead(ts_ms, 1) OVER w AS valid_to
+        |  FROM (SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |), obs AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT o.event_id, o.user_id, o.ts_ms,
+        |       d.status AS status_at, d.version AS status_version
+        |FROM obs o LEFT JOIN dim d
+        |  ON d.user_id = o.user_id
+        | AND d.valid_from <= o.ts_ms
+        | AND (d.valid_to IS NULL OR o.ts_ms < d.valid_to)
+        |ORDER BY o.event_id""".stripMargin
+
+  // --- label-horizon (look-ahead) join --------------------------------------
+  /** The other half of leakage-aware training-set construction:
+    * [[scd2PitJoin]] looks BACKWARD for features; this looks FORWARD for
+    * labels. Each click event gets `label` = did the same user purchase
+    * within the next hour (strictly after the click — a same-millisecond
+    * purchase does not count), plus `ms_to_purchase` for the positives.
+    *
+    * Same union-window rewrite as the PIT join, run in REVERSE time
+    * order: purchases and clicks union into one stream, a user-window
+    * sorted by ts DESCENDING (clicks before purchases at equal ts, so
+    * same-ms purchases are invisible to the click) carries the nearest
+    * FUTURE purchase time backward, and the horizon comparison closes the
+    * label. One exchange on user_id, no join, no per-pair expansion —
+    * the EXISTS-subquery form the oracle keeps would re-scan purchases
+    * per click at scale. */
+  def labelHorizon(spark: SparkSession, dir: String): DataFrame = {
+    val horizonMs = 3600000L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), lit(1).as("is_purchase"),
+        col("ts_ms").as("purchase_ts"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), lit(0).as("is_purchase"),
+        lit(null).cast("long").as("purchase_ts"), col("event_id"))
+    // ts DESC; at equal ts clicks first (is_purchase asc) so a same-ms
+    // purchase is not yet visible when the click is scanned
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("is_purchase").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("next_purchase_ts",
+        last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        (col("next_purchase_ts").isNotNull &&
+          col("next_purchase_ts") - col("ts_ms") <= horizonMs).as("label"),
+        when(col("next_purchase_ts").isNotNull &&
+          col("next_purchase_ts") - col("ts_ms") <= horizonMs,
+          col("next_purchase_ts") - col("ts_ms")).as("ms_to_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  val labelHorizonSql: String =
+    Tables.eventsOracleCte +
+      """, clicks AS (
+        |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, ts_ms FROM ev WHERE event_type = 'purchase'
+        |), nearest AS (
+        |  SELECT c.event_id, c.user_id, c.ts_ms,
+        |         (SELECT min(p.ts_ms) FROM purchases p
+        |          WHERE p.user_id = c.user_id AND p.ts_ms > c.ts_ms) AS next_purchase_ts
+        |  FROM clicks c
+        |)
+        |SELECT event_id, user_id, ts_ms,
+        |       (next_purchase_ts IS NOT NULL
+        |        AND next_purchase_ts - ts_ms <= 3600000) AS label,
+        |       CASE WHEN next_purchase_ts IS NOT NULL
+        |                 AND next_purchase_ts - ts_ms <= 3600000
+        |            THEN next_purchase_ts - ts_ms END AS ms_to_purchase
+        |FROM nearest
+        |ORDER BY event_id""".stripMargin
+
   // --- per-type z-score outliers -------------------------------------------
   /** Anomalous event values: per event_type mean/stddev, events with
     * |z| ≥ 3 reported. The moments accumulate as DECIMAL(18,6)-quantized

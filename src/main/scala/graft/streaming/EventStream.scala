@@ -206,6 +206,26 @@ object EventStream {
       .withWatermark("event_time", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // --- stream-static point-in-time enrichment -------------------------------
+  /** A stream of observation events LEFT-joined to a STATIC SCD-2
+    * dimension at each event's own timestamp — the online half of
+    * `scd2_pit_join` (feature serving with the same no-leakage contract
+    * the batch operator trains against). Stream-static joins are
+    * stateless: every micro-batch joins against the current static
+    * relation, so there is no watermark and no state store to bound; the
+    * dimension broadcasts when it fits and degrades to a shuffle join
+    * when it doesn't. Re-reading the dim per trigger (a `spark.read` in
+    * a foreachBatch) picks up Scd2Merge's latest swap — that composition
+    * is the serving loop. */
+  def pitEnrichStream(obs: DataFrame, dim: DataFrame): DataFrame =
+    obs.join(dim,
+      obs("user_id") === dim("user_id") &&
+        dim("valid_from") <= obs("ts_ms") &&
+        (dim("valid_to").isNull || obs("ts_ms") < dim("valid_to")),
+      "left")
+      .select(obs("event_id"), obs("user_id"), obs("ts_ms"),
+        dim("status").as("status_at"), dim("version").as("status_version"))
+
   // --- stream-stream interval join ------------------------------------------
   /** Watermarked stream-stream join: each click pairs with the same user's
     * views from the preceding 30 minutes. Both sides carry watermarks and

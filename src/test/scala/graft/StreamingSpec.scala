@@ -43,6 +43,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static pitEnrichStream matches the batch scd2_pit_join on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventAnalytics
+    val ev  = Tables.events(spark, sf)
+    val dim = EventAnalytics.scd2From(ev.filter(col("event_type") =!= "purchase"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[(Long, Long, Long)]
+    val obs = input.toDF().toDF("event_id", "user_id", "ts_ms")
+    val q = EventStream.pitEnrichStream(obs, dim)
+      .writeStream.format("memory").queryName("pit_enrich").outputMode("append").start()
+    try {
+      // two micro-batches — the static side serves both identically
+      val (a, b) = purchases.splitAt(purchases.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("pit_enrich")
+        .orderBy("event_id").collect().toSeq
+      val batch = EventAnalytics.scd2PitJoin(spark, sf)
+        .select("event_id", "user_id", "ts_ms", "status_at", "status_version")
+        .orderBy("event_id").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming ingest: file lands once, restart does not reprocess (T2)") {
     val in = tmp("captures"); val out = tmp("fact"); val ck = tmp("ckpt")
     val rec =
