@@ -872,6 +872,76 @@ object EventAnalytics {
       }
   }
 
+  case class LabelPending(clicks: List[(Long, Long)], purchases: List[Long])
+  case class LabelOut(event_id: Long, user_id: Long, ts_ms: Long,
+                      label: Boolean, ms_to_purchase: Option[Long])
+
+  /** Streaming form of [[labelHorizon]]: clicks are labeled ONLINE, each
+    * finalized exactly when the stream's watermark passes its horizon —
+    * the earliest moment the label is DEFINITIVE (every purchase that
+    * could flip it has arrived, by the watermark contract). Emitting on
+    * first qualifying purchase would be earlier but wrong: an
+    * out-of-order purchase still inside the watermark could shrink
+    * `ms_to_purchase`.
+    *
+    * State per user is BOUNDED by the horizon: pending clicks leave at
+    * `wm > t + horizon` (their emission point) and purchases are evicted
+    * once `p + horizon < wm` — each callback finalizes BEFORE evicting,
+    * and an induction on the watermark shows an evicted purchase can
+    * never match a still-pending click (pending ⇒ `t ≥ wm_prev − H`,
+    * evicted ⇒ `p < wm_prev − H ≤ t`, and a match needs `p > t`). So the
+    * store holds ~rate × (horizon + watermark delay) entries per user,
+    * independent of stream age. The timeout rides the watermark clock,
+    * so expiry is deterministic and replayable; StreamingSpec proves the
+    * flushed stream equals the batch twin row-for-row. */
+  def labelHorizonStream(evs: Dataset[FunnelEv],
+                         horizonMs: Long = 3600000L): Dataset[LabelOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val withTime = evs
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "0 milliseconds")
+
+    def finalizeDue(uid: Long, st: LabelPending, wm: Long): (LabelPending, List[LabelOut]) = {
+      val (due, pending) = st.clicks.partition { case (_, t) => t + horizonMs < wm }
+      val out = due.sortBy(_._1).map { case (eid, t) =>
+        val hit = st.purchases.filter(p => p > t && p <= t + horizonMs)
+        if (hit.isEmpty) LabelOut(eid, uid, t, label = false, None)
+        else LabelOut(eid, uid, t, label = true, Some(hit.min - t))
+      }
+      // finalize-THEN-evict: every purchase a due click needed is still
+      // present in this callback's state snapshot
+      (LabelPending(pending, st.purchases.filter(p => p + horizonMs >= wm)), out)
+    }
+
+    withTime.groupByKey(r => r.getAs[Long]("user_id"))
+      .flatMapGroupsWithState[LabelPending, LabelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var st = state.getOption.getOrElse(LabelPending(Nil, Nil))
+          it.toSeq.sortBy(r => (r.getAs[Long]("ts_ms"),
+            r.getAs[Long]("event_id"))).foreach { r =>
+            val ts = r.getAs[Long]("ts_ms")
+            r.getAs[String]("event_type") match {
+              case "click"    => st = st.copy(clicks = (r.getAs[Long]("event_id"), ts) :: st.clicks)
+              case "purchase" => st = st.copy(purchases = ts :: st.purchases)
+              case _          => () // other types carry watermark only
+            }
+          }
+          val (kept, out) = finalizeDue(uid, st, wm)
+          if (kept.clicks.isEmpty && kept.purchases.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(kept)
+            val nextDeadline = (kept.clicks.map(_._2) ++ kept.purchases)
+              .map(_ + horizonMs).min
+            state.setTimeoutTimestamp(math.max(nextDeadline + 1, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   val eventTransitionsSql: String =
     Tables.eventsOracleCte +
       """, seq AS (

@@ -257,6 +257,84 @@ object Pipeline {
       |FROM d GROUP BY 1, 2
       |ORDER BY source""".stripMargin
 
+  // --- budget-constrained corpus selection -----------------------------------
+  /** Shared with the oracle SQL so non-default call sites can't diverge. */
+  val BudgetFraction: Double = 0.5
+  val QualityBuckets: Int = 1000
+
+  /** "Best documents under a token budget" — keep the highest-quality
+    * docs whose combined tokens fit `BudgetFraction` of the corpus. The
+    * naive form is a global quality sort + running token sum + take-while:
+    * a single-partition window over every document, the one shape this
+    * repo bans. At scale you select by THRESHOLD instead: quantize
+    * quality to integer buckets (txt_quality's score × 1000, floor), sum
+    * tokens per bucket (a ~[[QualityBuckets]]-row aggregate), run the
+    * take-while over BUCKETS from the top down (single-partition window
+    * over the bucket table — aggregate-sized bytes, the sanctioned
+    * approx_topk_check shape), and the resulting cutoff bucket broadcasts
+    * back over the docs as a one-row scalar. Selection is
+    * bucket-granular: the budget may be undershot by at most one
+    * bucket's tokens — the documented trade for never sorting the corpus.
+    * Every quantity is integer/exact-double arithmetic with identical
+    * expression shape in the oracle, so the cutoff — and therefore the
+    * selected set — is engine- and partitioning-independent. */
+  def corpusBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val n    = size(split(col("text"), " ")).cast("double")
+    val stop = expr("size(filter(split(text, ' '), t -> t IN ('the','and','of','to','a','in','is')))").cast("double")
+    val avgLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
+    val quality = (stop / n) * lit(0.5) + avgLen * lit(0.1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(quality * QualityBuckets).cast("int").as("quality_bucket"),
+        nToks.as("n_tokens"))
+    val buckets = docs.groupBy(col("quality_bucket"))
+      .agg(sum(col("n_tokens").cast("long")).as("btok"))
+    val wcum = Window.orderBy(col("quality_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = docs
+      .agg(floor(lit(BudgetFraction) * sum(col("n_tokens").cast("long"))).cast("long").as("budget"))
+    val cutoff = buckets.withColumn("cum", sum(col("btok")).over(wcum))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .agg(min(col("quality_bucket")).as("qb_cut"))
+    docs.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bucket") >= col("qb_cut"))
+      .select(col("doc_id"), col("quality_bucket"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusBudgetSelectSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(floor(((stop / n) * 0.5
+       |              + ((CAST(length(text) AS DOUBLE) - (n - 1.0)) / n) * 0.1)
+       |              * $QualityBuckets) AS INT) AS quality_bucket,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |  FROM (
+       |    SELECT doc_id, text,
+       |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |           CAST(len(list_filter(string_split(text, ' '),
+       |                 t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
+       |    FROM documents
+       |  )
+       |), buckets AS (
+       |  SELECT quality_bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
+       |  FROM d GROUP BY 1
+       |), cum AS (
+       |  SELECT quality_bucket,
+       |         sum(btok) OVER (ORDER BY quality_bucket DESC
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM buckets
+       |), tot AS (
+       |  SELECT CAST(floor($BudgetFraction * sum(n_tokens)) AS BIGINT) AS budget FROM d
+       |), cut AS (
+       |  SELECT min(quality_bucket) AS qb_cut FROM cum, tot WHERE cum <= budget
+       |)
+       |SELECT doc_id, quality_bucket, n_tokens
+       |FROM d, cut
+       |WHERE quality_bucket >= qb_cut
+       |ORDER BY doc_id""".stripMargin
+
   // --- TF-IDF top terms -------------------------------------------------------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */
   val TfidfSource: String = "src1"

@@ -71,6 +71,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming labelHorizonStream (watermark-finalized) equals the batch label_horizon twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventAnalytics
+    import graft.operators.EventAnalytics.FunnelEv
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .collect()
+      .map(r => FunnelEv(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.ts_ms, e.event_id))
+    val input = MemoryStream[FunnelEv]
+    val q = EventAnalytics.labelHorizonStream(input.toDS())
+      .writeStream.format("memory").queryName("label_stream").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      // sentinel far past every horizon pushes the watermark → all
+      // pending clicks finalize deterministically
+      val flushTs = rows.map(_.ts_ms).max + 10L * 3600000L
+      input.addData(FunnelEv(-1L, "view", flushTs, -1L)); q.processAllAvailable()
+      val streamed = spark.table("label_stream")
+        .select("event_id", "user_id", "ts_ms", "label", "ms_to_purchase")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .sortBy(_._1).toSeq
+      val batch = graft.operators.EventAnalytics.labelHorizon(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .sortBy(_._1).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming ingest: file lands once, restart does not reprocess (T2)") {
     val in = tmp("captures"); val out = tmp("fact"); val ck = tmp("ckpt")
     val rec =
