@@ -488,6 +488,45 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE, "pass left the shared frame pinned")
   }
 
+  test("labelHorizonStream state survives stop/restart: pending click finalizes after recovery") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    import graft.operators.EventAnalytics.FunnelEv
+    val in = tmp("lhin"); val out = tmp("lhout") + "/labels"; val ck = tmp("lhck")
+    val horizon = 3000L
+    def evs = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts_ms LONG, event_id LONG")
+      .json(in).as[FunnelEv]
+    def run(): Unit = {
+      val q = EventAnalytics.labelHorizonStream(evs, horizon)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    // click 100 converts (purchase 1 s later); click 102 stays PENDING —
+    // its horizon (8 s) is past the max event time (5 s = the watermark)
+    Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"user_id":1,"event_type":"click","ts_ms":1000,"event_id":100}
+        |{"user_id":1,"event_type":"purchase","ts_ms":2000,"event_id":101}
+        |{"user_id":1,"event_type":"click","ts_ms":5000,"event_id":102}""".stripMargin)
+    run()
+    val first = spark.read.parquet(out)
+      .select("event_id", "label").as[(Long, Boolean)].collect().toMap
+    assert(first === Map(100L -> true), s"expected only click 100 finalized, got $first")
+    // restart over the same checkpoint: the pending click lives in the
+    // STATE STORE, not the source — a watermark-only event after recovery
+    // must finalize it as a negative
+    Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"user_id":-1,"event_type":"view","ts_ms":20000,"event_id":-1}""")
+    run()
+    val after = spark.read.parquet(out)
+      .select("event_id", "label", "ms_to_purchase")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+    assert(after === Seq((100L, true, Some(1000L)), (102L, false, None)),
+      s"state not recovered across restart: $after")
+  }
+
   /** Simulate the foreachBatch crash window — side effect durable, batch
     * commit not: drop the checkpoint's latest `commits/<n>` marker while
     * leaving `offsets/<n>`, so a restarted query replays that batch from
