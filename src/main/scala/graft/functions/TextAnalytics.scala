@@ -22,6 +22,17 @@ object TextAnalytics {
     * for a regex of word pieces; the aggregation shape is unchanged. */
   private val toks = split(col("text"), " ")
 
+  /** The txt_quality score as ONE shared Column so every consumer
+    * (qualityScore below, Pipeline.corpusBudgetSelect's bucketing) keys
+    * off the same formula — tuning the weights or the stopword list here
+    * retunes them everywhere, instead of a silently-stale copy. */
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
+    val n    = size(toks).cast("double")
+    val stop = expr("size(filter(split(text, ' '), t -> t IN ('the','and','of','to','a','in','is')))").cast("double")
+    val avgLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
+    (stop / n) * lit(0.5) + avgLen * lit(0.1)
+  }
+
   // --- token counting -------------------------------------------------------
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -69,7 +80,7 @@ object TextAnalytics {
         n.cast("int").as("n_tokens"),
         (stop / n).as("stopword_ratio"),
         avgLen.as("avg_token_len"),
-        ((stop / n) * lit(0.5) + avgLen * lit(0.1)).as("quality_score"))
+        qualityCol.as("quality_score"))
       .orderBy(col("doc_id"))
   }
 

@@ -241,7 +241,8 @@ object EventAnalytics {
     * keeps the change event_id so retroactive merges re-order ties
     * exactly like the batch twin. */
   private[graft] def scd2From(events: DataFrame,
-                              keepEventId: Boolean = false): DataFrame = {
+                              keepEventId: Boolean = false,
+                              ordered: Boolean = true): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
     val base = events
       .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
@@ -257,7 +258,11 @@ object EventAnalytics {
       col("ts_ms").as("valid_from"), col("valid_to"),
       col("valid_to").isNull.as("is_current")) ++
       (if (keepEventId) Seq(col("event_id").as("change_eid")) else Nil)
-    base.select(cols: _*).orderBy(col("user_id"), col("version"))
+    val out = base.select(cols: _*)
+    // the ORDER BY is the scd2_status QUERY's output contract; internal
+    // consumers ([[scd2PitJoin]]) skip it — a sort the next operator
+    // immediately destroys is a wasted range exchange
+    if (ordered) out.orderBy(col("user_id"), col("version")) else out
   }
 
   def scd2Status(spark: SparkSession, dir: String): DataFrame =
@@ -304,7 +309,7 @@ object EventAnalytics {
     * rewrite is independently validated row-for-row. */
   def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val dim = scd2From(ev.filter(col("event_type") =!= "purchase"))
+    val dim = scd2From(ev.filter(col("event_type") =!= "purchase"), ordered = false)
     val changes = dim.select(col("user_id"), col("valid_from").as("ts_ms"),
       lit(0).as("is_obs"), col("version").cast("long").as("tie"),
       col("status"), col("version"), lit(null).cast("long").as("event_id"))
@@ -365,8 +370,12 @@ object EventAnalytics {
     * label. One exchange on user_id, no join, no per-pair expansion —
     * the EXISTS-subquery form the oracle keeps would re-scan purchases
     * per click at scale. */
+  /** Shared with the oracle SQL and the streaming form so non-default
+    * call sites can't diverge. */
+  val LabelHorizonMs: Long = 3600000L
+
   def labelHorizon(spark: SparkSession, dir: String): DataFrame = {
-    val horizonMs = 3600000L
+    val horizonMs = LabelHorizonMs
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ms"), lit(1).as("is_purchase"),
@@ -394,7 +403,7 @@ object EventAnalytics {
 
   val labelHorizonSql: String =
     Tables.eventsOracleCte +
-      """, clicks AS (
+      s""", clicks AS (
         |  SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'
         |), purchases AS (
         |  SELECT user_id, ts_ms FROM ev WHERE event_type = 'purchase'
@@ -406,9 +415,9 @@ object EventAnalytics {
         |)
         |SELECT event_id, user_id, ts_ms,
         |       (next_purchase_ts IS NOT NULL
-        |        AND next_purchase_ts - ts_ms <= 3600000) AS label,
+        |        AND next_purchase_ts - ts_ms <= $LabelHorizonMs) AS label,
         |       CASE WHEN next_purchase_ts IS NOT NULL
-        |                 AND next_purchase_ts - ts_ms <= 3600000
+        |                 AND next_purchase_ts - ts_ms <= $LabelHorizonMs
         |            THEN next_purchase_ts - ts_ms END AS ms_to_purchase
         |FROM nearest
         |ORDER BY event_id""".stripMargin
@@ -895,7 +904,7 @@ object EventAnalytics {
     * so expiry is deterministic and replayable; StreamingSpec proves the
     * flushed stream equals the batch twin row-for-row. */
   def labelHorizonStream(evs: Dataset[FunnelEv],
-                         horizonMs: Long = 3600000L): Dataset[LabelOut] = {
+                         horizonMs: Long = LabelHorizonMs): Dataset[LabelOut] = {
     val spark = evs.sparkSession
     import spark.implicits._
     val withTime = evs

@@ -274,29 +274,41 @@ object Pipeline {
     * approx_topk_check shape), and the resulting cutoff bucket broadcasts
     * back over the docs as a one-row scalar. Selection is
     * bucket-granular: the budget may be undershot by at most one
-    * bucket's tokens — the documented trade for never sorting the corpus.
+    * bucket's tokens — the documented trade for never sorting the
+    * corpus — and when even the TOP bucket alone exceeds the budget the
+    * selector keeps that one bucket (greedy floor) rather than
+    * returning an empty corpus.
     * Every quantity is integer/exact-double arithmetic with identical
     * expression shape in the oracle, so the cutoff — and therefore the
     * selected set — is engine- and partitioning-independent. */
-  def corpusBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
-    val n    = size(split(col("text"), " ")).cast("double")
-    val stop = expr("size(filter(split(text, ' '), t -> t IN ('the','and','of','to','a','in','is')))").cast("double")
-    val avgLen = (length(col("text")).cast("double") - (n - lit(1.0))) / n
-    val quality = (stop / n) * lit(0.5) + avgLen * lit(0.1)
-    val docs = Tables.documents(spark, dir)
+  def corpusBudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    corpusBudgetSelectFrom(Tables.documents(spark, dir))
+
+  /** Corpus-parameterized body (the minhashLshFrom pattern) so the spec
+    * can drive the degenerate single-bucket case through the REAL
+    * pipeline. */
+  private[graft] def corpusBudgetSelectFrom(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"),
-        floor(quality * QualityBuckets).cast("int").as("quality_bucket"),
+        floor(graft.functions.TextAnalytics.qualityCol * QualityBuckets)
+          .cast("int").as("quality_bucket"),
         nToks.as("n_tokens"))
     val buckets = docs.groupBy(col("quality_bucket"))
       .agg(sum(col("n_tokens").cast("long")).as("btok"))
     val wcum = Window.orderBy(col("quality_bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budget = docs
-      .agg(floor(lit(BudgetFraction) * sum(col("n_tokens").cast("long"))).cast("long").as("budget"))
+    // the budget comes from the bucket aggregate, not a second scan of
+    // documents: sum of per-bucket longs == sum of per-doc ints exactly
+    val budget = buckets
+      .agg(floor(lit(BudgetFraction) * sum(col("btok"))).cast("long").as("budget"))
+    // greedy floor: if even the TOP bucket exceeds the budget, select it
+    // anyway (a budget selector that returns nothing is useless; the
+    // overshoot case is as bucket-granular as the undershoot case)
     val cutoff = buckets.withColumn("cum", sum(col("btok")).over(wcum))
       .crossJoin(broadcast(budget))
-      .filter(col("cum") <= col("budget"))
-      .agg(min(col("quality_bucket")).as("qb_cut"))
+      .agg(coalesce(
+        min(when(col("cum") <= col("budget"), col("quality_bucket"))),
+        max(col("quality_bucket"))).as("qb_cut"))
     docs.crossJoin(broadcast(cutoff))
       .filter(col("quality_bucket") >= col("qb_cut"))
       .select(col("doc_id"), col("quality_bucket"), col("n_tokens"))
@@ -326,9 +338,11 @@ object Pipeline {
        |                         ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM buckets
        |), tot AS (
-       |  SELECT CAST(floor($BudgetFraction * sum(n_tokens)) AS BIGINT) AS budget FROM d
+       |  SELECT CAST(floor($BudgetFraction * sum(btok)) AS BIGINT) AS budget FROM buckets
        |), cut AS (
-       |  SELECT min(quality_bucket) AS qb_cut FROM cum, tot WHERE cum <= budget
+       |  SELECT coalesce(min(CASE WHEN cum <= budget THEN quality_bucket END),
+       |                  max(quality_bucket)) AS qb_cut
+       |  FROM cum, tot
        |)
        |SELECT doc_id, quality_bucket, n_tokens
        |FROM d, cut

@@ -937,9 +937,10 @@ object Relational3 {
     * Scale shape: this is a CHECK-ONLY query (docs/SCALE.md §Check-only):
     * it runs both arms, so it inherits the exact arm's per-group value
     * buffer — never ship it to a 100× run. The production form is
-    * [[winsorizedStatsSketch]] (registered as `winsorized_stats_sketch`):
-    * one sketch aggregate + one clamped moment pass, no sort at any
-    * scale. */
+    * [[winsorizedStatsSketch]] — a library function, deliberately NOT in
+    * the SparkEntry registry (no engine-independent oracle exists for a
+    * sketch value; SketchOnlySpec covers it): one sketch aggregate + one
+    * clamped moment pass, no sort at any scale. */
   def winsorizedStatsApprox(spark: SparkSession, dir: String): DataFrame = {
     val qs = Tables.lineitem(spark, dir)
       .groupBy(col("l_linestatus"))

@@ -140,9 +140,9 @@ object Relational4 {
   /** The correlated-MIN topology: for each qualifying part, the EUROPE
     * supplier(s) achieving that part's minimum cost. Spark-first the
     * correlated subquery is a window MIN over `l_partkey` computed on the
-    * region-restricted pair stream — one extra shuffle on partkey instead
-    * of a per-part re-scan; the region∘nation∘supplier dim chain folds
-    * into one broadcast, the part filter into another. Equality on the
+    * part- and region-restricted pair stream — one extra shuffle on
+    * partkey instead of a per-part re-scan; the region∘nation∘supplier
+    * dim chain folds into one broadcast, the part filter into another. Equality on the
     * double cost is exact because both sides of the comparison are the
     * same deterministically-derived value ([[Relational3.sqlQ15]]'s
     * argument). Top-20 by a total order (acctbal desc, nation, supplier,
@@ -160,11 +160,15 @@ object Relational4 {
       .filter(col("p_name").like("%rod") && col("p_size").between(1, 50))
       .select(col("p_partkey").as("l_partkey"))
     val w = Window.partitionBy(col("l_partkey"))
+    // the part filter lands BEFORE the window: the correlated MIN is
+    // per-part, so dropping whole partitions up front cannot change any
+    // surviving partition's minimum — and the partkey shuffle + window
+    // then run over the '%rod' slice only, not every pair
     pairCost(spark, dir)
+      .join(broadcast(prod), "l_partkey")
       .join(broadcast(eurSupp), "l_suppkey")
       .withColumn("min_cost", min(col("cost")).over(w))
       .filter(col("cost") === col("min_cost"))
-      .join(broadcast(prod), "l_partkey")
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))

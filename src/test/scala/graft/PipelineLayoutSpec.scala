@@ -11,6 +11,26 @@ import java.nio.file.Files
   * worth its sort. */
 class PipelineLayoutSpec extends SparkSpec {
 
+  test("corpus_budget_select: budget respected on the fixture, greedy floor on a one-bucket corpus") {
+    import spark.implicits._
+    // fixture: selected tokens fit the budget, and adding the next bucket
+    // down would overshoot (maximality of the bucket-granular selection)
+    val docs = graft.Tables.documents(spark, sf)
+    val sel = Pipeline.corpusBudgetSelect(spark, sf).collect()
+    assert(sel.nonEmpty)
+    val allTok = docs.select(expr("CAST(sum(size(split(text, ' '))) AS LONG)"))
+      .as[Long].head()
+    val budget = math.floor(Pipeline.BudgetFraction * allTok).toLong
+    val selTok = sel.map(_.getInt(2).toLong).sum
+    assert(selTok <= budget, s"selection $selTok exceeds budget $budget")
+    // degenerate corpus: every doc identical → ONE quality bucket whose
+    // tokens exceed any 50% budget; the greedy floor must keep it, not
+    // return an empty corpus
+    val flat = (1L to 20L).map(i => (i, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val kept = Pipeline.corpusBudgetSelectFrom(flat).collect()
+    assert(kept.length == 20, s"greedy floor lost the top bucket: ${kept.length}")
+  }
+
   test("pack_sequences fills every non-final sequence to exactly the budget") {
     val packed = Pipeline.packSequences(spark, sf).collect()
     val bySource = packed.groupBy(_.getString(0))

@@ -48,8 +48,10 @@ class PitJoinSpec extends SparkSpec {
       .groupBy(clicks("event_id"), clicks("user_id"), clicks("ts_ms"))
       .agg(min(col("p_ts")).as("next_ts"))
       .select(col("event_id"), col("user_id"), col("ts_ms"),
-        (col("next_ts").isNotNull && col("next_ts") - col("ts_ms") <= 3600000L).as("label"),
-        when(col("next_ts").isNotNull && col("next_ts") - col("ts_ms") <= 3600000L,
+        (col("next_ts").isNotNull &&
+          col("next_ts") - col("ts_ms") <= EventAnalytics.LabelHorizonMs).as("label"),
+        when(col("next_ts").isNotNull &&
+          col("next_ts") - col("ts_ms") <= EventAnalytics.LabelHorizonMs,
           col("next_ts") - col("ts_ms")).as("ms_to_purchase"))
       .orderBy(col("event_id"))
       .collect().toSeq
@@ -60,13 +62,21 @@ class PitJoinSpec extends SparkSpec {
   }
 
   test("plan: union-window shape — shuffles bounded, no join operator") {
-    val plan = EventAnalytics.scd2PitJoin(spark, sf).queryExecution.executedPlan
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    // one hash exchange feeds the user window (the SCD-2 derivation and
-    // the carry-forward window share the user_id partitioning); the final
-    // ORDER BY adds a range exchange
-    assert(shuffles.size <= 3, s"expected ≤3 exchanges:\n${plan.treeString.take(3000)}")
-    assert(!plan.toString.contains("Join"),
-      "the union-window rewrite must not contain a join")
+    // AQE off for the walk: under AQE the executedPlan is an
+    // AdaptiveSparkPlanExec LEAF, so collect{ShuffleExchangeExec} finds
+    // nothing and the bound would be vacuous (the BloomFrontSpec lesson)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = EventAnalytics.scd2PitJoin(spark, sf).queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      // one hash exchange feeds the user window (the SCD-2 derivation and
+      // the carry-forward window share the user_id partitioning); the
+      // final ORDER BY adds a range exchange
+      assert(shuffles.nonEmpty, "plan walk must see the real tree (AQE leaf?)")
+      assert(shuffles.size <= 3, s"expected ≤3 exchanges:\n${plan.treeString.take(3000)}")
+      assert(!plan.toString.contains("Join"),
+        "the union-window rewrite must not contain a join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
