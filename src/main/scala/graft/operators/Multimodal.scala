@@ -277,6 +277,89 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** JPEG payloads for every doc: structurally real marker streams —
+    * SOI, JFIF APP0, a COMMENT segment whose length VARIES with doc_id
+    * (so the SOF offset is not constant and the parser's segment walk is
+    * honest), a DQT stub, a real SOF0 frame header carrying the
+    * dimensions, EOI. All fields pure doc_id functions, same
+    * ground-truth-oracle construction as [[mediaPayloads]]. */
+  private[graft] def jpegPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val w = (d % 509 + 1).cast("int")
+    val h = (d % 389 + 1).cast("int")
+    val comLen = (d % 9).cast("int") // 0..8 comment bytes
+    val jpegHex = concat(
+      lit("FFD8"),                                   // SOI
+      lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000"),
+      lit("FFFE"), lpad(hex(comLen + 2), 4, "0"),    // COM, len = 2 + k
+      repeat(lit("41"), comLen),                     // k comment bytes
+      lit("FFDB" + "0043" + "00"), repeat(lit("11"), 64), // DQT stub
+      lit("FFC0" + "0011" + "08"),                   // SOF0, len 17, precision 8
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),    // height, width (BE16)
+      lit("03" + "011100" + "021101" + "031101"),    // 3 components
+      lit("FFD9"))                                   // EOI
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(jpegHex).as("payload"))
+  }
+
+  /** JPEG dimension extraction — the part of JPEG parsing PNG's
+    * fixed-offset IHDR read cannot stand in for: the SOF frame header
+    * sits at a VARIABLE offset behind arbitrary-length metadata
+    * segments, so the parser walks the marker stream (marker, BE16
+    * length inclusive of itself, payload) up to [[JpegWalkDepth]]
+    * segments until it hits SOF0/SOF2. The walk is a bounded unroll of
+    * pure `substr`/`conv` column arithmetic — branch-free codegen'd
+    * projection, no UDF, each step's offset derived from the previous
+    * step's length field exactly as a byte-level decoder would. Files
+    * whose SOF lies deeper than the unroll parse as null dimensions
+    * (never wrong ones). The oracle pins ground-truth doc_id arithmetic,
+    * so build→walk→parse must be the identity per row. */
+  val JpegWalkDepth: Int = 6
+
+  def mmDecodeJpeg(spark: SparkSession, dir: String): DataFrame =
+    jpegDecodeFrom(jpegPayloads(spark, dir)).orderBy(col("doc_id"))
+
+  /** Payload-parameterized walk body so the spec can feed hand-written
+    * golden bytes (and a deeper-than-unroll stream) through the REAL
+    * parser. */
+  private[graft] def jpegDecodeFrom(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    def rd(off: org.apache.spark.sql.Column, n: Int) =
+      conv(hex(p.substr(off, lit(n))), 16, 10).cast("long")
+    val isJpeg = hex(p.substr(lit(1), lit(2))) === "FFD8"
+    // unrolled marker walk: sof = offset of the first SOF0/SOF2 marker
+    var off: org.apache.spark.sql.Column = lit(3L)
+    var sof: org.apache.spark.sql.Column = lit(null).cast("long")
+    for (_ <- 0 until JpegWalkDepth) {
+      val marker = rd(off, 2)
+      val isSof = marker === 0xFFC0L || marker === 0xFFC2L
+      sof = when(sof.isNotNull, sof).when(isSof, off)
+      off = off + 2L + rd(off + 2L, 2)
+    }
+    payloads
+      .select(col("doc_id"),
+        when(isJpeg, "jpeg").otherwise("unknown").as("format"),
+        octet_length(p).as("byte_len"),
+        when(isJpeg, rd(sof + 4L, 1).cast("int")).as("precision"),
+        when(isJpeg, rd(sof + 5L, 2).cast("int")).as("height"),
+        when(isJpeg, rd(sof + 7L, 2).cast("int")).as("width"),
+        when(isJpeg, rd(sof + 9L, 1).cast("int")).as("n_components"))
+  }
+
+  /** Ground truth from doc_id arithmetic (byte_len = 114 + the variable
+    * comment length), NOT a parse replay — same contract as
+    * [[mmDecodeMetaSql]]. */
+  val mmDecodeJpegSql: String =
+    """SELECT doc_id,
+      |       'jpeg' AS format,
+      |       CAST(114 + doc_id % 9 AS INT) AS byte_len,
+      |       CAST(8 AS INT) AS precision,
+      |       CAST(doc_id % 389 + 1 AS INT) AS height,
+      |       CAST(doc_id % 509 + 1 AS INT) AS width,
+      |       CAST(3 AS INT) AS n_components
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Typed decode result of [[decodeMedia]]. */
   case class MediaMeta(doc_id: Long, format: String, byte_len: Int,
                        width: Option[Int], height: Option[Int],

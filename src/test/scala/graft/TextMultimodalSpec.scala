@@ -77,6 +77,38 @@ class TextMultimodalSpec extends SparkSpec {
       None, None, Some(2), Some(44100), Some(10L)))
   }
 
+  test("JPEG marker walk parses golden bytes; SOF past the unroll yields null, never wrong") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden: a real minimal JPEG header stream — SOI, JFIF APP0, one
+    // 3-byte comment, SOF0 declaring 17x33, 3 components
+    val golden = hx("FFD8" +
+      "FFE000104A46494600010100004800480000" +
+      "FFFE0005414141" +
+      "FFC0001108" + "0011" + "0021" + "03011100021101031101" +
+      "FFD9")
+    // adversarial: SOF sits behind MORE metadata segments than the
+    // unroll depth — contract is null dimensions, never misreads
+    val deep = hx("FFD8" +
+      ("FFFE0005414141" * (Multimodal.JpegWalkDepth + 1)) +
+      "FFC0001108" + "0011" + "0021" + "03011100021101031101" +
+      "FFD9")
+    val out = Multimodal.jpegDecodeFrom(
+        Seq((1L, golden), (2L, deep), (3L, "not a jpeg".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = out(1L)
+    assert(g.getAs[String]("format") == "jpeg")
+    assert(g.getAs[Int]("height") == 17 && g.getAs[Int]("width") == 33)
+    assert(g.getAs[Int]("precision") == 8 && g.getAs[Int]("n_components") == 3)
+    val d = out(2L)
+    assert(d.getAs[String]("format") == "jpeg")
+    assert(d.isNullAt(d.fieldIndex("height")) && d.isNullAt(d.fieldIndex("width")),
+      "SOF beyond the walk depth must parse as null, not a misread")
+    assert(out(3L).getAs[String]("format") == "unknown")
+  }
+
   test("SQL parser and typed decoder agree on every fixture payload") {
     import spark.implicits._
     val typed = Multimodal.decodeMedia(
