@@ -307,8 +307,12 @@ object EventAnalytics {
     * would shuffle the dimension per event; this ships each change row
     * once. The oracle keeps the literal interval-join form, so the
     * rewrite is independently validated row-for-row. */
-  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame =
+    scd2PitJoinFrom(Tables.events(spark, dir))
+
+  /** Event-frame-parameterized body so the skew spec can feed a hot-user
+    * stream through the REAL pipeline. */
+  private[graft] def scd2PitJoinFrom(ev: DataFrame): DataFrame = {
     val dim = scd2From(ev.filter(col("event_type") =!= "purchase"), ordered = false)
     val changes = dim.select(col("user_id"), col("valid_from").as("ts_ms"),
       lit(0).as("is_obs"), col("version").cast("long").as("tie"),
@@ -374,9 +378,12 @@ object EventAnalytics {
     * call sites can't diverge. */
   val LabelHorizonMs: Long = 3600000L
 
-  def labelHorizon(spark: SparkSession, dir: String): DataFrame = {
+  def labelHorizon(spark: SparkSession, dir: String): DataFrame =
+    labelHorizonFrom(Tables.events(spark, dir))
+
+  /** Event-frame-parameterized body (the scd2PitJoinFrom pattern). */
+  private[graft] def labelHorizonFrom(ev: DataFrame): DataFrame = {
     val horizonMs = LabelHorizonMs
-    val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ms"), lit(1).as("is_purchase"),
         col("ts_ms").as("purchase_ts"), lit(null).cast("long").as("event_id"))

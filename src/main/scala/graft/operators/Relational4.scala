@@ -121,12 +121,22 @@ object Relational4 {
   /** The fixture's stand-in for partsupp.ps_supplycost: each (part,
     * supplier) pair's average unit price out of lineitem — one groupBy,
     * both sums DECIMAL-exact before the single double division, so the
-    * derived cost is bit-identical across engines and partitionings. */
-  private def pairCost(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    * derived cost is bit-identical across engines and partitionings.
+    * `partFilter` (a broadcastable one-column partkey dim) applies BELOW
+    * the aggregation: the filter is on a grouping key, so surviving
+    * pairs' aggregates are unchanged while the groupBy runs over the
+    * filtered slice only — at 100× the pair shuffle carries the '%rod'
+    * fraction, not every pair. */
+  private def pairCost(spark: SparkSession, dir: String,
+                       partFilter: Option[DataFrame] = None): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity"))
+    partFilter.fold(li)(p => li.join(broadcast(p), Seq("l_partkey"), "semi"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg((expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)") /
         expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")).as("cost"))
+  }
 
   private val pairCostCte: String =
     """ps AS (
@@ -160,12 +170,12 @@ object Relational4 {
       .filter(col("p_name").like("%rod") && col("p_size").between(1, 50))
       .select(col("p_partkey").as("l_partkey"))
     val w = Window.partitionBy(col("l_partkey"))
-    // the part filter lands BEFORE the window: the correlated MIN is
-    // per-part, so dropping whole partitions up front cannot change any
-    // surviving partition's minimum — and the partkey shuffle + window
-    // then run over the '%rod' slice only, not every pair
-    pairCost(spark, dir)
-      .join(broadcast(prod), "l_partkey")
+    // the part filter lands below the PAIR AGGREGATION itself (see
+    // pairCost): the correlated MIN is per-part, so dropping whole
+    // partitions up front cannot change any surviving partition's
+    // minimum — shuffle, groupBy, and window all run over the '%rod'
+    // slice only, never every pair
+    pairCost(spark, dir, partFilter = Some(prod))
       .join(broadcast(eurSupp), "l_suppkey")
       .withColumn("min_cost", min(col("cost")).over(w))
       .filter(col("cost") === col("min_cost"))
@@ -329,7 +339,12 @@ object Relational4 {
         .select(col("n_nationkey"), col("n_name").as("nation"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("l_suppkey"), col("nation"))
+    // the part filter applies below the pair aggregation too (grouping-
+    // key filter ⇒ surviving pairs' minima unchanged), so the derived
+    // relation is built from the widget slice only
     val pairMinPrice = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(widgetParts), Seq("l_partkey"), "semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(expr("min(CAST(l_extendedprice AS DECIMAL(18,2)))").as("min_price"))
     Tables.lineitem(spark, dir)

@@ -61,6 +61,32 @@ class PitJoinSpec extends SparkSpec {
     assert(got.exists(!_.getAs[Boolean]("label")), "and negatives")
   }
 
+  test("hot-user skew: a 50k-event bot user labels and PIT-joins correctly among normal users") {
+    import spark.implicits._
+    // bot: 25k click->purchase pairs 1s apart (every click converts with
+    // ms_to_purchase=1000); one normal user with an unconverted click
+    val bot = (0 until 50000).map { i =>
+      (1L, i.toLong * 1000L + 1L,
+        if (i % 2 == 0) "click" else "purchase", 1000000L + i)
+    }
+    val normal = Seq((2L, 500L, "click", 1L), (2L, 600L, "signup", 2L))
+    val ev = (bot ++ normal).toDF("user_id", "ts_ms", "event_type", "event_id")
+    val labels = EventAnalytics.labelHorizonFrom(ev).collect()
+    assert(labels.length === 25001)
+    val botLabels = labels.filter(_.getLong(1) == 1L)
+    assert(botLabels.length === 25000 && botLabels.forall(r =>
+      r.getBoolean(3) && r.getLong(4) == 1000L),
+      "every bot click converts in exactly 1s")
+    val normalLabel = labels.find(_.getLong(1) == 2L).get
+    assert(!normalLabel.getBoolean(3))
+    // PIT join: the bot's non-purchase history alternates only 'click',
+    // so ONE status version governs all 25k purchases
+    val pit = EventAnalytics.scd2PitJoinFrom(ev).collect()
+    val botPit = pit.filter(_.getLong(1) == 1L)
+    assert(botPit.length === 25000 && botPit.forall(r =>
+      r.getString(3) == "click" && r.getInt(4) == 1))
+  }
+
   test("plan: union-window shape — shuffles bounded, no join operator") {
     // AQE off for the walk: under AQE the executedPlan is an
     // AdaptiveSparkPlanExec LEAF, so collect{ShuffleExchangeExec} finds
