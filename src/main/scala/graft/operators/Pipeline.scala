@@ -190,11 +190,17 @@ object Pipeline {
     * documents never moves an existing one between splits, unlike any
     * rank- or sample-based split) and embarrassingly parallel (a pure
     * projection; the only shuffle is the reporting groupBy). */
+  /** The per-doc split as a pure Column — ONE definition shared by
+    * [[splitAssign]] and [[splitLeakage]] so the leakage check can never
+    * audit a different split than the one the manifest reports. */
+  private[graft] def splitOf(docId: Column): Column = {
+    val b = h60(docId.cast("string")) % 100
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("b", h60(col("doc_id").cast("string")) % 100)
-      .withColumn("split",
-        when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(nToks.cast("long")).as("n_tokens"))
       .orderBy(col("source"), col("split"))
@@ -256,6 +262,42 @@ object Pipeline {
       |       CAST(sum(CASE WHEN r < w_pm THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM d GROUP BY 1, 2
       |ORDER BY source""".stripMargin
+
+  // --- train/test split leakage audit ----------------------------------------
+  /** Near-duplicate pairs that STRADDLE a split boundary — the
+    * train/test contamination a hash split cannot prevent (the split is
+    * per-document, but near-duplicates are different documents with
+    * different hashes, so a pair can land on both sides and leak test
+    * content into training). Composes the MinHash-LSH candidate pipeline
+    * with the split assignment: the split is a pure function of doc_id
+    * ([[splitOf]]), so attaching it to each pair side is a projection —
+    * no join against a split table at any scale. Output is the
+    * cross-split subset of the verified near-dup pairs, worst first —
+    * at 100 TB this IS the decontamination worklist (drop or re-split
+    * every row). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(spark, dir)
+      .withColumn("split_1", splitOf(col("d1")))
+      .withColumn("split_2", splitOf(col("d2")))
+      .filter(col("split_1") =!= col("split_2"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("split_1"), col("split_2"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+
+  val splitLeakageSql: String = {
+    val splitCase = (c: String) =>
+      s"""CASE WHEN CAST(concat('0x', substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+         |     WHEN CAST(concat('0x', substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH pairs AS (
+       |${Dedup.minhashLshSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT d1, d2, jaccard,
+       |       ${splitCase("d1")} AS split_1,
+       |       ${splitCase("d2")} AS split_2
+       |FROM pairs
+       |WHERE ${splitCase("d1")} <> ${splitCase("d2")}
+       |ORDER BY jaccard DESC, d1, d2""".stripMargin
+  }
 
   // --- budget-constrained corpus selection -----------------------------------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */
