@@ -65,18 +65,24 @@ object Tables {
     * via nanosAsLong) and as timestamp[us]; both must yield the identical
     * `ts_ms` bigint so every oracle and golden constant is
     * encoding-independent:
-    *   - LongType (nanos-as-long):   exact integer `ts div 1_000_000`
+    *   - LongType (nanos-as-long):   exact integer FLOOR division
+    *                                 `(ts - pmod(ts, 1e6)) div 1e6` — plain
+    *                                 `div` truncates toward zero, which would
+    *                                 diverge from `unix_millis` (a floor) on
+    *                                 pre-1970 instants; pmod keeps the math
+    *                                 in exact 64-bit integers (a double
+    *                                 `floor(ts/1e6)` loses precision above
+    *                                 2^53 ns ≈ 1970+104d)
     *   - TIMESTAMP_NTZ:              wall-clock == instant under the pinned
     *                                 UTC session, so cast to TIMESTAMP then
-    *                                 `unix_millis` (truncating, exact for
-    *                                 the post-1970 fixture range)
+    *                                 `unix_millis` (floors, exact)
     *   - TIMESTAMP (ltz):            `unix_millis` directly
     * Anything else is a fixture-contract break — fail loudly with the type
     * instead of 27 silent downstream analysis errors (TsEncodingSpec pins
-    * the three-way equivalence).
+    * the three-way equivalence, including a pre-1970 row).
     */
   private def tsMillis(raw: DataFrame): Column = raw.schema("ts").dataType match {
-    case LongType         => expr("ts div 1000000")
+    case LongType         => expr("(ts - pmod(ts, 1000000)) div 1000000")
     case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
     case TimestampType    => unix_millis(col("ts"))
     case other =>

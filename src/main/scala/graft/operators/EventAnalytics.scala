@@ -909,14 +909,27 @@ object EventAnalytics {
     * store holds ~rate × (horizon + watermark delay) entries per user,
     * independent of stream age. The timeout rides the watermark clock,
     * so expiry is deterministic and replayable; StreamingSpec proves the
-    * flushed stream equals the batch twin row-for-row. */
+    * flushed stream equals the batch twin row-for-row.
+    *
+    * `watermarkDelay` is the out-of-order tolerance: an event arriving
+    * more than this far behind the max event time seen is DROPPED by the
+    * watermark and can neither be labeled nor flip a label. The default
+    * "0 milliseconds" therefore assumes a time-ordered feed ACROSS
+    * micro-batches (within a batch, order is irrelevant — the callback
+    * sees the whole batch before finalizing); feeds that can straggle
+    * across batch boundaries must pass their real delay bound, which the
+    * eviction math above already accommodates (state grows by
+    * rate × delay). The batch-equivalence specs use 0 because their
+    * feeds are ordered; StreamingSpec also pins the nonzero-delay path
+    * with a cross-batch straggler. */
   def labelHorizonStream(evs: Dataset[FunnelEv],
-                         horizonMs: Long = LabelHorizonMs): Dataset[LabelOut] = {
+                         horizonMs: Long = LabelHorizonMs,
+                         watermarkDelay: String = "0 milliseconds"): Dataset[LabelOut] = {
     val spark = evs.sparkSession
     import spark.implicits._
     val withTime = evs
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
-      .withWatermark("event_time", "0 milliseconds")
+      .withWatermark("event_time", watermarkDelay)
 
     def finalizeDue(uid: Long, st: LabelPending, wm: Long): (LabelPending, List[LabelOut]) = {
       val (due, pending) = st.clicks.partition { case (_, t) => t + horizonMs < wm }

@@ -321,21 +321,48 @@ object Multimodal {
 
   /** Payload-parameterized walk body so the spec can feed hand-written
     * golden bytes (and a deeper-than-unroll stream) through the REAL
-    * parser. */
+    * parser.
+    *
+    * The walk is a single `aggregate(sequence(1, depth), …)` higher-order
+    * function folding a `(off, sof)` struct — runtime iteration, so the
+    * expression tree stays LINEAR in the depth. (A compile-time unroll
+    * references the previous offset several times per step, which after the
+    * well-formedness gating grew the tree exponentially and blew past
+    * janino's codegen limits.)
+    *
+    * Each step is gated on the segment being WELL-FORMED — the marker word
+    * must carry the 0xFF prefix (>= 0xFF00 = 65280) and the BE16 length
+    * must cover itself (>= 2). A malformed or truncated segment nulls
+    * `off`, and null propagates through every later step's reads
+    * (substring at a null offset → null marker → gates never fire), so the
+    * walk TERMINATES with null sof instead of desynchronizing and
+    * misreading a later byte pair that happens to equal 0xFFC0 as a frame
+    * header: malformed input parses as null dimensions, never wrong ones
+    * (TextMultimodalSpec pins this with corrupt-marker and corrupt-length
+    * streams). SOF0 = 65472, SOF2 = 65474. */
   private[graft] def jpegDecodeFrom(payloads: DataFrame): DataFrame = {
     val p = col("payload")
     def rd(off: org.apache.spark.sql.Column, n: Int) =
-      conv(hex(p.substr(off, lit(n))), 16, 10).cast("long")
+      conv(hex(p.substr(off.cast("int"), lit(n))), 16, 10).cast("long")
     val isJpeg = hex(p.substr(lit(1), lit(2))) === "FFD8"
-    // unrolled marker walk: sof = offset of the first SOF0/SOF2 marker
-    var off: org.apache.spark.sql.Column = lit(3L)
-    var sof: org.apache.spark.sql.Column = lit(null).cast("long")
-    for (_ <- 0 until JpegWalkDepth) {
-      val marker = rd(off, 2)
-      val isSof = marker === 0xFFC0L || marker === 0xFFC2L
-      sof = when(sof.isNotNull, sof).when(isSof, off)
-      off = off + 2L + rd(off + 2L, 2)
-    }
+    val sofExpr = expr(
+      s"""aggregate(
+         |  sequence(1, $JpegWalkDepth),
+         |  named_struct('off', cast(3 as bigint), 'sof', cast(null as bigint)),
+         |  (acc, i) -> named_struct(
+         |    'off',
+         |      CASE WHEN cast(conv(hex(substring(payload, cast(acc.off as int), 2)), 16, 10) as bigint) >= 65280
+         |                AND cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint) >= 2
+         |           THEN acc.off + 2 + cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint)
+         |      END,
+         |    'sof',
+         |      CASE WHEN acc.sof IS NOT NULL THEN acc.sof
+         |           WHEN cast(conv(hex(substring(payload, cast(acc.off as int), 2)), 16, 10) as bigint) IN (65472, 65474)
+         |                AND cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint) >= 2
+         |           THEN acc.off
+         |      END),
+         |  acc -> acc.sof)""".stripMargin)
+    val sof = sofExpr
     payloads
       .select(col("doc_id"),
         when(isJpeg, "jpeg").otherwise("unknown").as("format"),

@@ -109,6 +109,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("labelHorizonStream with nonzero watermarkDelay labels a cross-batch straggler purchase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventAnalytics
+    import graft.operators.EventAnalytics.FunnelEv
+    val horizon = 1000L
+    val input = MemoryStream[FunnelEv]
+    val q = EventAnalytics
+      .labelHorizonStream(input.toDS(), horizon, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("label_straggler").outputMode("append").start()
+    try {
+      // batch 1: the click, plus a view that pushes max event time to 12000
+      // (watermark after the batch = 12000 - 5000 = 7000 < click horizon end)
+      input.addData(FunnelEv(1L, "click", 10000L, 1L), FunnelEv(2L, "view", 12000L, 2L))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER purchase at 10500 — behind max seen event
+      // time but inside the 5 s delay, so the watermark admits it. Under the
+      // default 0 ms delay the watermark would already sit at 12000 and this
+      // row would be dropped → label=false. Then a sentinel finalizes.
+      input.addData(FunnelEv(1L, "purchase", 10500L, 3L), FunnelEv(2L, "view", 20000L, 4L))
+      q.processAllAvailable()
+      input.addData(FunnelEv(2L, "view", 60000L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("label_straggler")
+        .select("event_id", "label", "ms_to_purchase").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSeq
+      assert(out == Seq((1L, true, Some(500L))),
+        s"straggler purchase must label the click (got $out)")
+    } finally q.stop()
+  }
+
   test("streaming ingest: file lands once, restart does not reprocess (T2)") {
     val in = tmp("captures"); val out = tmp("fact"); val ck = tmp("ckpt")
     val rec =

@@ -94,8 +94,18 @@ class TextMultimodalSpec extends SparkSpec {
       ("FFFE0005414141" * (Multimodal.JpegWalkDepth + 1)) +
       "FFC0001108" + "0011" + "0021" + "03011100021101031101" +
       "FFD9")
+    // corrupt A: a non-marker word (no 0xFF prefix) precedes a perfectly
+    // plausible SOF0 — an unvalidated walk would stride the fake segment
+    // and "find" 99x100; the contract is null, never a misread
+    val badPrefix = hx("FFD8" + "ABCD0002" +
+      "FFC0001108" + "0063" + "0064" + "03011100021101031101" + "FFD9")
+    // corrupt B: a COM segment whose BE16 length (1) cannot cover itself —
+    // advancing by it would desynchronize the walk onto payload bytes
+    val badLen = hx("FFD8" + "FFFE0001" +
+      "FFC0001108" + "0011" + "0021" + "03011100021101031101" + "FFD9")
     val out = Multimodal.jpegDecodeFrom(
-        Seq((1L, golden), (2L, deep), (3L, "not a jpeg".getBytes("US-ASCII")))
+        Seq((1L, golden), (2L, deep), (3L, "not a jpeg".getBytes("US-ASCII")),
+            (4L, badPrefix), (5L, badLen))
           .toDF("doc_id", "payload"))
       .collect().map(r => r.getLong(0) -> r).toMap
     val g = out(1L)
@@ -107,6 +117,12 @@ class TextMultimodalSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("height")) && d.isNullAt(d.fieldIndex("width")),
       "SOF beyond the walk depth must parse as null, not a misread")
     assert(out(3L).getAs[String]("format") == "unknown")
+    Seq(4L -> "invalid marker prefix", 5L -> "length below 2").foreach { case (id, why) =>
+      val r = out(id)
+      assert(r.getAs[String]("format") == "jpeg") // SOI is intact; body is corrupt
+      assert(r.isNullAt(r.fieldIndex("height")) && r.isNullAt(r.fieldIndex("width")),
+        s"corrupt stream ($why) must terminate the walk with null dims, got a misread")
+    }
   }
 
   test("SQL parser and typed decoder agree on every fixture payload") {
