@@ -748,14 +748,19 @@ object Dedup {
     * checks a changed-row count, the standard Spark iterative-algorithm
     * shape; every round is two shuffles over the edge table, never a
     * driver-side graph). Both the edge table and each round's labels are
-    * `localCheckpoint`ed: an iterative dataflow MUST truncate lineage,
+    * lineage-truncated: an iterative dataflow MUST truncate lineage,
     * otherwise round N's logical plan nests all N-1 predecessors and
     * analysis/optimization time grows without bound (measured: minutes at
-    * round ~7 vs seconds checkpointed; on a real cluster this would be
-    * `checkpoint` to reliable storage). The DuckDB oracle states the same
-    * fixpoint as a recursive CTE — same components, declarative
+    * round ~7 vs seconds checkpointed). HOW to truncate is injected via
+    * [[Truncate]] — `localCheckpoint` single-JVM, reliable `checkpoint`
+    * on a cluster (or whenever `GRAFT_CC_CHECKPOINT_DIR` is set, which is
+    * how the one-shot query forms reach the reliable path; TruncateSpec
+    * pins both paths to identical components). The DuckDB oracle states
+    * the same fixpoint as a recursive CTE — same components, declarative
     * formulation. */
-  def dedupGroups(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+  def dedupGroups(spark: SparkSession, dir: String, maxIters: Int = 50,
+                  truncate: Option[Truncate] = None): DataFrame = {
+    val ck = Truncate.resolve(truncate)
     val sh = shingleRows(Tables.documents(spark, dir))
     // Per-shingle doc count AND per-shingle min doc in one window pass:
     // the min seeds each node's label, so every single-shingle clique is
@@ -787,15 +792,15 @@ object Dedup {
     // Materialize the self-join ONCE (eager checkpoint), then size the
     // loop from a cheap scan of the materialized edges — previously the
     // sizing count and the sym build each executed the join.
-    val edgesCk = edges.localCheckpoint(true)
+    val edgesCk = ck(edges)
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (edgesCk.count() / 100000L).toInt))
     // Symmetric edges partitioned on dst — the key every loop join probes
     // — so the per-round join never re-shuffles the edge table.
     val sym = edgesCk.union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(nParts, col("dst")).localCheckpoint(true)
-    var labels = rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
-      .repartition(nParts, col("doc_id")).localCheckpoint(true)
+      .repartition(nParts, col("dst")).transform(ck(_))
+    var labels = ck(rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
+      .repartition(nParts, col("doc_id")))
     rare.unpersist() // both consumers are materialized (eager checkpoints)
     var converged = false
     var iter = 0
@@ -823,7 +828,7 @@ object Dedup {
         .join(prelim.select(col("doc_id").as("lab"), col("lab").as("lab2")).as("q"),
           Seq("lab"), "left")
         .select(col("doc_id"), coalesce(col("lab2"), col("lab")).as("lab"), col("prev"))
-        .localCheckpoint(true)
+        .transform(ck(_))
       // cheap scan of the just-materialized checkpoint, not a join
       val changed = next.filter(col("lab") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("lab"))

@@ -633,17 +633,20 @@ object Similarity {
     * per-round frame is `localCheckpoint`ed — iterative dataflow MUST
     * truncate lineage or round N's plan nests all N-1 predecessors.
     * Empty clusters keep their previous centroid (coalesce on the left
-    * join), the standard Lloyd degeneracy guard. Quantized means make
+    * join), the standard Lloyd degeneracy guard. Truncation strategy is
+    * injected like the CC loop's ([[Truncate]]): localCheckpoint
+    * single-JVM, reliable checkpoint under GRAFT_CC_CHECKPOINT_DIR.
+    * Quantized means make
     * every iteration bit-reproducible across partitionings, so the whole
     * fit is deterministic — asserted by the spec, run-to-run. */
   def kmeansFit(spark: SparkSession, dir: String, k: Int = 8,
-                maxIters: Int = 20): DataFrame = {
-    val embs = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true)
-    var cent = embs.filter(col("vec_id") < k)
+                maxIters: Int = 20,
+                truncate: Option[Truncate] = None): DataFrame = {
+    val ck = Truncate.resolve(truncate)
+    val embs = ck(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    var cent = ck(embs.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_label"),
-        expr("transform(embedding, x -> round(cast(x as double), 6))").as("cl"))
-      .localCheckpoint(true)
+        expr("transform(embedding, x -> round(cast(x as double), 6))").as("cl")))
     val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
     def eStep(c: DataFrame): DataFrame = embs
       .crossJoin(broadcast(c))
@@ -657,7 +660,7 @@ object Similarity {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val assigned = eStep(cent).localCheckpoint(true)
+      val assigned = ck(eStep(cent))
       converged = labels != null && {
         val changed = assigned.select(col("vec_id"), col("c_label").as("next"))
           .join(labels, "vec_id")
@@ -676,9 +679,8 @@ object Similarity {
           .groupBy(col("c_label"))
           .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
             .as("cl_new"))
-        cent = cent.join(means, Seq("c_label"), "left")
-          .select(col("c_label"), coalesce(col("cl_new"), col("cl")).as("cl"))
-          .localCheckpoint(true)
+        cent = ck(cent.join(means, Seq("c_label"), "left")
+          .select(col("c_label"), coalesce(col("cl_new"), col("cl")).as("cl")))
       }
       iter += 1
     }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation strategy for iterative dataflows (the CC loop in
+  * [[Dedup.dedupGroups]], the k-means loop in [[Similarity]]).
+  *
+  * Iterative plans MUST truncate lineage each round or round N's logical
+  * plan nests all N-1 predecessors. HOW they truncate is a deployment
+  * decision, injected rather than hardcoded:
+  *
+  *   - [[Truncate.Local]] — `localCheckpoint(eager)`: executor-local
+  *     storage, no filesystem round-trip. Correct and fast single-JVM
+  *     (tests, local[32]); on a real cluster a lost executor loses its
+  *     blocks and the job dies, because the truncated lineage cannot
+  *     recompute them.
+  *   - [[Truncate.Reliable]] — `checkpoint(eager)` to a reliable
+  *     checkpoint dir (HDFS/object store on a cluster): survives executor
+  *     loss, costs a write+read of each round's frame. The at-100TB
+  *     default.
+  *
+  * Resolution: callers that take `Option[Truncate] = None` resolve the
+  * default from `GRAFT_CC_CHECKPOINT_DIR` — set, it selects
+  * `Reliable(dir)`; unset, `Local`. That lets the whole one-shot query
+  * registry (Verify/Bench, which construct queries only from
+  * `(spark, sfDir)`) run through the reliable path without a signature
+  * change, which is how the CC family's oracle entries are re-verified on
+  * the cluster-safe path (TruncateSpec + the committed
+  * CORRECTNESS_r11_reliable_cc artifact).
+  */
+sealed trait Truncate {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Truncate {
+
+  case object Local extends Truncate {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  }
+
+  /** Reliable checkpoint into `dir`. Sets the SparkContext checkpoint dir
+    * on first use (idempotent: only if unset or different). */
+  final case class Reliable(dir: String) extends Truncate {
+    def apply(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    }
+  }
+
+  /** Env-resolved default: `GRAFT_CC_CHECKPOINT_DIR` ⇒ [[Reliable]],
+    * else [[Local]]. */
+  def resolve(explicit: Option[Truncate]): Truncate =
+    explicit.getOrElse(
+      sys.env.get("GRAFT_CC_CHECKPOINT_DIR").map(Reliable).getOrElse(Local))
+}

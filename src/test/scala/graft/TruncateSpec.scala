@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Dedup, Similarity, Truncate}
+
+/** The reliable-checkpoint seam (VERDICT r10 next-round #2): iterative
+  * loops truncate lineage via an injected [[Truncate]] strategy, and the
+  * cluster-safe path (`checkpoint` to a reliable dir) must produce
+  * byte-identical results to the single-JVM `localCheckpoint` path — the
+  * ONLY thing the strategy may change is where the truncated blocks live.
+  */
+class TruncateSpec extends SparkSpec {
+
+  private def reliableDir(tag: String): String =
+    Files.createTempDirectory(s"graft-ck-$tag").toFile.getAbsolutePath
+
+  test("dedupGroups: reliable checkpoint path equals localCheckpoint components exactly") {
+    val local = Dedup.dedupGroups(spark, sf, truncate = Some(Truncate.Local))
+      .collect().toSeq
+    val dir = reliableDir("cc")
+    val reliable = Dedup.dedupGroups(spark, sf, truncate = Some(Truncate.Reliable(dir)))
+      .collect().toSeq
+    assert(reliable == local)
+    // the reliable path must have actually written RDD checkpoint data —
+    // otherwise this test silently degenerates to local-vs-local
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty,
+      s"reliable checkpoint dir $dir is empty — checkpoint() never ran")
+  }
+
+  test("kmeansFit: reliable checkpoint path equals localCheckpoint fit exactly") {
+    val local = Similarity.kmeansFit(spark, sf, k = 4, maxIters = 20,
+      truncate = Some(Truncate.Local)).collect().toSeq
+    val dir = reliableDir("km")
+    val reliable = Similarity.kmeansFit(spark, sf, k = 4, maxIters = 20,
+      truncate = Some(Truncate.Reliable(dir))).collect().toSeq
+    assert(reliable == local)
+  }
+
+  test("resolve: explicit strategy wins; env-less default is Local") {
+    assert(Truncate.resolve(Some(Truncate.Local)) == Truncate.Local)
+    val r = Truncate.Reliable("/tmp/x")
+    assert(Truncate.resolve(Some(r)) == r)
+    // the test JVM does not set GRAFT_CC_CHECKPOINT_DIR
+    if (!sys.env.contains("GRAFT_CC_CHECKPOINT_DIR"))
+      assert(Truncate.resolve(None) == Truncate.Local)
+  }
+}
