@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scaler (round-11 sf1 soak, VERDICT r10 #1):
+  * replicates a driver-generated sf directory `copies`× with
+  * referential-integrity-preserving key remaps, so the full 165-query
+  * registry can be oracle-gated and benched at 10× the committed scale.
+  * Pure column arithmetic, no randomness — run twice, get identical bytes
+  * of data (parquet layout aside).
+  *
+  * Key remap: copy `i` shifts every primary key by `i * (max(key)+1)` and
+  * every foreign key by its REFERENCED table's stride, so each copy is a
+  * self-consistent replica (joins never cross copies). `region`/`nation`
+  * are fixed-size TPC-H dimensions and stay single-copy (nationkey
+  * references from copies resolve against them, as at any TPC-H SF).
+  *
+  * Content perturbation (what keeps the 10× soak HONEST instead of
+  * degenerate):
+  *   - `documents.text`: 30 % of docs per copy (doc_id % 10 < 3) keep
+  *     identical text — cross-copy exact-duplicate groups of size
+  *     `copies` that stress exact dedup and LSH bucket caps. The rest get
+  *     a per-copy token prefix (disjoint vocabularies), so the
+  *     rare-shingle similarity graph becomes `copies` disjoint replicas —
+  *     same diameter, 10× the edges — instead of collapsing (identical
+  *     text everywhere would push every shingle's doc-count past the
+  *     rare-band and leave the CC family with an empty graph).
+  *     `n_chars` is recomputed (the fixture's n_chars == length(text)
+  *     contract holds by construction).
+  *   - `embeddings`: element 0 shifted by `i/1000` per copy — copies are
+  *     NEAR-duplicates of the originals (emb_neardup/ANN get real 10×
+  *     structure) without the exact-tie explosion identical vectors
+  *     would create.
+  *   - `events`: event_id/user_id strided, everything else (ts included —
+  *     raw, untouched, per the fixture ts contract) verbatim: 10× the
+  *     users with identical per-user event shapes.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val inDir  = args(0)
+    val outDir = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).first().getLong(0) + 1L
+    def wr(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    /** copies× union of per-copy frames — copy 0 must be the identity. */
+    def rep(f: Int => DataFrame): DataFrame =
+      (0 until copies).map(f).reduce(_ unionByName _)
+
+    val customer = rd("customer"); val supplier = rd("supplier")
+    val part = rd("part"); val orders = rd("orders"); val lineitem = rd("lineitem")
+    val events = rd("events"); val documents = rd("documents"); val embeddings = rd("embeddings")
+    val sC = stride(customer, "c_custkey"); val sS = stride(supplier, "s_suppkey")
+    val sP = stride(part, "p_partkey");     val sO = stride(orders, "o_orderkey")
+    val sE = stride(events, "event_id");    val sU = stride(events, "user_id")
+    val sD = stride(documents, "doc_id");   val sV = stride(embeddings, "vec_id")
+
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+    wr(rep(i => customer.withColumn("c_custkey", col("c_custkey") + lit(i * sC))), "customer")
+    wr(rep(i => supplier.withColumn("s_suppkey", col("s_suppkey") + lit(i * sS))), "supplier")
+    wr(rep(i => part.withColumn("p_partkey", col("p_partkey") + lit(i * sP))), "part")
+    wr(rep(i => orders
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * sO))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * sC))), "orders")
+    wr(rep(i => lineitem
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * sO))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * sP))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * sS))), "lineitem")
+    wr(rep(i => events
+      .withColumn("event_id", col("event_id") + lit(i * sE))
+      .withColumn("user_id", col("user_id") + lit(i * sU))), "events")
+    wr(rep { i =>
+      val txt =
+        if (i == 0) col("text")
+        else when(col("doc_id") % 10 < 3, col("text"))
+          .otherwise(concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat('c$i', t))")))
+      documents
+        .withColumn("text", txt)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("doc_id", col("doc_id") + lit(i * sD))
+    }, "documents")
+    wr(rep { i =>
+      embeddings
+        .withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> IF(j = 0, cast(x + $i / 1000.0 as float), x))"))
+        .withColumn("vec_id", col("vec_id") + lit(i * sV))
+    }, "embeddings")
+
+    println(s"[genscale] wrote ${copies}x of $inDir to $outDir")
+    spark.stop()
+  }
+}

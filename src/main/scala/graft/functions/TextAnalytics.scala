@@ -50,6 +50,25 @@ object TextAnalytics {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** [[tokenCount]]'s tokenizer-faithful twin: whitespace count next to
+    * the greedy-subword [[Bpe]] count — the number a real context-window
+    * budget is measured in. Still a pure projection on the scan. */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        Bpe.countCol.as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountBpeSql: String =
+    Bpe.oracleCte +
+      """
+        |SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM documents LEFT JOIN bpe USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   // --- corpus word frequencies (explode → hash agg → top-k) ----------------
   def wordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -49,11 +49,12 @@ object Pipeline {
     * partition executor-sized while leaving per-shard packing exact; the
     * per-source form here is that plan with one shard. */
   def packSequences(spark: SparkSession, dir: String,
-                    budget: Int = PackBudget): DataFrame = {
+                    budget: Int = PackBudget,
+                    tokCol: Column = nToks): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), nToks.cast("long").as("n_toks"))
+      .select(col("source"), col("doc_id"), tokCol.cast("long").as("n_toks"))
       // sequence(hi, lo) would generate a DESCENDING range for a 0-token
       // row (DuckDB's range(hi, lo+1) is empty) — enforce the n_toks >= 1
       // invariant rather than assume it (no-op on today's tokenizer,
@@ -76,6 +77,39 @@ object Pipeline {
     s"""WITH d AS (
        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
        |  FROM documents
+       |), o AS (
+       |  SELECT source, n_toks,
+       |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM d
+       |), x AS (
+       |  SELECT source, s AS seq_id,
+       |         least((s + 1) * $PackBudget, off + n_toks)
+       |           - greatest(s * $PackBudget, off) AS tok
+       |  FROM o, LATERAL unnest(range(off // $PackBudget,
+       |                               (off + n_toks - 1) // $PackBudget + 1)) AS t(s)
+       |)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1, 2
+       |ORDER BY source, seq_id""".stripMargin
+
+  /** [[packSequences]] budgeted in SUBWORD tokens ([[graft.functions.Bpe]])
+    * — the counter a real context window is measured in (a
+    * whitespace-budgeted pack overflows real windows on code/CJK-ish
+    * text). Same single-window + bounded-explode plan; only the
+    * token-count projection changes. */
+  def packSequencesBpe(spark: SparkSession, dir: String,
+                       budget: Int = PackBudget): DataFrame =
+    packSequences(spark, dir, budget, graft.functions.Bpe.countCol)
+
+  val packSequencesBpeSql: String =
+    graft.functions.Bpe.oracleCte +
+      s""",
+       |d AS (
+       |  SELECT source, doc_id, CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_toks
+       |  FROM documents LEFT JOIN bpe USING (doc_id)
+       |  WHERE COALESCE(n_bpe, 0) > 0
        |), o AS (
        |  SELECT source, n_toks,
        |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
@@ -329,12 +363,13 @@ object Pipeline {
   /** Corpus-parameterized body (the minhashLshFrom pattern) so the spec
     * can drive the degenerate single-bucket case through the REAL
     * pipeline. */
-  private[graft] def corpusBudgetSelectFrom(documents: DataFrame): DataFrame = {
+  private[graft] def corpusBudgetSelectFrom(documents: DataFrame,
+                                            tokCol: Column = nToks): DataFrame = {
     val docs = documents
       .select(col("doc_id"),
         floor(graft.functions.TextAnalytics.qualityCol * QualityBuckets)
           .cast("int").as("quality_bucket"),
-        nToks.as("n_tokens"))
+        tokCol.cast("int").as("n_tokens"))
     val buckets = docs.groupBy(col("quality_bucket"))
       .agg(sum(col("n_tokens").cast("long")).as("btok"))
     val wcum = Window.orderBy(col("quality_bucket").desc)
@@ -371,6 +406,49 @@ object Pipeline {
        |                 t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
        |    FROM documents
        |  )
+       |), buckets AS (
+       |  SELECT quality_bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
+       |  FROM d GROUP BY 1
+       |), cum AS (
+       |  SELECT quality_bucket,
+       |         sum(btok) OVER (ORDER BY quality_bucket DESC
+       |                         ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM buckets
+       |), tot AS (
+       |  SELECT CAST(floor($BudgetFraction * sum(btok)) AS BIGINT) AS budget FROM buckets
+       |), cut AS (
+       |  SELECT coalesce(min(CASE WHEN cum <= budget THEN quality_bucket END),
+       |                  max(quality_bucket)) AS qb_cut
+       |  FROM cum, tot
+       |)
+       |SELECT doc_id, quality_bucket, n_tokens
+       |FROM d, cut
+       |WHERE quality_bucket >= qb_cut
+       |ORDER BY doc_id""".stripMargin
+
+  /** [[corpusBudgetSelect]] budgeted in SUBWORD tokens — the bucket
+    * cutoff machinery is untouched (1000 integer quality buckets +
+    * broadcast cutoff scalar, never a global sort); only the per-doc
+    * token weight switches to [[graft.functions.Bpe]]. */
+  def corpusBudgetSelectBpe(spark: SparkSession, dir: String): DataFrame =
+    corpusBudgetSelectFrom(Tables.documents(spark, dir), graft.functions.Bpe.countCol)
+
+  val corpusBudgetSelectBpeSql: String =
+    graft.functions.Bpe.oracleCte +
+      s""",
+       |d AS (
+       |  SELECT doc_id,
+       |         CAST(floor(((stop / n) * 0.5
+       |              + ((CAST(length(text) AS DOUBLE) - (n - 1.0)) / n) * 0.1)
+       |              * $QualityBuckets) AS INT) AS quality_bucket,
+       |         CAST(COALESCE(n_bpe, 0) AS INT) AS n_tokens
+       |  FROM (
+       |    SELECT doc_id, text,
+       |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |           CAST(len(list_filter(string_split(text, ' '),
+       |                 t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
+       |    FROM documents
+       |  ) LEFT JOIN bpe USING (doc_id)
        |), buckets AS (
        |  SELECT quality_bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
        |  FROM d GROUP BY 1

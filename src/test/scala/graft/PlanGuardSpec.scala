@@ -25,9 +25,12 @@ class PlanGuardSpec extends SparkSpec {
     // sql_q11: the 1%-of-total threshold is a one-row broadcast joined
     // back over the per-part aggregate (the tfidf/Q15 scalar pattern)
     "sql_q11" -> 1,
-    // corpus_budget_select: TWO one-row scalars broadcast back — the token
-    // budget over the docs and the bucket cutoff over the bucket table
+    // corpus_budget_select(+_bpe): TWO one-row scalars broadcast back —
+    // the token budget over the docs and the bucket cutoff over the
+    // bucket table (the _bpe twin changes only the token-count
+    // projection, not the scalar plumbing)
     "corpus_budget_select" -> 2,
+    "corpus_budget_select_bpe" -> 2,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
@@ -68,10 +71,11 @@ class PlanGuardSpec extends SparkSpec {
     // shape (per-partition partials reduce to one value each before the
     // exchange)
     "sql_q6" -> 1, "sql_q19" -> 1, "sql_q11" -> 1,
-    // corpus_budget_select: the take-while window runs over the BUCKET
-    // table (≈QualityBuckets aggregate rows, bytes not docs — the
+    // corpus_budget_select(+_bpe): the take-while window runs over the
+    // BUCKET table (≈QualityBuckets aggregate rows, bytes not docs — the
     // approx_topk_check shape) plus the one-row budget scalar
     "corpus_budget_select" -> 2,
+    "corpus_budget_select_bpe" -> 2,
     "txt_collocations" -> 1, "trending_events" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
