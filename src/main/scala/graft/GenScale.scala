@@ -53,8 +53,23 @@ object GenScale {
     def rd(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).first().getLong(0) + 1L
-    def wr(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    /** Single parquet FILE per table (the driver fixture's layout — the
+      * DuckDB oracle reads `read_parquet('<dir>/<name>.parquet')`, which
+      * does not glob a directory): write coalesced, then promote the one
+      * part file to `<name>.parquet`. */
+    def wr(df: DataFrame, name: String): Unit = {
+      val staging = s"$outDir/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $name"))
+      val dest = new java.io.File(s"$outDir/$name.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      new java.io.File(staging).listFiles().foreach(_.delete())
+      new java.io.File(staging).delete()
+      ()
+    }
     /** copies× union of per-copy frames — copy 0 must be the identity. */
     def rep(f: Int => DataFrame): DataFrame =
       (0 until copies).map(f).reduce(_ unionByName _)

@@ -462,6 +462,43 @@ object Dedup {
                  maxBucket: Int = 50): DataFrame =
     minhashLshFrom(Tables.documents(spark, dir), maxBucket)
 
+  /** The signature stage, reusable by the batch one-shot and the
+    * streaming incremental form ([[graft.streaming.LshStream]]): 60
+    * minhash slots + set size per doc from exploded (doc_id, shingle)
+    * rows. See the family derivation comment in [[minhashLshFrom]]. */
+  private[graft] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val hashed = sh
+      .withColumn("h1", graft.functions.EngineHash.md5Bits60(col("shingle"), 1))
+      .withColumn("h2", graft.functions.EngineHash.md5Bits60(col("shingle"), 17))
+    // 60-bit rotation of a positive long: disjoint bit ranges, so + ≡ |.
+    def rot60(c: org.apache.spark.sql.Column, r: Int) =
+      if (r == 0) c
+      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) + shiftrightunsigned(c, 60 - r)
+    val minhashes = (0 until 60).map(s =>
+      min(rot60(col("h1"), (7 * s) % 60).bitwiseXOR(rot60(col("h2"), (13 * s) % 60)))
+        .as(s"m$s")) :+
+      count(lit(1)).as("set_n")
+    hashed.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** The banding stage: 15 bands × 4 rows over a [[minhashSignatures]]
+    * frame. Band key = the four slots joined as a string (NOT a hash of
+    * them — the oracle twin must build the exact same buckets, and
+    * positive longs render identically in both engines). */
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until 15).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)
+          .as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Shingle rows for the streaming form's candidate verification (the
+    * exact-Jaccard stage needs shingle sets for candidate docs only). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = shingleRows(docs)
+
   /** Corpus-parameterized body (the embNearDupFrom pattern) so the skew
     * spec can feed a degenerate boilerplate corpus through the REAL
     * pipeline. */
@@ -493,32 +530,8 @@ object Dedup {
     // the signature stage. Set size rides along in the same aggregation.
     // All arithmetic stays inside positive 60-bit longs, which is what
     // makes the DuckDB twin bit-identical.
-    val hashed = sh
-      .withColumn("h1", graft.functions.EngineHash.md5Bits60(col("shingle"), 1))
-      .withColumn("h2", graft.functions.EngineHash.md5Bits60(col("shingle"), 17))
-    // 60-bit rotation of a positive long: disjoint bit ranges, so + ≡ |.
-    def rot60(c: org.apache.spark.sql.Column, r: Int) =
-      if (r == 0) c
-      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) + shiftrightunsigned(c, 60 - r)
-    val minhashes = (0 until 60).map(s =>
-      min(rot60(col("h1"), (7 * s) % 60).bitwiseXOR(rot60(col("h2"), (13 * s) % 60)))
-        .as(s"m$s")) :+
-      count(lit(1)).as("set_n")
-    val sig = hashed.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
-    // 15 bands x 4 rows: band key = the band's four slots joined as a
-    // string (NOT a hash of them — the oracle twin must build the exact
-    // same buckets, and positive longs render identically in both
-    // engines; the join key is ~80 bytes instead of 8, a fine trade for
-    // a hash-checkable bucket structure).
-    val bandStructs = (0 until 15).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)
-          .as("band_key"))
-    }
-    val sigCached = sig.persist()
-    val bands = sigCached
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val sigCached = minhashSignatures(sh).persist()
+    val bands = bandsOf(sigCached)
     // Bucket-size cap via aggregate + semi-join rather than a window
     // count: the cap exists to defend against DEGENERATE buckets, and a
     // window partition cannot be split — a million-row boilerplate bucket

@@ -141,6 +141,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH equals the one-shot batch run across three micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.LshStream
+    // fixture corpus + two planted near-dups of doc 0, all landing in
+    // DIFFERENT batches than their partner — the cross-batch discovery path
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d0 = base.find(_._1 == base.map(_._1).min).get._2
+    val all = base ++ Seq((900001L, d0 + " tail"), (900002L, d0))
+    val batches = all.groupBy { case (id, _) => (id % 3).toInt }.toSeq.sortBy(_._1)
+    assert(batches.size == 3)
+
+    val stateDir = tmp("lsh-state"); val ck = tmp("lsh-ck")
+    val input = MemoryStream[(Long, String)]
+    val q = LshStream.minhashLshStream(
+      input.toDF().toDF("doc_id", "text"), stateDir, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      batches.foreach { case (_, docs) =>
+        input.addData(docs.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = LshStream.pairs(spark, stateDir)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = graft.operators.Dedup
+      .minhashLshFrom(all.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty, "planted near-dups must be found")
+    assert(streamed.exists { case (d1, d2, j) => d2 == 900002L && j == 1.0 },
+      "the cross-batch exact-dup pair must be discovered at arrival")
+    assert(streamed == oneShot)
+
+    // replay idempotence: re-processing an already-admitted batch is a no-op
+    LshStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"), stateDir)
+    val replayed = LshStream.pairs(spark, stateDir).count()
+    assert(replayed == streamed.size.toLong)
+  }
+
+  test("streaming LSH bucket cap is PREFIX semantics: pairs found while small persist") {
+    import spark.implicits._
+    import graft.streaming.LshStream
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val stateDir = tmp("lsh-cap")
+    // cap 2: the {a,b} bucket pair is found; c overflows the bucket later
+    LshStream.processBatch(spark, Seq((1L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
+    LshStream.processBatch(spark, Seq((2L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
+    LshStream.processBatch(spark, Seq((3L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
+    val got = LshStream.pairs(spark, stateDir).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the one-shot form would drop the (now size-3) bucket entirely; the
+    // stream keeps the pair it found while the bucket was within cap —
+    // and emits nothing new once over
+    assert(got == Set((1L, 2L)))
+  }
+
   test("streaming ingest: file lands once, restart does not reprocess (T2)") {
     val in = tmp("captures"); val out = tmp("fact"); val ck = tmp("ckpt")
     val rec =
