@@ -387,6 +387,245 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- MP3: ID3v2 skip + MPEG audio frame header ---------------------------
+  /** MP3 fixture payloads: a real ID3v2.3 tag header whose SYNCSAFE size
+    * varies with doc_id (0..199 — crossing 127 so the 7-bit-per-byte
+    * decode is actually exercised), the padding bytes it declares, then a
+    * genuine 4-byte MPEG audio frame header (11-bit sync, version, layer
+    * III, bitrate/samplerate indices, channel mode) and 16 frame bytes.
+    * Same ground-truth-oracle construction as [[mediaPayloads]]: every
+    * field is pure doc_id arithmetic, so a construction bug and a parse
+    * bug cannot cancel. */
+  private[graft] def mp3Payloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val tagSize = (d % 200).cast("int")
+    val brIdx = (d % 14 + 1).cast("int")
+    val srIdx = (d % 3).cast("int")
+    val chMode = (d % 4).cast("int")
+    val mp3Hex = concat(
+      lit("494433" + "0300" + "00"),                     // "ID3" v2.3.0 flags 0
+      lit("0000"),                                       // syncsafe size, high bytes
+      lpad(hex(shiftright(tagSize, 7).bitwiseAND(lit(127))), 2, "0"),
+      lpad(hex(tagSize.bitwiseAND(lit(127))), 2, "0"),
+      repeat(lit("00"), tagSize),                        // tag body (padding)
+      lit("FF"),                                         // frame sync byte 1
+      // sync(3) + version(2) + layer III(01) + no-CRC(1):
+      // MPEG1 -> 1111 1011 = FB, MPEG2 -> 1111 0011 = F3
+      when(d % 2 === 0, "FB").otherwise("F3"),
+      lpad(hex(shiftleft(brIdx, 4) + shiftleft(srIdx, 2)), 2, "0"),
+      lpad(hex(shiftleft(chMode, 6)), 2, "0"),
+      repeat(lit("00"), 16))                             // frame payload stub
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(mp3Hex).as("payload"))
+  }
+
+  def mmDecodeMp3(spark: SparkSession, dir: String): DataFrame =
+    mp3DecodeFrom(mp3Payloads(spark, dir)).orderBy(col("doc_id"))
+
+  /** MPEG audio header decode behind an ID3v2 skip — payload-parameterized
+    * so the spec can feed hand-written golden and adversarial bytes.
+    * The ID3 tag length is SYNCSAFE (4 bytes, 7 significant bits each, per
+    * the ID3v2 spec), which puts the frame header at a VARIABLE offset;
+    * the frame header is then validated (11-bit sync, defined version,
+    * layer III, non-reserved bitrate/samplerate indices) before any field
+    * is emitted — malformed headers decode as null fields, never wrong
+    * ones, same contract as [[jpegDecodeFrom]]. The bitrate/samplerate
+    * index → value tables are the published MPEG-1/2 Layer III tables,
+    * applied via `element_at` over array literals: one branch-free
+    * codegen'd projection, no UDF. */
+  private[graft] def mp3DecodeFrom(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    def u8c(off: org.apache.spark.sql.Column) =
+      conv(hex(p.substr(off.cast("int"), lit(1))), 16, 10).cast("int")
+    def u8f(off: Int) = u8c(lit(off))
+    val isId3 = hex(p.substr(lit(1), lit(3))) === "494433"
+    // bytes 7..10 (1-based): syncsafe size — 7 bits per byte
+    val tagSize = shiftleft(u8f(7).bitwiseAND(lit(127)), 21) +
+      shiftleft(u8f(8).bitwiseAND(lit(127)), 14) +
+      shiftleft(u8f(9).bitwiseAND(lit(127)), 7) +
+      u8f(10).bitwiseAND(lit(127))
+    val off = lit(11) + tagSize                       // 1-based frame offset
+    val b1 = u8c(off); val b2 = u8c(off + 1)
+    val b3 = u8c(off + 2); val b4 = u8c(off + 3)
+    val verBits = shiftright(b2, 3).bitwiseAND(lit(3))   // 3=MPEG1, 2=MPEG2
+    val layerBits = shiftright(b2, 1).bitwiseAND(lit(3)) // 1=Layer III
+    val brIdx = shiftright(b3, 4).bitwiseAND(lit(15))
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3))
+    val chBits = shiftright(b4, 6).bitwiseAND(lit(3))
+    val syncOk = b1 === 255 && shiftright(b2, 5) === 7
+    val valid = isId3 && syncOk && verBits.isin(2, 3) && layerBits === 1 &&
+      brIdx.between(1, 14) && srIdx =!= 3
+    def arr(xs: Int*) = array(xs.map(lit): _*)
+    val v1l3 = arr(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l3 = arr(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    payloads.select(col("doc_id"),
+      when(isId3, "mp3").otherwise("unknown").as("format"),
+      octet_length(p).as("byte_len"),
+      when(isId3, tagSize).as("tag_size"),
+      when(valid, when(verBits === 3, "1").otherwise("2")).as("mpeg_version"),
+      when(valid, lit(3)).as("layer"),
+      when(valid, when(verBits === 3, element_at(v1l3, brIdx))
+        .otherwise(element_at(v2l3, brIdx))).as("bitrate_kbps"),
+      when(valid, when(verBits === 3,
+          element_at(arr(44100, 48000, 32000), srIdx + 1))
+        .otherwise(element_at(arr(22050, 24000, 16000), srIdx + 1)))
+        .as("sample_rate_hz"),
+      when(valid, element_at(
+        array(lit("stereo"), lit("joint_stereo"), lit("dual_channel"), lit("mono")),
+        chBits + 1)).as("channel_mode"))
+  }
+
+  /** Ground truth from doc_id arithmetic (including the published MPEG
+    * bitrate/samplerate tables re-stated as DuckDB list literals), NOT a
+    * parse replay — same contract as [[mmDecodeMetaSql]]. */
+  val mmDecodeMp3Sql: String =
+    """SELECT doc_id,
+      |       'mp3' AS format,
+      |       CAST(30 + doc_id % 200 AS INT) AS byte_len,
+      |       CAST(doc_id % 200 AS INT) AS tag_size,
+      |       CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END AS mpeg_version,
+      |       CAST(3 AS INT) AS layer,
+      |       CAST(CASE WHEN doc_id % 2 = 0
+      |            THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(doc_id % 14 + 1 AS INT)]
+      |            ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(doc_id % 14 + 1 AS INT)]
+      |            END AS INT) AS bitrate_kbps,
+      |       CAST(CASE WHEN doc_id % 2 = 0
+      |            THEN ([44100,48000,32000])[CAST(doc_id % 3 + 1 AS INT)]
+      |            ELSE ([22050,24000,16000])[CAST(doc_id % 3 + 1 AS INT)]
+      |            END AS INT) AS sample_rate_hz,
+      |       (['stereo','joint_stereo','dual_channel','mono'])[CAST(doc_id % 4 + 1 AS INT)] AS channel_mode
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- JPEG APP1/EXIF: TIFF IFD walk, both byte orders ---------------------
+  /** EXIF fixture payloads: SOI, a COMMENT whose length varies with doc_id
+    * (so APP1 sits at a variable offset and the marker walk is honest), a
+    * real APP1/Exif segment — "Exif\0\0", a TIFF header whose byte order
+    * ALTERNATES with doc_id parity ("II" little / "MM" big endian), IFD0
+    * with a variable number of dummy entries BEFORE the Orientation tag
+    * (0x0112, SHORT, count 1, value 1..8) so the entry scan cannot
+    * shortcut to a fixed slot — then EOI. */
+  private[graft] def exifPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val k = (d % 7).cast("int")                 // COM payload bytes
+    val nDummy = (d % 3).cast("int")
+    val count = (nDummy + 1).cast("int")
+    val orient = (d % 8 + 1).cast("int")
+    val tiffLen = (lit(14) + count * 12).cast("int")
+    val app1Len = (lit(8) + tiffLen).cast("int")
+    // 12-byte IFD entries, both endiannesses (tag, type, count, value)
+    val dummyLe = "0E0102000000000000000000"    // ImageDescription, empty
+    val dummyBe = "010E000200000000"     + "00000000"
+    val orientLe = concat(lit("12010300" + "01000000"), le16Hex(orient), lit("0000"))
+    val orientBe = concat(lit("01120003" + "00000001"), lpad(hex(orient), 4, "0"), lit("0000"))
+    val tiffLe = concat(lit("49492A00" + "08000000"), le16Hex(count),
+      repeat(lit(dummyLe), nDummy), orientLe, lit("00000000"))
+    val tiffBe = concat(lit("4D4D002A" + "00000008"), lpad(hex(count), 4, "0"),
+      repeat(lit(dummyBe), nDummy), orientBe, lit("00000000"))
+    val jpegHex = concat(
+      lit("FFD8"),
+      lit("FFFE"), lpad(hex(k + 2), 4, "0"), repeat(lit("42"), k),
+      lit("FFE1"), lpad(hex(app1Len), 4, "0"), lit("457869660000"),
+      when(d % 2 === 0, tiffLe).otherwise(tiffBe),
+      lit("FFD9"))
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(jpegHex).as("payload"))
+  }
+
+  def mmExif(spark: SparkSession, dir: String): DataFrame =
+    exifDecodeFrom(exifPayloads(spark, dir)).orderBy(col("doc_id"))
+
+  /** Number of IFD entries the bounded scan inspects; entries beyond it
+    * parse as null orientation (never a misread), like [[JpegWalkDepth]]. */
+  val ExifEntryScanDepth: Int = 8
+
+  /** EXIF orientation decode: the same validated marker walk as
+    * [[jpegDecodeFrom]] but targeting APP1 (0xFFE1), then a genuine TIFF
+    * parse — "Exif\0\0" id check, byte-order mark ("II"/"MM"), magic 42,
+    * IFD0 offset, entry count, and a bounded scan of the 12-byte entries
+    * for tag 0x0112/SHORT/count-1, with EVERY multi-byte read dispatched
+    * on the declared byte order. The walk result is materialized as a
+    * column before the entry unroll so the expression tree stays linear
+    * (each entry read is an independent offset from the IFD base — no
+    * chained length derivation, so a compile-time unroll is safe here,
+    * unlike the segment walk). Malformed payloads (wrong Exif id, unknown
+    * byte order, bad magic, orientation absent or past the scan depth)
+    * parse as null fields, never wrong ones. */
+  private[graft] def exifDecodeFrom(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    val isJpeg = hex(p.substr(lit(1), lit(2))) === "FFD8"
+    // segment walk, identical validation to jpegDecodeFrom, target 0xFFE1
+    val app1Expr = expr(
+      s"""aggregate(
+         |  sequence(1, $JpegWalkDepth),
+         |  named_struct('off', cast(3 as bigint), 'hit', cast(null as bigint)),
+         |  (acc, i) -> named_struct(
+         |    'off',
+         |      CASE WHEN cast(conv(hex(substring(payload, cast(acc.off as int), 2)), 16, 10) as bigint) >= 65280
+         |                AND cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint) >= 2
+         |           THEN acc.off + 2 + cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint)
+         |      END,
+         |    'hit',
+         |      CASE WHEN acc.hit IS NOT NULL THEN acc.hit
+         |           WHEN cast(conv(hex(substring(payload, cast(acc.off as int), 2)), 16, 10) as bigint) = 65505
+         |                AND cast(conv(hex(substring(payload, cast(acc.off + 2 as int), 2)), 16, 10) as bigint) >= 2
+         |           THEN acc.off
+         |      END),
+         |  acc -> acc.hit)""".stripMargin)
+    def rdBE(off: org.apache.spark.sql.Column, n: Int) =
+      conv(hex(p.substr(off.cast("int"), lit(n))), 16, 10).cast("long")
+    def rdLE16(off: org.apache.spark.sql.Column) = {
+      val h = hex(p.substr(off.cast("int"), lit(2)))
+      conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+    }
+    def rdLE32(off: org.apache.spark.sql.Column) = {
+      val h = hex(p.substr(off.cast("int"), lit(4)))
+      conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("long")
+    }
+    val isLe = col("__is_le")
+    def rd16(off: org.apache.spark.sql.Column) =
+      when(isLe, rdLE16(off)).otherwise(rdBE(off, 2))
+    def rd32(off: org.apache.spark.sql.Column) =
+      when(isLe, rdLE32(off)).otherwise(rdBE(off, 4))
+    val staged = payloads
+      .withColumn("__app1", app1Expr)
+      .withColumn("__base", col("__app1") + 10)  // 1-based first TIFF byte
+      .withColumn("__exif_ok", col("__app1").isNotNull &&
+        hex(p.substr((col("__app1") + 4).cast("int"), lit(6))) === "457869660000")
+      .withColumn("__bo", hex(p.substr(col("__base").cast("int"), lit(2))))
+      .withColumn("__is_le", col("__bo") === "4949")
+      .withColumn("__bo_ok", col("__bo").isin("4949", "4D4D"))
+      .withColumn("__magic_ok", rd16(col("__base") + 2) === 42)
+      .withColumn("__ifd", col("__base") + rd32(col("__base") + 4))
+      .withColumn("__n", rd16(col("__ifd")))
+    val valid = isJpeg && col("__exif_ok") && col("__bo_ok") && col("__magic_ok")
+    val orientation = coalesce((0 until ExifEntryScanDepth).map { i =>
+      val e = col("__ifd") + 2 + i * 12
+      when(lit(i) < col("__n") && rd16(e) === 274 &&
+        rd16(e + 2) === 3 && rd32(e + 4) === 1, rd16(e + 8))
+    }: _*)
+    staged.select(col("doc_id"),
+      when(isJpeg, "jpeg").otherwise("unknown").as("format"),
+      octet_length(p).as("byte_len"),
+      when(valid, when(isLe, "II").otherwise("MM")).as("byte_order"),
+      when(valid, col("__n").cast("int")).as("n_ifd_entries"),
+      when(valid, orientation.cast("int")).as("orientation"))
+  }
+
+  /** Ground truth from doc_id arithmetic — same contract as
+    * [[mmDecodeMetaSql]]: build → walk → TIFF parse must be the identity
+    * per row, for BOTH byte orders. */
+  val mmExifSql: String =
+    """SELECT doc_id,
+      |       'jpeg' AS format,
+      |       CAST(32 + doc_id % 7 + (doc_id % 3 + 1) * 12 AS INT) AS byte_len,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |       CAST(doc_id % 3 + 1 AS INT) AS n_ifd_entries,
+      |       CAST(doc_id % 8 + 1 AS INT) AS orientation
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Typed decode result of [[decodeMedia]]. */
   case class MediaMeta(doc_id: Long, format: String, byte_len: Int,
                        width: Option[Int], height: Option[Int],

@@ -125,6 +125,108 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP3 decode: golden ID3v2+frame bytes parse exactly; malformed → null, never wrong") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden: hand-written ID3v2.3 header with a 130-byte tag (syncsafe
+    // 130 = 0x01,0x02 across the 7-bit boundary), then an MPEG1 Layer III
+    // frame header: 128 kbps (idx 9), 44100 Hz (idx 0), joint stereo
+    val golden = hx("494433030000" + "00000102" + ("00" * 130) +
+      "FFFB" + "9040" + "00" * 4)
+    // MPEG2 golden: 64 kbps for V2L3 is idx 8, 16000 Hz is idx 2, mono
+    val golden2 = hx("494433030000" + "00000000" +
+      "FFF3" + "88C0" + "00" * 4)
+    // adversarial A: tag size points past a broken sync (0xFE) — an
+    // unvalidated parse would still emit fields from the garbage bytes
+    val badSync = hx("494433030000" + "00000000" + "FEFB9040")
+    // adversarial B: reserved bitrate index 15 — defined sync, bad field
+    val badBitrate = hx("494433030000" + "00000000" + "FFFB" + "F040")
+    // adversarial C: reserved samplerate index 3
+    val badRate = hx("494433030000" + "00000000" + "FFFB" + "9C40")
+    val out = Multimodal.mp3DecodeFrom(
+        Seq((1L, golden), (2L, golden2), (3L, badSync), (4L, badBitrate),
+            (5L, badRate), (6L, "not an mp3".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = out(1L)
+    assert(g.getAs[String]("format") == "mp3" && g.getAs[Int]("tag_size") == 130)
+    assert(g.getAs[String]("mpeg_version") == "1" && g.getAs[Int]("layer") == 3)
+    assert(g.getAs[Int]("bitrate_kbps") == 128 && g.getAs[Int]("sample_rate_hz") == 44100)
+    assert(g.getAs[String]("channel_mode") == "joint_stereo")
+    val g2 = out(2L)
+    assert(g2.getAs[String]("mpeg_version") == "2" &&
+      g2.getAs[Int]("bitrate_kbps") == 64 &&
+      g2.getAs[Int]("sample_rate_hz") == 16000 &&
+      g2.getAs[String]("channel_mode") == "mono")
+    Seq(3L -> "broken sync", 4L -> "reserved bitrate", 5L -> "reserved samplerate")
+      .foreach { case (id, why) =>
+        val r = out(id)
+        assert(r.getAs[String]("format") == "mp3") // ID3 magic is intact
+        assert(r.isNullAt(r.fieldIndex("bitrate_kbps")) &&
+          r.isNullAt(r.fieldIndex("sample_rate_hz")),
+          s"malformed frame header ($why) must decode null fields, got a misread")
+      }
+    assert(out(6L).getAs[String]("format") == "unknown")
+  }
+
+  test("EXIF decode: both byte orders parse golden bytes; corrupt TIFF → null, never wrong") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden LE: SOI, 3-byte COM, APP1/Exif, II TIFF, IFD0 with one dummy
+    // entry BEFORE orientation=6 (so the scan walks past a non-matching tag)
+    val tiffLe = "49492A00" + "08000000" + "0200" +
+      "0E0102000000000000000000" +                    // dummy entry
+      "12010300" + "01000000" + "06000000" +          // orientation 6
+      "00000000"
+    val goldenLe = hx("FFD8" + "FFFE0005414141" +
+      "FFE1" + "%04X".format(2 + 6 + tiffLe.length / 2) + "457869660000" +
+      tiffLe + "FFD9")
+    // golden BE: MM TIFF, orientation 3, no dummy entries
+    val tiffBe = "4D4D002A" + "00000008" + "0001" +
+      "01120003" + "00000001" + "00030000" +
+      "00000000"
+    val goldenBe = hx("FFD8" +
+      "FFE1" + "%04X".format(2 + 6 + tiffBe.length / 2) + "457869660000" +
+      tiffBe + "FFD9")
+    // adversarial A: APP1 present but the Exif id is wrong — a sloppy
+    // parser would read the XMP body as a TIFF header
+    val badId = hx("FFD8" + "FFE1" + "0010" + "687474703A2F2F00" +
+      "49492A0008000000" + "FFD9")
+    // adversarial B: unknown byte-order mark
+    val badBo = hx("FFD8" + "FFE1" + "%04X".format(2 + 6 + tiffBe.length / 2) +
+      "457869660000" + "5858002A" + tiffBe.drop(8) + "FFD9")
+    // adversarial C: IFD has entries but none is Orientation
+    val tiffNone = "49492A00" + "08000000" + "0100" +
+      "0E0102000000000000000000" + "00000000"
+    val noOrient = hx("FFD8" + "FFE1" + "%04X".format(2 + 6 + tiffNone.length / 2) +
+      "457869660000" + tiffNone + "FFD9")
+    val out = Multimodal.exifDecodeFrom(
+        Seq((1L, goldenLe), (2L, goldenBe), (3L, badId), (4L, badBo),
+            (5L, noOrient), (6L, "not a jpeg".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val le = out(1L)
+    assert(le.getAs[String]("byte_order") == "II" &&
+      le.getAs[Int]("n_ifd_entries") == 2 && le.getAs[Int]("orientation") == 6)
+    val be = out(2L)
+    assert(be.getAs[String]("byte_order") == "MM" &&
+      be.getAs[Int]("n_ifd_entries") == 1 && be.getAs[Int]("orientation") == 3)
+    Seq(3L -> "wrong Exif id", 4L -> "unknown byte order").foreach { case (id, why) =>
+      val r = out(id)
+      assert(r.isNullAt(r.fieldIndex("byte_order")) &&
+        r.isNullAt(r.fieldIndex("orientation")),
+        s"corrupt TIFF ($why) must parse null, got a misread")
+    }
+    val no = out(5L)
+    assert(no.getAs[String]("byte_order") == "II" &&
+      no.getAs[Int]("n_ifd_entries") == 1 &&
+      no.isNullAt(no.fieldIndex("orientation")),
+      "IFD without an orientation tag must yield null orientation")
+    assert(out(6L).getAs[String]("format") == "unknown")
+  }
+
   test("SQL parser and typed decoder agree on every fixture payload") {
     import spark.implicits._
     val typed = Multimodal.decodeMedia(
