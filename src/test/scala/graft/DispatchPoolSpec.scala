@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.Dispatch
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Dispatch under CONCURRENCY + failure (VERDICT r10 item 8): the pooled
+  * `Dispatch.run` pass (16 worker threads over independent Spark jobs) is
+  * killed in the crash window between result durability (CSVs on disk) and
+  * fulfillment durability (the ledger append — the pass's LAST step), then
+  * restarted. The contract to prove, at pool width:
+  *   - at-least-once: every valid request is eventually fulfilled;
+  *   - no double-fulfillment: a request ledgered by an earlier pass is
+  *     never re-run by a later one (one CSV dir, one ledger row each);
+  *   - skip semantics survive the pool: invalid-arg and unknown-function
+  *     requests are never ledgered and never block the pass.
+  */
+class DispatchPoolSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** 24 requests: 21 valid across all three routed functions (pool fully
+    * engaged at width 16), 2 with invalid args, 1 unknown function. */
+  private def mkRequests = {
+    import spark.implicits._
+    val valid = (0 until 21).map { i =>
+      val id = 100L + i
+      i % 3 match {
+        case 0 => (id, "aggregate_interaction_type", 0,
+          s"""{"sessionId": "click", "interactionType": ${i % 10}}""")
+        case 1 => (id, "aggregate_user", 0,
+          s"""{"sessionId": "view", "clientId": ${i % 5}}""")
+        case _ => (id, "user_energy", 0,
+          s"""{"clientId": ${i % 5}, "entityType": ${i % 4}}""")
+      }
+    }
+    val skipped = Seq(
+      (900L, "aggregate_user", 0, """{"sessionId": "view"}"""), // missing clientId
+      (901L, "user_energy", 0, """{"clientId": null, "entityType": 1}"""),
+      (902L, "no_such_function", 0, """{"sessionId": "view"}"""))
+    (valid ++ skipped)
+      .toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+  }
+
+  private def csvDirsFor(outDir: String, id: Long): Array[java.io.File] =
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.endsWith(s"_req$id"))
+
+  test("pool crash between CSVs and ledger: restart fulfills exactly once, skips stay unledgered") {
+    import spark.implicits._
+    val requests = mkRequests
+    val validIds = (100L until 121L).toSeq
+
+    // Phase A — the kill: a regular FILE on the ledger path's parent makes
+    // the ledger append (the pass's last step) fail AFTER the pooled
+    // workers wrote their CSVs: exactly a crash between result and
+    // fulfillment durability, with the pool fully engaged.
+    val outA = tmp("poolA")
+    val blocker = Files.createTempFile("pool_blocker", ".txt")
+    intercept[Exception] {
+      Dispatch.run(spark, sf, requests, outA, s"$blocker/ledger")
+    }
+    validIds.foreach { id =>
+      assert(csvDirsFor(outA, id).length == 1, s"request $id CSV missing before the crash")
+    }
+    Seq(900L, 901L, 902L).foreach { id =>
+      assert(csvDirsFor(outA, id).isEmpty, s"skipped request $id must write nothing")
+    }
+
+    // Phase B — a prior pass that died after ledgering a SUBSET: serve the
+    // first half against a healthy ledger (this is the only way a partial
+    // ledger arises — the append is all-or-nothing per pass).
+    val outB = tmp("poolB")
+    val ledger = tmp("poolLedger") + "/ledger"
+    val half = requests.filter(col("request_id") < 110 || col("request_id") >= 900)
+    val done1 = Dispatch.run(spark, sf, half, outB, ledger)
+    assert(done1.map(_._1).sorted == (100L until 110L), s"first half: $done1")
+
+    // Phase C — restart over the FULL set: only the unfulfilled remainder
+    // runs; fulfilled requests are not re-run (still exactly one CSV dir
+    // each) and the ledger ends with one row per valid request.
+    val done2 = Dispatch.run(spark, sf, requests, outB, ledger)
+    assert(done2.map(_._1).sorted == (110L until 121L), s"remainder: $done2")
+    validIds.foreach { id =>
+      assert(csvDirsFor(outB, id).length == 1,
+        s"request $id has ${csvDirsFor(outB, id).length} CSV dirs — re-run or lost")
+    }
+    val ledgered = spark.read.parquet(ledger)
+      .select("request_id").as[Long].collect().sorted.toSeq
+    assert(ledgered == validIds, s"ledger must hold each valid id exactly once: $ledgered")
+
+    // Phase D — idempotence: a further pass over the same set is a no-op.
+    assert(Dispatch.run(spark, sf, requests, outB, ledger).isEmpty)
+    assert(spark.read.parquet(ledger).count() == validIds.size)
+  }
+}

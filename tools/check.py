@@ -40,10 +40,19 @@ def main(outdir, sfdir):
             n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
-        # sort rows deterministically on all columns (stringified) like a hash gate would
+        # sort rows deterministically on all columns (stringified) like a
+        # hash gate would; vectorized string concat (not .apply) so sf1-scale
+        # results (millions of rows) compare in seconds
         import pandas as pd
-        gs = got.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().reset_index(drop=True) if len(got) else pd.Series([],dtype=str)
-        es = exp.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().reset_index(drop=True) if len(exp) else pd.Series([],dtype=str)
+        def rowkeys(df):
+            if not len(df):
+                return pd.Series([], dtype=str)
+            s = df.iloc[:, 0].astype(str)
+            for c in df.columns[1:]:
+                s = s + "|" + df[c].astype(str)
+            return s.sort_values().reset_index(drop=True)
+        gs = rowkeys(got)
+        es = rowkeys(exp)
         if gs.equals(es):
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         else:
