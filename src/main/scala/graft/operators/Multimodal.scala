@@ -626,6 +626,116 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --- MP4 / ISO-BMFF: top-level box walk + mvhd, both versions ------------
+  /** MP4 fixture payloads: a real ISO-BMFF box stream — `ftyp` (major
+    * brand isom), a `free` box whose size varies with doc_id (so `moov`
+    * sits at a variable offset and the box walk is honest), then `moov`
+    * whose first child is a genuine `mvhd` carrying timescale/duration.
+    * The mvhd VERSION alternates with doc_id parity — version 0 (32-bit
+    * times) and version 1 (64-bit times) lay the fields at different
+    * offsets, so both parse paths get oracle coverage. Same ground-truth
+    * construction as [[mediaPayloads]]. */
+  private[graft] def mp4Payloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val k = (d % 9).cast("int")                       // free-box payload bytes
+    val timescale = (lit(600) * (d % 3 + 1)).cast("int")
+    val duration = (d % 10000 + 1).cast("int")
+    val isV1 = d % 2 === 1
+    // mvhd v0: 8 hdr + 4 ver/flags + 4 ctime + 4 mtime + 4 scale + 4 dur
+    //          + 80 tail = 108;  v1: 64-bit ctime/mtime/duration -> 120
+    val mvhdV0 = concat(lit("0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000"),
+      lpad(hex(timescale), 8, "0"), lpad(hex(duration), 8, "0"),
+      repeat(lit("00"), 80))
+    val mvhdV1 = concat(lit("00000078" + "6D766864" + "01000000" +
+        "0000000000000000" + "0000000000000000"),
+      lpad(hex(timescale), 8, "0"), lpad(hex(duration), 16, "0"),
+      repeat(lit("00"), 80))
+    val mvhdLen = when(isV1, 120).otherwise(108)
+    val mp4Hex = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+      lpad(hex(k + 8), 8, "0"), lit("66726565"), repeat(lit("00"), k), // free
+      lpad(hex(mvhdLen + 8), 8, "0"), lit("6D6F6F76"),        // moov
+      when(isV1, mvhdV1).otherwise(mvhdV0))
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(mp4Hex).as("payload"))
+  }
+
+  def mmDecodeMp4(spark: SparkSession, dir: String): DataFrame =
+    mp4DecodeFrom(mp4Payloads(spark, dir)).orderBy(col("doc_id"))
+
+  /** Top-level boxes the walk inspects before giving up (null, never a
+    * misread) — the ISO-BMFF analog of [[JpegWalkDepth]]. */
+  val Mp4WalkDepth: Int = 6
+
+  /** ISO-BMFF movie-header probe: walk the top-level boxes (BE32 size +
+    * 4CC type, size gated >= 8 so a corrupt size terminates the walk with
+    * null instead of desynchronizing), find `moov`, verify its first child
+    * is `mvhd`, then read timescale/duration at the offsets the mvhd
+    * VERSION byte dictates (v0 32-bit, v1 64-bit creation/modification
+    * times). `duration_ms` is exact integer arithmetic so the oracle can
+    * pin it. Same aggregate-fold shape as [[jpegDecodeFrom]] — linear
+    * expression tree, pure codegen'd builtins, no UDF. */
+  private[graft] def mp4DecodeFrom(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    def rd(off: org.apache.spark.sql.Column, n: Int) =
+      conv(hex(p.substr(off.cast("int"), lit(n))), 16, 10).cast("long")
+    val isMp4 = hex(p.substr(lit(5), lit(4))) === "66747970" // 'ftyp' at 5
+    // top-level walk: acc.off = next box start (1-based), acc.hit = moov off
+    val moovExpr = expr(
+      s"""aggregate(
+         |  sequence(1, $Mp4WalkDepth),
+         |  named_struct('off', cast(1 as bigint), 'hit', cast(null as bigint)),
+         |  (acc, i) -> named_struct(
+         |    'off',
+         |      CASE WHEN cast(conv(hex(substring(payload, cast(acc.off as int), 4)), 16, 10) as bigint) >= 8
+         |           THEN acc.off + cast(conv(hex(substring(payload, cast(acc.off as int), 4)), 16, 10) as bigint)
+         |      END,
+         |    'hit',
+         |      CASE WHEN acc.hit IS NOT NULL THEN acc.hit
+         |           WHEN hex(substring(payload, cast(acc.off + 4 as int), 4)) = '6D6F6F76'
+         |                AND cast(conv(hex(substring(payload, cast(acc.off as int), 4)), 16, 10) as bigint) >= 8
+         |           THEN acc.off
+         |      END),
+         |  acc -> acc.hit)""".stripMargin)
+    val staged = payloads
+      .withColumn("__moov", moovExpr)
+      .withColumn("__c", col("__moov") + 8)            // first child box
+      .withColumn("__mvhd_ok", col("__moov").isNotNull &&
+        hex(p.substr((col("__c") + 4).cast("int"), lit(4))) === "6D766864")
+      .withColumn("__v", rd(col("__c") + 8, 1))
+    val c = col("__c")
+    val v1 = col("__v") === 1
+    val valid = isMp4 && col("__mvhd_ok") && col("__v").isin(0, 1)
+    val timescale = when(v1, rd(c + 28, 4)).otherwise(rd(c + 20, 4))
+    val duration = when(v1, rd(c + 32, 8)).otherwise(rd(c + 24, 4))
+    staged.select(col("doc_id"),
+      when(isMp4, "mp4").otherwise("unknown").as("format"),
+      octet_length(p).as("byte_len"),
+      when(isMp4, p.substr(lit(9), lit(4)).cast("string")).as("major_brand"),
+      when(valid, col("__v").cast("int")).as("mvhd_version"),
+      when(valid, timescale.cast("int")).as("timescale"),
+      when(valid, duration).as("duration"))
+      // exact integer division (Spark `/` on longs is double division,
+      // whose rounding could drift from the oracle's `//` floor)
+      .withColumn("duration_ms",
+        when(col("timescale") > 0, expr("duration * 1000 div timescale")))
+  }
+
+  /** Ground truth from doc_id arithmetic for BOTH mvhd versions — same
+    * contract as [[mmDecodeMetaSql]]. */
+  val mmDecodeMp4Sql: String =
+    """SELECT doc_id,
+      |       'mp4' AS format,
+      |       CAST(16 + 8 + doc_id % 9 + 8 + CASE WHEN doc_id % 2 = 1 THEN 120 ELSE 108 END AS INT) AS byte_len,
+      |       'isom' AS major_brand,
+      |       CAST(doc_id % 2 AS INT) AS mvhd_version,
+      |       CAST(600 * (doc_id % 3 + 1) AS INT) AS timescale,
+      |       CAST(doc_id % 10000 + 1 AS BIGINT) AS duration,
+      |       CAST((doc_id % 10000 + 1) * 1000 // (600 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Typed decode result of [[decodeMedia]]. */
   case class MediaMeta(doc_id: Long, format: String, byte_len: Int,
                        width: Option[Int], height: Option[Int],

@@ -227,6 +227,53 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(6L).getAs[String]("format") == "unknown")
   }
 
+  test("MP4 box walk: golden v0/v1 mvhd parse exactly; corrupt sizes → null, never wrong") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // golden v0: ftyp, a 5-byte free box, moov whose mvhd declares
+    // timescale 600, duration 1800 (3 s -> 3000 ms)
+    val mvhd0 = "0000006C" + "6D766864" + "00000000" +
+      "00000000" + "00000000" + "00000258" + "00000708" + "00" * 80
+    val g0 = hx("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "0000000D" + "66726565" + "0000000000" +
+      "00000074" + "6D6F6F76" + mvhd0)
+    // golden v1: 64-bit times, timescale 1000, duration 1500 -> 1500 ms
+    val mvhd1 = "00000078" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +
+      "000003E8" + "00000000000005DC" + "00" * 80
+    val g1 = hx("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000080" + "6D6F6F76" + mvhd1)
+    // adversarial A: a box size below 8 before moov — advancing by it
+    // would loop in place or misalign; the walk must terminate null
+    val badSize = hx("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000004" + "66726565" +
+      "00000074" + "6D6F6F76" + mvhd0)
+    // adversarial B: moov's first child is not mvhd
+    val noMvhd = hx("00000010" + "66747970" + "69736F6D" + "00000000" +
+      "00000074" + "6D6F6F76" + mvhd0.replace("6D766864", "75647461"))
+    val out = Multimodal.mp4DecodeFrom(
+        Seq((1L, g0), (2L, g1), (3L, badSize), (4L, noMvhd),
+            (5L, "not an mp4".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[String]("format") == "mp4" && a.getAs[String]("major_brand") == "isom")
+    assert(a.getAs[Int]("mvhd_version") == 0 && a.getAs[Int]("timescale") == 600)
+    assert(a.getAs[Long]("duration") == 1800L && a.getAs[Long]("duration_ms") == 3000L)
+    val b = out(2L)
+    assert(b.getAs[Int]("mvhd_version") == 1 && b.getAs[Int]("timescale") == 1000)
+    assert(b.getAs[Long]("duration") == 1500L && b.getAs[Long]("duration_ms") == 1500L)
+    Seq(3L -> "size < 8", 4L -> "first child not mvhd").foreach { case (id, why) =>
+      val r = out(id)
+      assert(r.getAs[String]("format") == "mp4") // ftyp intact; body corrupt
+      assert(r.isNullAt(r.fieldIndex("timescale")) &&
+        r.isNullAt(r.fieldIndex("duration_ms")),
+        s"corrupt stream ($why) must parse null, got a misread")
+    }
+    assert(out(5L).getAs[String]("format") == "unknown")
+  }
+
   test("SQL parser and typed decoder agree on every fixture payload") {
     import spark.implicits._
     val typed = Multimodal.decodeMedia(
