@@ -751,30 +751,52 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin
 
   // --- near-dup clustering: connected components over rare-shingle edges ----
-  /** Duplicate GROUPS, not just pairs: documents sharing a rare trigram
-    * (one appearing in 2-3 documents — the classic rare-token blocking
-    * key) are edges of a similarity graph, and each document is labeled
-    * with its connected component's minimum doc_id. Components are
-    * computed by distributed min-label propagation — each round joins the
-    * current labels across the symmetric edge set and keeps the per-node
-    * minimum, converging in O(graph diameter) rounds (the driver loop
-    * checks a changed-row count, the standard Spark iterative-algorithm
-    * shape; every round is two shuffles over the edge table, never a
-    * driver-side graph). Both the edge table and each round's labels are
-    * lineage-truncated: an iterative dataflow MUST truncate lineage,
-    * otherwise round N's logical plan nests all N-1 predecessors and
-    * analysis/optimization time grows without bound (measured: minutes at
-    * round ~7 vs seconds checkpointed). HOW to truncate is injected via
-    * [[Truncate]] — `localCheckpoint` single-JVM, reliable `checkpoint`
-    * on a cluster (or whenever `GRAFT_CC_CHECKPOINT_DIR` is set, which is
-    * how the one-shot query forms reach the reliable path; TruncateSpec
-    * pins both paths to identical components). The DuckDB oracle states
-    * the same fixpoint as a recursive CTE — same components, declarative
-    * formulation. */
+  /** Duplicate GROUPS, not just pairs: exact copies collapse to one
+    * content representative (min doc_id per md5(text)), representatives
+    * sharing a rare trigram (one appearing in 2-3 REPRESENTATIVES — the
+    * classic rare-token blocking key) are edges of a similarity graph,
+    * and every document is labeled with its component's minimum doc_id
+    * (exact-copy membership rides the content key; singletons label
+    * themselves, so the output is a full corpus manifest).
+    *
+    * The exact-collapse front is load-bearing at scale, not a
+    * convenience (found by the r11 sf1 duplication soak): "rare" is an
+    * ABSOLUTE document-frequency band, so on a duplication-heavy corpus
+    * — the very corpus dedup exists for — raw-doc frequencies are all
+    * inflated by the copy multiplicity and NO shingle stays rare: the
+    * graph silently vanishes and recall collapses to zero. Counting
+    * frequencies over DISTINCT CONTENTS makes the blocking invariant to
+    * exact-dup multiplicity (real pipelines run exact dedup before
+    * near-dup clustering for the same reason), and shrinks the shingle
+    * explosion to distinct-content size as a bonus.
+    *
+    * Components are computed by distributed min-label propagation — each
+    * round joins the current labels across the symmetric edge set and
+    * keeps the per-node minimum, converging in O(graph diameter) rounds
+    * (the driver loop checks a changed-row count, the standard Spark
+    * iterative-algorithm shape; every round is two shuffles over the
+    * edge table, never a driver-side graph). Both the edge table and
+    * each round's labels are lineage-truncated: an iterative dataflow
+    * MUST truncate lineage, otherwise round N's logical plan nests all
+    * N-1 predecessors and analysis/optimization time grows without bound
+    * (measured: minutes at round ~7 vs seconds checkpointed). HOW to
+    * truncate is injected via [[Truncate]] — `localCheckpoint`
+    * single-JVM, reliable `checkpoint` on a cluster (or whenever
+    * `GRAFT_CC_CHECKPOINT_DIR` is set, which is how the one-shot query
+    * forms reach the reliable path; TruncateSpec pins both paths to
+    * identical components). The DuckDB oracle states the same fixpoint
+    * as a recursive CTE — same components, declarative formulation. */
   def dedupGroups(spark: SparkSession, dir: String, maxIters: Int = 50,
                   truncate: Option[Truncate] = None): DataFrame = {
     val ck = Truncate.resolve(truncate)
-    val sh = shingleRows(Tables.documents(spark, dir))
+    // exact-duplicate collapse: one representative per distinct content
+    // (md5 key; min doc_id — min(text) is exact because every member of a
+    // key carries the identical text)
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ckey"), col("text"))
+    val reps = keyed.groupBy(col("ckey"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val sh = shingleRows(reps)
     // Per-shingle doc count AND per-shingle min doc in one window pass:
     // the min seeds each node's label, so every single-shingle clique is
     // already converged before the first propagation round — rounds are
@@ -856,7 +878,15 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"dedupGroups did not converge within $maxIters rounds — graph diameter exceeds the cap; raise maxIters")
-    labels.select(col("doc_id"), col("lab").as("component"))
+    // expand representative labels back to every document through the
+    // content key (one corpus-sized equi-join on ckey; reps/labels are
+    // distinct-content sized). Unlabeled reps (no rare shingle) label
+    // their content group by the representative id — exact-dup groups
+    // cluster even when shingle blocking finds them nothing.
+    keyed.select(col("doc_id"), col("ckey"))
+      .join(reps.select(col("ckey"), col("doc_id").as("rep_id")), Seq("ckey"))
+      .join(labels.select(col("doc_id").as("rep_id"), col("lab")), Seq("rep_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("rep_id")).as("component"))
       .orderBy(col("component"), col("doc_id"))
   }
 
@@ -893,8 +923,30 @@ object Dedup {
   /** Same fixpoint as [[dedupGroupsSql]]'s recursive CTE, then the arg-max
     * via an ordered-first aggregate. */
   val dedupKeepBestSql: String =
-    """WITH RECURSIVE dd AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    CcCtePrefix +
+      """
+        |SELECT e.component,
+        |       first(e.doc_id ORDER BY k.n_chars DESC, e.doc_id) AS keeper_id,
+        |       count(*) AS n_members,
+        |       max(k.n_chars) AS kept_chars,
+        |       CAST(sum(k.n_chars) AS BIGINT) AS total_chars
+        |FROM expanded e JOIN keyed k ON k.doc_id = e.doc_id
+        |GROUP BY e.component
+        |ORDER BY component""".stripMargin
+
+  /** Shared CTE prefix: exact-collapse to content representatives, then
+    * the rare-shingle fixpoint over representatives — the same dataflow
+    * [[dedupGroups]] executes, stated declaratively. */
+  // lazy: referenced by dedupKeepBestSql, which is declared ABOVE this
+  // definition — a plain val would still be null there at init time
+  private lazy val CcCtePrefix: String =
+    """WITH RECURSIVE keyed AS (
+      |  SELECT doc_id, md5(text) AS ckey, text, n_chars FROM documents
+      |), reps AS (
+      |  SELECT ckey, min(doc_id) AS doc_id, min(text) AS text
+      |  FROM keyed GROUP BY ckey
+      |), dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM reps
       |  WHERE len(string_split(text, ' ')) >= 3
       |), sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
@@ -915,49 +967,19 @@ object Dedup {
       |  UNION
       |  SELECT r.n, s.dst FROM reach r JOIN sym s ON s.src = r.m
       |), labels AS (
-      |  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
-      |), docs AS (
-      |  SELECT doc_id, n_chars FROM documents
-      |)
-      |SELECT comp AS component,
-      |       first(doc_id ORDER BY n_chars DESC, doc_id) AS keeper_id,
-      |       count(*) AS n_members,
-      |       max(n_chars) AS kept_chars,
-      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-      |FROM (
-      |  SELECT COALESCE(l.component, d.doc_id) AS comp, d.doc_id, d.n_chars
-      |  FROM docs d LEFT JOIN labels l USING (doc_id)
-      |)
-      |GROUP BY comp
-      |ORDER BY component""".stripMargin
+      |  SELECT n AS rep_id, min(m) AS component FROM reach GROUP BY n
+      |), expanded AS (
+      |  SELECT k.doc_id, COALESCE(l.component, r.doc_id) AS component
+      |  FROM keyed k JOIN reps r USING (ckey)
+      |  LEFT JOIN labels l ON l.rep_id = r.doc_id
+      |)""".stripMargin
 
   val dedupGroupsSql: String =
-    """WITH RECURSIVE dd AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3
-      |), sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id,
-      |           unnest(list_transform(range(1, len(t) - 1),
-      |                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
-      |    FROM dd)
-      |), rare AS (
-      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 3
-      |), edges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
-      |  WHERE a.doc_id < b.doc_id
-      |), sym AS (
-      |  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-      |), reach(n, m) AS (
-      |  SELECT src, src FROM sym
-      |  UNION
-      |  SELECT r.n, s.dst FROM reach r JOIN sym s ON s.src = r.m
-      |)
-      |SELECT n AS doc_id, min(m) AS component
-      |FROM reach
-      |GROUP BY n
-      |ORDER BY component, doc_id""".stripMargin
+    CcCtePrefix +
+      """
+        |SELECT doc_id, component
+        |FROM expanded
+        |ORDER BY component, doc_id""".stripMargin
 
   // --- SimHash (full DuckDB oracle since r7) -------------------------------
   /** 60-bit SimHash per document: each token votes ±1 on every bit of its
