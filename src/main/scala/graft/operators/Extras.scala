@@ -39,7 +39,27 @@ object Extras {
     * at the end. Spark's built-in var_samp/corr accumulate running moments
     * in doubles, so their last bits depend on partition merge order — this
     * algebraic form is deterministic under any parallelism, which is what
-    * makes it oracle-checkable (and reproducible run-to-run at 100 TB). */
+    * makes it oracle-checkable (and reproducible run-to-run at 100 TB).
+    *
+    * The CANCELLATIONS (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) also stay in exact
+    * decimal, and only the small residuals convert to double (found by
+    * the r11 sf1 soak: above ~10⁶ rows the power sums pass 2^53, the
+    * per-engine decimal→double roundings differ in the last ulp, and the
+    * subtraction's 4-digit cancellation amplifies that into a visible
+    * corr divergence; subtracting first removes the cancellation, so one
+    * correctly-rounded conversion per residual gives bit parity at any
+    * scale). The one conversion DuckDB still does differently (its
+    * decimal-to-double goes int128/10^scale — two roundings vs the JVM's
+    * one) is absorbed by the repo's transcendental-parity contract: the
+    * derived statistics quantize to DECIMAL(18,9)/(18,12) and cast back
+    * to DOUBLE, same as the ln/PMI terms in TextAnalytics. The narrowed
+    * operand casts keep every product inside
+    * DECIMAL(38,4) with no scale reduction: n as DECIMAL(7,0) (≤10⁷ rows
+    * per group — beyond that ANSI overflow fails LOUDLY rather than
+    * rounding), sums as DECIMAL(29,4)/(19,2) with ~8 digits of headroom, products
+    * re-based to DECIMAL(33,4) so the subtraction needs no width past 38
+    * in either engine,
+    * over their sf1 magnitudes. */
   def statsAgg(spark: SparkSession, dir: String): DataFrame = {
     val agged = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -50,15 +70,20 @@ object Extras {
         expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("sy"),
         expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("syy"),
         expr("sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))").as("sxy"))
-    agged.select(
+    agged
+      .withColumn("varx_num", expr(
+        "CAST(CAST(n AS DECIMAL(7,0)) * CAST(sxx AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)) AS DECIMAL(33,4))"))
+      .withColumn("vary_num", expr(
+        "CAST(CAST(n AS DECIMAL(7,0)) * CAST(syy AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)) AS DECIMAL(33,4))"))
+      .withColumn("cov_num", expr(
+        "CAST(CAST(n AS DECIMAL(7,0)) * CAST(sxy AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)) AS DECIMAL(33,4))"))
+      .select(
         col("l_returnflag"),
         col("n"),
         expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
-        expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)").as("var_qty"),
-        expr("sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))").as("stddev_qty"),
-        expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-              |(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-              | sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin).as("corr_qty_price"))
+        expr("CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE)").as("var_qty"),
+        expr("CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE)").as("stddev_qty"),
+        expr("CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE)").as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -73,15 +98,19 @@ object Extras {
       |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
       |  FROM lineitem
       |  GROUP BY l_returnflag
+      |), nums AS (
+      |  SELECT l_returnflag, n, sx,
+      |         CAST(CAST(n AS DECIMAL(7,0)) * CAST(sxx AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sx AS DECIMAL(19,2)) AS DECIMAL(33,4)) AS varx_num,
+      |         CAST(CAST(n AS DECIMAL(7,0)) * CAST(syy AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)) AS DECIMAL(33,4)) AS vary_num,
+      |         CAST(CAST(n AS DECIMAL(7,0)) * CAST(sxy AS DECIMAL(29,4)) AS DECIMAL(33,4)) - CAST(CAST(sx AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2)) AS DECIMAL(33,4)) AS cov_num
+      |  FROM s
       |)
       |SELECT l_returnflag, n,
       |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-      |       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_qty,
-      |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS stddev_qty,
-      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
-      |FROM s
+      |       CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE) AS var_qty,
+      |       CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE) AS stddev_qty,
+      |       CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price
+      |FROM nums
       |ORDER BY l_returnflag""".stripMargin
 
   // --- regex scalar functions ----------------------------------------------
