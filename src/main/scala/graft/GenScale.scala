@@ -41,6 +41,12 @@ object GenScale {
     val inDir  = args(0)
     val outDir = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // `plain` = NO content perturbation: every copy is byte-identical in
+    // its non-key columns. Degenerate on purpose — this is the fixture
+    // that reproduces 10x exact-duplication pathologies (it found the
+    // rare-shingle blocking collapse fixed in Dedup.dedupGroups); the
+    // default perturbed mode is the honest soak for the oracle gate.
+    val plain = args.length > 3 && args(3) == "plain"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -99,7 +105,7 @@ object GenScale {
       .withColumn("user_id", col("user_id") + lit(i * sU))), "events")
     wr(rep { i =>
       val txt =
-        if (i == 0) col("text")
+        if (plain || i == 0) col("text")
         else when(col("doc_id") % 10 < 3, col("text"))
           .otherwise(concat_ws(" ",
             expr(s"transform(split(text, ' '), t -> concat('c$i', t))")))
@@ -109,9 +115,11 @@ object GenScale {
         .withColumn("doc_id", col("doc_id") + lit(i * sD))
     }, "documents")
     wr(rep { i =>
+      val emb =
+        if (plain) col("embedding")
+        else expr(s"transform(embedding, (x, j) -> IF(j = 0, cast(x + $i / 1000.0 as float), x))")
       embeddings
-        .withColumn("embedding",
-          expr(s"transform(embedding, (x, j) -> IF(j = 0, cast(x + $i / 1000.0 as float), x))"))
+        .withColumn("embedding", emb)
         .withColumn("vec_id", col("vec_id") + lit(i * sV))
     }, "embeddings")
 
