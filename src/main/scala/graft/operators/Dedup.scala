@@ -687,7 +687,10 @@ object Dedup {
     * that document-level hashing misses. One explode + one hash
     * aggregation; linear at any corpus size. */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
-    chunkRows(Tables.documents(spark, dir))
+    chunkDedupFrom(Tables.documents(spark, dir))
+
+  private[graft] def chunkDedupFrom(docs: DataFrame): DataFrame =
+    chunkRows(docs)
       .groupBy(md5(col("chunk")).as("chunk_md5"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -1083,4 +1086,150 @@ object Dedup {
       |SELECT d1, d2, hamming FROM pairs
       |ORDER BY hamming, d1, d2
       |LIMIT 1000""".stripMargin
+
+  // --- cross-document duplicated SPANS (alignment-robust) -------------------
+  /** Window length (tokens) for substring-level dedup. Runs of duplicated
+    * text SHORTER than this are invisible by construction — the documented
+    * detection floor, the standard trade of the sliding-window
+    * approximation to suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"). */
+  private val SpanK = 10
+
+  /** Exploded OVERLAPPING (doc_id, pos, h) window fingerprints: one
+    * stride-1 window per token position, `h = md5` of the [[SpanK]]-token
+    * window starting there. This is what [[chunkRows]]' non-overlapping
+    * grid cannot give: a duplicated run is caught at ANY alignment, not
+    * only when it happens to line up with a chunk boundary.
+    *
+    * Volume is `SpanK`× the chunk stream (one window per token, not per
+    * ten), but each row carries only (id, pos, 32-char hash) — the window
+    * TEXT never leaves the map side, so the shuffle is fixed-width
+    * regardless of token length. Like [[boilerplateRatio]], the exploded
+    * frame is deliberately not materialized: recomputing a codegen'd
+    * narrow scan beats persisting a corpus-token-sized intermediate. */
+  private def slidingWindowRows(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= SpanK)
+      .select(col("doc_id"), expr(
+        s"explode(transform(sequence(0, size(toks) - $SpanK), " +
+          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i+1, $SpanK))) AS h)))").as("w"))
+      .select(col("doc_id"), col("w.pos").cast("long").as("pos"), col("w.h").as("h"))
+
+  /** Maximal cross-document duplicated spans per document, merged by
+    * interval union: flagged windows (hash shared by ≥2 docs) whose
+    * [pos, pos+K-1] token intervals overlap or touch collapse into one
+    * span via a running-max window — so output spans are DISJOINT and
+    * non-adjacent, and their lengths sum to the true duplicated-token
+    * count (a consecutive-run grouping would double-count the overlap
+    * of two flagged windows 5 positions apart). */
+  private[graft] def dupSpanRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = slidingWindowRows(docs)
+    val shared = w.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val flagged = w.join(shared, "h").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val merged = flagged
+      .withColumn("prev_max", max(col("pos")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("prev_max").isNull || col("pos") > col("prev_max") + lit(SpanK), 1L)
+          .otherwise(0L)).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    merged.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanK - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** The oracle's mirror of [[slidingWindowRows]]→flagged→merged spans:
+    * CTEs `dd`/`w`/`shared`/`f`/`m`/`g`/`spans` over `documents`. Kept as
+    * ONE shared prefix so [[substringSpansSql]] and
+    * [[substringCoverageSql]] cannot drift from each other. */
+  private val SpanSqlCte: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanK
+       |), w AS (
+       |  SELECT doc_id, pos,
+       |         md5(array_to_string(t[pos+1 : pos+$SpanK], ' ')) AS h
+       |  FROM (SELECT doc_id, t,
+       |               unnest(range(0, len(t) - ${SpanK - 1})) AS pos FROM dd)
+       |), shared AS (
+       |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+       |), f AS (
+       |  SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)
+       |), m AS (
+       |  SELECT doc_id, pos,
+       |         max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM f
+       |), g AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev_max IS NULL OR pos > prev_max + $SpanK
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM m
+       |), spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + ${SpanK - 1} AS span_end,
+       |         count(*) AS n_windows
+       |  FROM g GROUP BY doc_id, grp
+       |)""".stripMargin
+
+  /** Substring-level cross-document dedup (builder prompt: dedup family;
+    * no reference analog — reference has no text similarity at all,
+    * process.py's closest surface is row-level SELECT DISTINCT): every
+    * maximal token span duplicated across ≥2 documents, the worklist an
+    * exact-substring decontamination pass removes. Linear scan → one
+    * fixed-width hash shuffle → one per-document keyed window; no
+    * pairwise comparison anywhere, so the plan survives corpus growth
+    * that would kill a suffix-array build (which needs a global sort of
+    * every token position). */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanRows(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  val substringSpansSql: String =
+    SpanSqlCte +
+      """
+        |SELECT doc_id, span_start, span_end, n_windows FROM spans
+        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Per-document duplicated-token coverage: the fraction of a document's
+    * tokens inside some cross-document duplicated span, worst first —
+    * the ranking signal for drop-or-trim decisions (a page that is 80 %
+    * shared text is boilerplate even if its doc-level hash is unique).
+    * Exact because [[dupSpanRows]]' spans are disjoint by construction:
+    * their lengths sum to the size of the interval UNION. */
+  def substringCoverage(spark: SparkSession, dir: String): DataFrame =
+    substringCoverageFrom(Tables.documents(spark, dir))
+
+  private[graft] def substringCoverageFrom(docs: DataFrame): DataFrame = {
+    val nt = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val cov = dupSpanRows(docs).groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + lit(1L)).as("dup_tokens"))
+    nt.join(cov, "doc_id")
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_toks").cast("double"))
+      .select(col("doc_id"), col("n_toks"), col("dup_tokens"), col("dup_ratio"))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+  }
+
+  val substringCoverageSql: String =
+    SpanSqlCte +
+      """, cov AS (
+        |  SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |), nt AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+        |)
+        |SELECT nt.doc_id, nt.n_toks, cov.dup_tokens,
+        |       CAST(cov.dup_tokens AS DOUBLE)
+        |         / CAST(nt.n_toks AS DOUBLE) AS dup_ratio
+        |FROM nt JOIN cov USING (doc_id)
+        |ORDER BY dup_ratio DESC, doc_id""".stripMargin
 }

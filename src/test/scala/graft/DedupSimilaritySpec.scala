@@ -245,4 +245,82 @@ class DedupSimilaritySpec extends SparkSpec {
     Codebooks.fit(spark, sf)
     assert(Codebooks.fitCount.get() == before + 2, "fit is a no-op when current")
   }
+
+  // --- substring-span dedup ---------------------------------------------
+
+  /** Crafted corpus builder: every filler token is unique per (doc, pos)
+    * so no window is shared by accident — only the runs planted below. */
+  private def spanDocs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private def uniq(doc: String, n: Int, from: Int = 0): String =
+    (from until from + n).map(i => s"u_${doc}_$i").mkString(" ")
+  private def run(name: String, n: Int): String =
+    (0 until n).map(i => s"R_${name}_$i").mkString(" ")
+
+  test("substring spans catch a duplicated run at ANY alignment") {
+    // the shared 12-token run sits at token offset 5 in doc 1 and offset 7
+    // in doc 2 — neither a multiple of the 10-token chunk grid, so
+    // chunk-level dedup is blind to it by construction
+    val docs = spanDocs(
+      1L -> s"${uniq("a", 5)} ${run("S", 12)} ${uniq("a", 8, 100)}",
+      2L -> s"${uniq("b", 7)} ${run("S", 12)} ${uniq("b", 6, 100)}")
+    val spans = Dedup.dupSpanRows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the span is exactly the planted run: [offset, offset+11], 3 windows
+    assert(spans.toSet === Set((1L, 5L, 16L, 3L), (2L, 7L, 18L, 3L)))
+    assert(Dedup.chunkDedupFrom(docs).isEmpty,
+      "the 10-token chunk grid must miss this alignment (that is the gap this operator closes)")
+  }
+
+  test("overlapping duplicated runs merge to one span; coverage counts the union once") {
+    // doc 3 shares tokens [0,11] with doc 4 and tokens [8,19] with doc 5:
+    // flagged windows 0..2 and 8..10 overlap in token space, so they must
+    // merge into ONE [0,19] span — a naive consecutive-run grouping would
+    // report [0,11] and [8,19] and double-count tokens 8..11
+    val d3 = s"${run("X", 12)} ${run("Y", 8)}" // X = tokens 0..11, Y = 12..19
+    // doc 5 carries X_8..X_11 followed by Y_0..Y_7 — the exact [8,19] text
+    val overlap = (8 until 12).map(i => s"R_X_$i").mkString(" ") + " " + run("Y", 8)
+    val docs = spanDocs(
+      3L -> d3,
+      4L -> s"${run("X", 12)} ${uniq("d", 8)}",
+      5L -> s"${uniq("e", 3)} $overlap ${uniq("e", 9, 100)}")
+    val spans3 = Dedup.dupSpanRows(docs).filter(col("doc_id") === 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans3.toSet === Set((0L, 19L, 6L)),
+      s"doc 3 must carry one merged [0,19] span, got ${spans3.mkString(",")}")
+    val cov3 = Dedup.substringCoverageFrom(docs).filter(col("doc_id") === 3).first()
+    assert(cov3.getLong(2) === 20L, "union size, not the 24 a double-count would give")
+    assert(cov3.getDouble(3) === 1.0, "doc 3 is fully covered")
+  }
+
+  test("duplication shorter than the window is invisible (documented floor)") {
+    val docs = spanDocs(
+      6L -> s"${uniq("f", 4)} ${run("T", 9)} ${uniq("f", 4, 100)}",
+      7L -> s"${uniq("g", 4)} ${run("T", 9)} ${uniq("g", 4, 100)}")
+    assert(Dedup.dupSpanRows(docs).isEmpty)
+  }
+
+  test("fixture spans are disjoint, non-adjacent, >= window length; coverage is consistent") {
+    val spans = Dedup.substringSpans(spark, sf)
+    assert(spans.count() > 0, "fixture must exercise the operator non-vacuously")
+    assert(spans.filter(col("span_end") - col("span_start") < 9).count() === 0)
+    // disjoint and non-adjacent per doc: start > previous end + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val overlapping = spans
+      .withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("span_start") <= col("prev_end") + 1)
+    assert(overlapping.count() === 0, "merged spans must be disjoint and non-adjacent")
+    // coverage rows agree with the span frame they are built from
+    val cov = Dedup.substringCoverage(spark, sf)
+    assert(cov.filter(col("dup_tokens") > col("n_toks")).count() === 0)
+    assert(cov.filter(col("dup_ratio") <= 0 || col("dup_ratio") > 1).count() === 0)
+    val fromSpans = spans.groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + lit(1L)).as("t"))
+      .agg(coalesce(sum("t"), lit(0L))).first().getLong(0)
+    val fromCov = cov.agg(coalesce(sum("dup_tokens"), lit(0L))).first().getLong(0)
+    assert(fromSpans === fromCov)
+  }
 }
