@@ -669,4 +669,93 @@ object TextAnalytics {
       |GROUP BY 1
       |ORDER BY n DESC, bigram
       |LIMIT $BigramTopK""".stripMargin
+
+  // --- BM25 ranked retrieval ------------------------------------------------
+  /** Query/constants shared with the oracle SQL below so non-default call
+    * sites cannot silently diverge from the DuckDB twin. The scoring
+    * arithmetic itself is a SHARED SQL fragment ([[Bm25TermFrag]]) pasted
+    * verbatim into both the Spark `expr` and the oracle — the engines
+    * evaluate the same expression tree, so they cannot drift (the Bpe
+    * same-case-ladder discipline applied to float arithmetic). */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "vector")
+  val Bm25TopK: Int = 20
+
+  /** Okapi BM25 per-(doc, term) contribution over columns
+    * (tf, dl, sum_dl, n_docs, df), k1 = 1.2, b = 0.75, with the
+    * +1-inside-the-log IDF (nonnegative for any df). Every constant is
+    * CAST(... AS DOUBLE) so neither engine's decimal-literal typing can
+    * alter promotion; the saturation factor and the IDF each quantize to
+    * DECIMAL(18,6) before the product, making the per-doc DECIMAL sum
+    * order-independent (the tfidf_terms transcendental contract). */
+  private val Bm25TermFrag: String = {
+    val sat = "CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE) / (CAST(tf AS DOUBLE) + " +
+      "CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * " +
+      "CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    val idf = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    s"CAST($sat AS DECIMAL(18,6)) * CAST($idf AS DECIMAL(18,6))"
+  }
+
+  /** BM25 top-k retrieval (builder prompt: text-analysis family; no
+    * reference analog — the reference's only text surface is JSON path
+    * extraction): rank documents for a term query by Okapi BM25, the
+    * lexical scorer behind retrieval-augmented corpus curation (finding
+    * the training documents most relevant to a probe query, the lexical
+    * half of hybrid search next to the ANN family).
+    *
+    * Scale shape: the query relation is literal-sized and BROADCASTS into
+    * the exploded token stream BEFORE aggregation, so the only
+    * corpus-scale shuffle carries query-matching (doc, term) rows —
+    * df/doc-frequency derives from that same tiny aggregate. Document
+    * lengths come from `size(split(...))` — a pure projection, no second
+    * explosion — and the corpus-wide (N, Σdl) reduce to ONE broadcast row.
+    * Nothing quadratic, nothing corpus-sized on the wire. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25From(Tables.documents(spark, dir), Bm25Query, Bm25TopK)
+
+  private[graft] def bm25From(docs: DataFrame, query: Seq[String], topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(query.toDF("tok")), "tok")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term", expr(Bm25TermFrag))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("doc_id"), expr("CAST(s AS DOUBLE)").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dd
+       |), st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+       |), q AS (
+       |  SELECT unnest([${Bm25Query.map("'" + _ + "'").mkString(", ")}]) AS tok
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM dd) JOIN q USING (tok)
+       |  GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+       |), terms AS (
+       |  SELECT tf.doc_id, $Bm25TermFrag AS term
+       |  FROM tf JOIN dfreq USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN st
+       |)
+       |SELECT doc_id, CAST(sum(term) AS DOUBLE) AS score
+       |FROM terms GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
 }

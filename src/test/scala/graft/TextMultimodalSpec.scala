@@ -303,4 +303,37 @@ class TextMultimodalSpec extends SparkSpec {
       .take(8).map("%02X".format(_)).mkString
     assert(r.getString(r.fieldIndex("header_hex")) === expected)
   }
+
+  test("bm25 ranking: tf saturation, length normalization, rare-term weight") {
+    import spark.implicits._
+    // four 10-token docs, query = {apple, pear}: apple is common (3 docs),
+    // pear rare (1 doc). Fillers unique per doc so df is exactly as built.
+    def doc(id: Long, terms: String*) = {
+      val fill = (terms.size until 10).map(i => s"f_${id}_$i")
+      (id, (terms ++ fill).mkString(" "))
+    }
+    val docs = Seq(
+      doc(1, "apple"),                          // tf(apple)=1, dl=10
+      doc(2, "apple", "apple", "apple"),        // tf(apple)=3, dl=10
+      doc(3, "pear"),                           // tf(pear)=1,  dl=10
+      doc(4, "apple")                           // like doc 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.bm25From(docs, Seq("apple", "pear"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(2L) > got(1L), "higher tf at equal length must score higher")
+    assert(got(2L) < 3 * got(1L), "saturation: tf=3 must be worth less than 3x tf=1")
+    assert(got(3L) > got(1L), "the rarer term (df=1 vs 3) must outweigh at equal tf")
+    assert(got(1L) === got(4L), "identical tf/dl/df must tie exactly")
+    // equal-length corpus ⇒ length normalization is inert here; prove it
+    // bites: same tf in a LONGER doc scores lower
+    val docs2 = Seq(
+      doc(5, "apple"),
+      (6L, ("apple" +: (1 until 30).map(i => s"g_$i")).mkString(" ")),
+      doc(7, "apple") // second apple doc so df>0 context stays comparable
+    ).toDF("doc_id", "text")
+    val got2 = TextAnalytics.bm25From(docs2, Seq("apple"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2(6L) < got2(5L), "same tf in a longer doc must score lower")
+  }
 }
