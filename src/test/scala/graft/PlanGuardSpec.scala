@@ -31,7 +31,11 @@ class PlanGuardSpec extends SparkSpec {
     // projection, not the scalar plumbing)
     "corpus_budget_select" -> 2,
     "corpus_budget_select_bpe" -> 2,
-    "txt_collocations" -> 1, "trending_events" -> 1)
+    "txt_collocations" -> 1, "trending_events" -> 1,
+    // bm25_topk: the (N, Σdl) corpus statistics reduce map-side to ONE
+    // row broadcast back over the query-term tf rows (the tfidf_terms
+    // corpus-N shape)
+    "bm25_topk" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -76,7 +80,10 @@ class PlanGuardSpec extends SparkSpec {
     // approx_topk_check shape) plus the one-row budget scalar
     "corpus_budget_select" -> 2,
     "corpus_budget_select_bpe" -> 2,
-    "txt_collocations" -> 1, "trending_events" -> 1)
+    "txt_collocations" -> 1, "trending_events" -> 1,
+    // bm25_topk: the one-row (N, Σdl) scalar — per-partition partials
+    // reduce to one (long, long) before the exchange (tfidf_terms shape)
+    "bm25_topk" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
