@@ -503,7 +503,8 @@ object Dedup {
     * spec can feed a degenerate boilerplate corpus through the REAL
     * pipeline. */
   private[graft] def minhashLshFrom(docs: DataFrame, maxBucket: Int = 50,
-                                    checkpoint: Boolean = true): DataFrame = {
+                                    checkpoint: Boolean = true,
+                                    topK: Int = 1000): DataFrame = {
     // Exploded distinct (doc_id, shingle) rows — every stage below is a
     // plain projection/aggregation over this, so the whole pipeline stays
     // inside whole-stage codegen (an earlier array-lambda formulation ran
@@ -567,7 +568,7 @@ object Dedup {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(1000)
+      .limit(topK)
     // Materialize the (≤1000-row) result eagerly, then RELEASE both cached
     // inputs before returning — the dedupGroups pattern. A long-lived
     // session (bench loop, serving JVM) calling this per-corpus would
@@ -797,8 +798,14 @@ object Dedup {
     // key carries the identical text)
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ckey"), col("text"))
-    val reps = keyed.groupBy(col("ckey"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    // materialized ONCE (same truncation strategy as the loop tables):
+    // both the shingle front here and the expansion join after the loop
+    // read reps, and without the checkpoint each consumer would re-run
+    // the corpus scan AND the distinct-content groupBy shuffle. keyed
+    // itself is deliberately NOT materialized — its second evaluation is
+    // a narrow codegen'd scan (the boilerplateRatio trade).
+    val reps = ck(keyed.groupBy(col("ckey"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text")))
     val sh = shingleRows(reps)
     // Per-shingle doc count AND per-shingle min doc in one window pass:
     // the min seeds each node's label, so every single-shingle clique is

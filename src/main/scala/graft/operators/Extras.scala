@@ -81,9 +81,16 @@ object Extras {
         col("l_returnflag"),
         col("n"),
         expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_qty"),
-        expr("CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE)").as("var_qty"),
-        expr("CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE)").as("stddev_qty"),
-        expr("CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE)").as("corr_qty_price"))
+        // degenerate-group guards (standard SQL semantics, NULL not a
+        // throw): n=1 divides by zero and CAST(Infinity AS DECIMAL)
+        // throws under ANSI; a zero-variance group makes corr 0/0. The
+        // fixture's groups never hit either — the guards exist so a
+        // 1-row or constant group at ANY scale degrades like
+        // var_samp/corr would, and they sit in BOTH engines' expressions
+        // so the shape contract holds.
+        expr("CASE WHEN n > 1 THEN CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE) END").as("var_qty"),
+        expr("CASE WHEN n > 1 THEN CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE) END").as("stddev_qty"),
+        expr("CASE WHEN n > 1 AND varx_num > 0 AND vary_num > 0 THEN CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE) END").as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -107,9 +114,9 @@ object Extras {
       |)
       |SELECT l_returnflag, n,
       |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-      |       CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE) AS var_qty,
-      |       CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE) AS stddev_qty,
-      |       CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price
+      |       CASE WHEN n > 1 THEN CAST(CAST(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(18,9)) AS DOUBLE) END AS var_qty,
+      |       CASE WHEN n > 1 THEN CAST(CAST(sqrt(CAST(varx_num AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS DECIMAL(18,9)) AS DOUBLE) END AS stddev_qty,
+      |       CASE WHEN n > 1 AND varx_num > 0 AND vary_num > 0 THEN CAST(CAST(CAST(cov_num AS DOUBLE) / (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE))) AS DECIMAL(18,12)) AS DOUBLE) END AS corr_qty_price
       |FROM nums
       |ORDER BY l_returnflag""".stripMargin
 

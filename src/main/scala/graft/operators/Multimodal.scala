@@ -591,19 +591,32 @@ object Multimodal {
     val staged = payloads
       .withColumn("__app1", app1Expr)
       .withColumn("__base", col("__app1") + 10)  // 1-based first TIFF byte
+      // first 1-based position PAST the APP1 segment (marker 2 bytes +
+      // length field, which counts itself but not the marker): every TIFF
+      // read below must land strictly inside it — an IFD offset pointing
+      // past the segment into later payload bytes must parse as null,
+      // never as whatever entry-shaped bytes happen to live there
+      .withColumn("__seg_end", col("__app1") + 2 +
+        conv(hex(p.substr((col("__app1") + 2).cast("int"), lit(2))), 16, 10).cast("long"))
       .withColumn("__exif_ok", col("__app1").isNotNull &&
         hex(p.substr((col("__app1") + 4).cast("int"), lit(6))) === "457869660000")
       .withColumn("__bo", hex(p.substr(col("__base").cast("int"), lit(2))))
       .withColumn("__is_le", col("__bo") === "4949")
       .withColumn("__bo_ok", col("__bo").isin("4949", "4D4D"))
       .withColumn("__magic_ok", rd16(col("__base") + 2) === 42)
-      .withColumn("__ifd", col("__base") + rd32(col("__base") + 4))
+      .withColumn("__ifd_off", rd32(col("__base") + 4))
+      .withColumn("__ifd", col("__base") + col("__ifd_off"))
+      // offset ≥ 8 (at/after the TIFF header) and the 2-byte entry count
+      // inside the segment
+      .withColumn("__ifd_ok",
+        col("__ifd_off") >= 8 && col("__ifd") + 1 < col("__seg_end"))
       .withColumn("__n", rd16(col("__ifd")))
-    val valid = isJpeg && col("__exif_ok") && col("__bo_ok") && col("__magic_ok")
+    val valid = isJpeg && col("__exif_ok") && col("__bo_ok") &&
+      col("__magic_ok") && col("__ifd_ok")
     val orientation = coalesce((0 until ExifEntryScanDepth).map { i =>
       val e = col("__ifd") + 2 + i * 12
-      when(lit(i) < col("__n") && rd16(e) === 274 &&
-        rd16(e + 2) === 3 && rd32(e + 4) === 1, rd16(e + 8))
+      when(lit(i) < col("__n") && e + 11 < col("__seg_end") &&
+        rd16(e) === 274 && rd16(e + 2) === 3 && rd32(e + 4) === 1, rd16(e + 8))
     }: _*)
     staged.select(col("doc_id"),
       when(isJpeg, "jpeg").otherwise("unknown").as("format"),

@@ -73,11 +73,12 @@ object Pipeline {
       .orderBy(col("source"), col("seq_id"))
   }
 
-  val packSequencesSql: String =
-    s"""WITH d AS (
-       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM documents
-       |), o AS (
+  /** Offset/slice/rollup SQL shared VERBATIM by [[packSequencesSql]] and
+    * [[packSequencesBpeSql]]: the twins may differ only in how the `d`
+    * CTE counts tokens — the packing math has ONE copy, so an edit
+    * cannot drift the twins apart. */
+  private val PackOffsetsSqlSuffix: String =
+    s"""), o AS (
        |  SELECT source, n_toks,
        |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
@@ -93,6 +94,12 @@ object Pipeline {
        |       CAST(sum(tok) AS BIGINT) AS n_tokens
        |FROM x GROUP BY 1, 2
        |ORDER BY source, seq_id""".stripMargin
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents
+       |""".stripMargin + PackOffsetsSqlSuffix
 
   /** [[packSequences]] budgeted in SUBWORD tokens ([[graft.functions.Bpe]])
     * — the counter a real context window is measured in (a
@@ -105,27 +112,12 @@ object Pipeline {
 
   val packSequencesBpeSql: String =
     graft.functions.Bpe.oracleCte +
-      s""",
+      """,
        |d AS (
        |  SELECT source, doc_id, CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_toks
        |  FROM documents LEFT JOIN bpe USING (doc_id)
        |  WHERE COALESCE(n_bpe, 0) > 0
-       |), o AS (
-       |  SELECT source, n_toks,
-       |         CAST(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-       |  FROM d
-       |), x AS (
-       |  SELECT source, s AS seq_id,
-       |         least((s + 1) * $PackBudget, off + n_toks)
-       |           - greatest(s * $PackBudget, off) AS tok
-       |  FROM o, LATERAL unnest(range(off // $PackBudget,
-       |                               (off + n_toks - 1) // $PackBudget + 1)) AS t(s)
-       |)
-       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
-       |       CAST(sum(tok) AS BIGINT) AS n_tokens
-       |FROM x GROUP BY 1, 2
-       |ORDER BY source, seq_id""".stripMargin
+       |""".stripMargin + PackOffsetsSqlSuffix
 
   // --- packing manifest with document boundaries ----------------------------
   /** [[packSequences]]'s companion at the granularity training actually
@@ -392,21 +384,29 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
-  val corpusBudgetSelectSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id,
+  /** The `d` CTE body shared by both budget-select oracles: quality
+    * bucketing is identical, only the token-count expression (and the
+    * optional bpe join) differ — ONE copy of the formula, so the twins
+    * cannot drift. */
+  private def budgetSelectDSql(nTokensExpr: String, joinClause: String): String =
+    s"""  SELECT doc_id,
        |         CAST(floor(((stop / n) * 0.5
        |              + ((CAST(length(text) AS DOUBLE) - (n - 1.0)) / n) * 0.1)
        |              * $QualityBuckets) AS INT) AS quality_bucket,
-       |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+       |         $nTokensExpr AS n_tokens
        |  FROM (
        |    SELECT doc_id, text,
        |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
        |           CAST(len(list_filter(string_split(text, ' '),
        |                 t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
        |    FROM documents
-       |  )
-       |), buckets AS (
+       |  )$joinClause
+       |""".stripMargin
+
+  /** Bucket/cutoff/selection SQL shared VERBATIM by both budget-select
+    * oracles (same single-copy discipline as [[PackOffsetsSqlSuffix]]). */
+  private val BudgetCutoffSqlSuffix: String =
+    s"""), buckets AS (
        |  SELECT quality_bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
        |  FROM d GROUP BY 1
        |), cum AS (
@@ -425,6 +425,11 @@ object Pipeline {
        |FROM d, cut
        |WHERE quality_bucket >= qb_cut
        |ORDER BY doc_id""".stripMargin
+
+  val corpusBudgetSelectSql: String =
+    "WITH d AS (\n" +
+      budgetSelectDSql("CAST(len(string_split(text, ' ')) AS INT)", "") +
+      BudgetCutoffSqlSuffix
 
   /** [[corpusBudgetSelect]] budgeted in SUBWORD tokens — the bucket
     * cutoff machinery is untouched (1000 integer quality buckets +
@@ -434,40 +439,10 @@ object Pipeline {
     corpusBudgetSelectFrom(Tables.documents(spark, dir), graft.functions.Bpe.countCol)
 
   val corpusBudgetSelectBpeSql: String =
-    graft.functions.Bpe.oracleCte +
-      s""",
-       |d AS (
-       |  SELECT doc_id,
-       |         CAST(floor(((stop / n) * 0.5
-       |              + ((CAST(length(text) AS DOUBLE) - (n - 1.0)) / n) * 0.1)
-       |              * $QualityBuckets) AS INT) AS quality_bucket,
-       |         CAST(COALESCE(n_bpe, 0) AS INT) AS n_tokens
-       |  FROM (
-       |    SELECT doc_id, text,
-       |           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
-       |           CAST(len(list_filter(string_split(text, ' '),
-       |                 t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE) AS stop
-       |    FROM documents
-       |  ) LEFT JOIN bpe USING (doc_id)
-       |), buckets AS (
-       |  SELECT quality_bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
-       |  FROM d GROUP BY 1
-       |), cum AS (
-       |  SELECT quality_bucket,
-       |         sum(btok) OVER (ORDER BY quality_bucket DESC
-       |                         ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM buckets
-       |), tot AS (
-       |  SELECT CAST(floor($BudgetFraction * sum(btok)) AS BIGINT) AS budget FROM buckets
-       |), cut AS (
-       |  SELECT coalesce(min(CASE WHEN cum <= budget THEN quality_bucket END),
-       |                  max(quality_bucket)) AS qb_cut
-       |  FROM cum, tot
-       |)
-       |SELECT doc_id, quality_bucket, n_tokens
-       |FROM d, cut
-       |WHERE quality_bucket >= qb_cut
-       |ORDER BY doc_id""".stripMargin
+    graft.functions.Bpe.oracleCte + ",\nd AS (\n" +
+      budgetSelectDSql("CAST(COALESCE(n_bpe, 0) AS INT)",
+        " LEFT JOIN bpe USING (doc_id)") +
+      BudgetCutoffSqlSuffix
 
   // --- TF-IDF top terms -------------------------------------------------------
   /** Shared with the oracle SQL so non-default call sites can't diverge. */

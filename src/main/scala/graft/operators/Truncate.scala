@@ -39,11 +39,25 @@ object Truncate {
   }
 
   /** Reliable checkpoint into `dir`. Sets the SparkContext checkpoint dir
-    * on first use (idempotent: only if unset or different). */
+    * on first use only: `setCheckpointDir` APPENDS a fresh UUID
+    * subdirectory (and mkdirs it — an RPC on HDFS/object stores), so the
+    * stored value never string-equals `dir` and a naive equality guard
+    * would re-set on every truncation of every loop round, scattering
+    * each round's blocks across new directories. Idempotence therefore
+    * checks containment: is the current checkpoint dir a child of `dir`? */
   final case class Reliable(dir: String) extends Truncate {
+    private def pathOf(s: String): String = {
+      val u = new java.net.URI(s)
+      val p = if (u.getScheme == null) new java.io.File(s).getAbsolutePath
+              else u.getPath
+      p.replaceAll("/+$", "")
+    }
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      val wanted = pathOf(dir)
+      val alreadyUnder =
+        sc.getCheckpointDir.exists(p => pathOf(p).startsWith(wanted + "/"))
+      if (!alreadyUnder) sc.setCheckpointDir(dir)
       df.checkpoint(true)
     }
   }

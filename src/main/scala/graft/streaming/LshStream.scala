@@ -11,7 +11,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch×everything-seen-before) are detected AT ARRIVAL, not in a
   * nightly recluster.
   *
-  * State lives in four append-only parquet tables under `stateDir`:
+  * State lives in four parquet tables under `stateDir`, each partitioned
+  * by the micro-batch id that wrote it (`<table>/batch=<id>` — the
+  * exactly-once mechanism, see below):
   *   - `sigs`   — one [[Dedup.minhashSignatures]] row per doc ever seen
   *   - `bands`  — its 15-band LSH index (doc_id, band, band_key)
   *   - `corpus` — (doc_id, text), read back ONLY for candidate
@@ -32,14 +34,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * is skipped once its ACCUMULATED size (old + new members) exceeds
   * `maxBucket`. The one-shot form drops an oversized bucket's pairs
   * retroactively; a stream cannot un-emit, so pairs found while the
-  * bucket was small persist. Equality with the batch form therefore
-  * holds whenever no bucket exceeds the cap — the spec pins both this
-  * and the prefix behavior.
+  * bucket was small persist. Equality with the batch form (its
+  * UNLIMITED pair set — the one-shot query's top-1000 LIMIT is a
+  * result-shape contract, not a semantic one, so the spec compares
+  * against `minhashLshFrom(topK = Int.MaxValue)`) therefore holds
+  * whenever no bucket exceeds the cap — the spec pins both this and
+  * the prefix behavior.
   *
-  * Exactly-once: batch replay is keyed out at the DOC level — incoming
-  * doc_ids already in `sigs` are dropped before any candidate
-  * generation, so a checkpoint-replayed micro-batch appends nothing
-  * (same discipline as the streaming incremental exact dedup).
+  * Exactly-once: every state table is PARTITIONED BY BATCH
+  * (`<table>/batch=<id>`) and each micro-batch OVERWRITES its own
+  * partitions. A batch reads only state from batches strictly before
+  * its own id, so a checkpoint-replayed batch recomputes exactly what
+  * its first attempt computed (the inputs are identical and every hash
+  * is a pure function) and the overwrite converges — a crash between
+  * any two of the four table writes leaves partial state that the
+  * replay simply rewrites. Ordered appends cannot give this: whichever
+  * table were written first could double-append (or a later one never
+  * land) under a crash inside the write sequence.
   *
   * 100 TB shape per batch: signature build is batch-sized (linear scan);
   * the candidate join probes the band store on (band, band_key) — an
@@ -51,27 +62,48 @@ object LshStream {
 
   private def path(stateDir: String, t: String) = s"$stateDir/$t"
 
-  private def readOr(spark: SparkSession, p: String, empty: => DataFrame): DataFrame =
-    try spark.read.parquet(p) catch { case _: Exception => empty }
+  /** State from batches STRICTLY BEFORE `batchId` — the replay-safe read
+    * (a replayed batch must see exactly what its first attempt saw,
+    * including none of its own partial writes). Only a missing store
+    * (first batch) maps to the empty frame; any OTHER failure — transient
+    * IO, corrupt footer — propagates and fails the batch, because
+    * treating it as "no state yet" would silently re-admit every seen doc
+    * and drop every cross-batch candidate. */
+  private def readBefore(spark: SparkSession, p: String, batchId: Long,
+                         empty: => DataFrame): DataFrame =
+    (try Some(spark.read.parquet(p))
+     catch { case _: org.apache.spark.sql.AnalysisException => None })
+      .fold(empty)(df => df.filter(col("batch") < batchId).drop("batch"))
+
+  private def overwriteBatch(df: DataFrame, p: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$p/batch=$batchId")
 
   /** One micro-batch: detect pairs against everything seen, then admit
     * the batch into the stores. Batch-static, callable directly (the
-    * spec's equivalence harness) or from [[minhashLshStream]]. */
+    * spec's equivalence harness) or from [[minhashLshStream]]; `batchId`
+    * must be the stream's monotone micro-batch id (or the caller's own
+    * monotone counter) — it is both the replay key and the state
+    * partition. */
   def processBatch(spark: SparkSession, newDocsRaw: DataFrame, stateDir: String,
-                   maxBucket: Int = 50): Unit = {
+                   batchId: Long, maxBucket: Int = 50): Unit = {
     import spark.implicits._
     val sigsP = path(stateDir, "sigs"); val bandsP = path(stateDir, "bands")
     val corpusP = path(stateDir, "corpus"); val pairsP = path(stateDir, "pairs")
 
-    val oldSigs = readOr(spark, sigsP,
+    val oldSigs = readBefore(spark, sigsP, batchId,
       Seq.empty[(Long, Long)].toDF("doc_id", "set_n"))
-    val oldBands = readOr(spark, bandsP,
+    val oldBands = readBefore(spark, bandsP, batchId,
       Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "band_key"))
+    val oldCorpus = readBefore(spark, corpusP, batchId,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
 
-    // replay idempotence + in-batch doc dedup: one row per UNSEEN doc_id
+    // cross-batch doc dedup + in-batch doc dedup: one row per UNSEEN
+    // doc_id. Seen-ness keys on the CORPUS store, not sigs — a <3-token
+    // doc has no shingles and so no signature row, but it IS admitted to
+    // the corpus, and keying on sigs would re-admit it forever.
     val newDocs = newDocsRaw.select(col("doc_id"), col("text"))
       .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
-      .join(oldSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(oldCorpus.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // read repeatedly below; lineage is batch-local
     if (newDocs.isEmpty) return
 
@@ -100,9 +132,7 @@ object LshStream {
     // from the batch, old docs re-shingled from the corpus store
     val candIds = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val oldCandDocs = readOr(spark, corpusP,
-      Seq.empty[(Long, String)].toDF("doc_id", "text"))
-      .join(candIds, Seq("doc_id"), "left_semi")
+    val oldCandDocs = oldCorpus.join(candIds, Seq("doc_id"), "left_semi")
     val candSh = newSh.join(candIds, Seq("doc_id"), "left_semi")
       .unionByName(Dedup.shinglesOf(oldCandDocs))
     val sizes = oldSigs.select(col("doc_id"), col("set_n"))
@@ -119,10 +149,12 @@ object LshStream {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
           .as("jaccard"))
 
-    pairs.write.mode(SaveMode.Append).parquet(pairsP)
-    newSigs.write.mode(SaveMode.Append).parquet(sigsP)
-    newBands.write.mode(SaveMode.Append).parquet(bandsP)
-    newDocs.write.mode(SaveMode.Append).parquet(corpusP)
+    // per-batch partition OVERWRITES (order-free: see the exactly-once
+    // note in the object doc — a replay rewrites whatever subset landed)
+    overwriteBatch(pairs, pairsP, batchId)
+    overwriteBatch(newSigs, sigsP, batchId)
+    overwriteBatch(newBands, bandsP, batchId)
+    overwriteBatch(newDocs, corpusP, batchId)
     newSh.unpersist()
     ()
   }
@@ -134,8 +166,8 @@ object LshStream {
                        maxBucket: Int = 50,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, maxBucket)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, stateDir, batchId, maxBucket)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -144,7 +176,7 @@ object LshStream {
   /** Accumulated verified pairs, the batch result's shape. */
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    readOr(spark, path(stateDir, "pairs"),
+    readBefore(spark, path(stateDir, "pairs"), Long.MaxValue,
       Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
   }

@@ -296,4 +296,28 @@ class CoverageWave6Spec extends SparkSpec {
       if (nd == 1) assert(math.abs(h) < 1e-12)
     }
   }
+
+  test("statsAgg degenerate groups: NULL like var_samp/corr, never an ANSI cast throw") {
+    import spark.implicits._
+    // n=1 group (A): n*(n-1)=0 → Infinity pre-guard, which CAST(... AS
+    // DECIMAL) would THROW on under ANSI; constant-x group (B): corr is
+    // 0/0. Both must degrade to NULL exactly as var_samp/corr do.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-degen").toString
+    Seq(
+      ("A", 5.0, 100.0),
+      ("B", 7.0, 10.0), ("B", 7.0, 20.0),
+      ("C", 1.0, 10.0), ("C", 3.0, 30.0)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Extras.statsAgg(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def d(g: String, c: String) = Option(rows(g).getAs[Any](c))
+    assert(d("A", "var_qty").isEmpty && d("A", "stddev_qty").isEmpty &&
+      d("A", "corr_qty_price").isEmpty, "n=1 group must be all-NULL")
+    assert(d("B", "var_qty").contains(0.0), "constant group has zero variance")
+    assert(d("B", "corr_qty_price").isEmpty, "zero-variance corr must be NULL")
+    assert(d("C", "var_qty").exists(_.asInstanceOf[Double] > 0) &&
+      d("C", "corr_qty_price").exists(v => math.abs(v.asInstanceOf[Double] - 1.0) < 1e-9),
+      "well-posed group keeps exact values (perfectly correlated fixture)")
+  }
 }

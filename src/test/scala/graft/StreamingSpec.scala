@@ -168,18 +168,39 @@ class StreamingSpec extends SparkSpec {
     val streamed = LshStream.pairs(spark, stateDir)
       .select("d1", "d2", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the UNLIMITED batch pair set: the one-shot query's top-1000 LIMIT
+    // is a result-shape contract, not a semantic one — comparing against
+    // it would vacuously pass on any corpus under 1000 pairs and
+    // spuriously fail above
     val oneShot = graft.operators.Dedup
-      .minhashLshFrom(all.toSeq.toDF("doc_id", "text"))
+      .minhashLshFrom(all.toSeq.toDF("doc_id", "text"), topK = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed.nonEmpty, "planted near-dups must be found")
     assert(streamed.exists { case (d1, d2, j) => d2 == 900002L && j == 1.0 },
       "the cross-batch exact-dup pair must be discovered at arrival")
     assert(streamed == oneShot)
 
-    // replay idempotence: re-processing an already-admitted batch is a no-op
-    LshStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"), stateDir)
+    // replay idempotence: re-processing an already-admitted batch (same
+    // batch id) overwrites its own partitions with identical content
+    LshStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"),
+      stateDir, batchId = 0L)
     val replayed = LshStream.pairs(spark, stateDir).count()
     assert(replayed == streamed.size.toLong)
+
+    // crash-window convergence: simulate a crash that landed SOME of
+    // batch 0's four table writes but not others (here: sigs and corpus
+    // lost) — the replay must rebuild them and leave the pair set intact
+    import scala.reflect.io.Directory
+    val b0Ids = batches.head._2.map(_._1).toSet
+    new Directory(new java.io.File(s"$stateDir/sigs/batch=0")).deleteRecursively()
+    new Directory(new java.io.File(s"$stateDir/corpus/batch=0")).deleteRecursively()
+    LshStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"),
+      stateDir, batchId = 0L)
+    assert(LshStream.pairs(spark, stateDir).count() == streamed.size.toLong)
+    val sigsBack = spark.read.parquet(s"$stateDir/sigs").filter(col("batch") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigsBack.nonEmpty && sigsBack.subsetOf(b0Ids),
+      "replay after a partial crash must rebuild the lost batch partitions")
   }
 
   test("streaming LSH bucket cap is PREFIX semantics: pairs found while small persist") {
@@ -188,9 +209,9 @@ class StreamingSpec extends SparkSpec {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val stateDir = tmp("lsh-cap")
     // cap 2: the {a,b} bucket pair is found; c overflows the bucket later
-    LshStream.processBatch(spark, Seq((1L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
-    LshStream.processBatch(spark, Seq((2L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
-    LshStream.processBatch(spark, Seq((3L, text)).toDF("doc_id", "text"), stateDir, maxBucket = 2)
+    LshStream.processBatch(spark, Seq((1L, text)).toDF("doc_id", "text"), stateDir, batchId = 0L, maxBucket = 2)
+    LshStream.processBatch(spark, Seq((2L, text)).toDF("doc_id", "text"), stateDir, batchId = 1L, maxBucket = 2)
+    LshStream.processBatch(spark, Seq((3L, text)).toDF("doc_id", "text"), stateDir, batchId = 2L, maxBucket = 2)
     val got = LshStream.pairs(spark, stateDir).select("d1", "d2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the one-shot form would drop the (now size-3) bucket entirely; the

@@ -202,11 +202,24 @@ class TextMultimodalSpec extends SparkSpec {
       "0E0102000000000000000000" + "00000000"
     val noOrient = hx("FFD8" + "FFE1" + "%04X".format(2 + 6 + tiffNone.length / 2) +
       "457869660000" + tiffNone + "FFD9")
+    // adversarial D: the APP1 length truncates the segment right after
+    // the TIFF header, and entry-shaped bytes sit just PAST the segment
+    // where the declared IFD offset lands — an unbounded walk would read
+    // them as a genuine orientation=5 entry
+    val ifdPastSeg = hx("FFD8" + "FFE1" + "0010" + "457869660000" +
+      "49492A00" + "08000000" +                       // segment ends here
+      "0100" + "12010300" + "01000000" + "05000000" + // fake IFD outside it
+      "00000000" + "FFD9")
     val out = Multimodal.exifDecodeFrom(
         Seq((1L, goldenLe), (2L, goldenBe), (3L, badId), (4L, badBo),
-            (5L, noOrient), (6L, "not a jpeg".getBytes("US-ASCII")))
+            (5L, noOrient), (6L, "not a jpeg".getBytes("US-ASCII")),
+            (7L, ifdPastSeg))
           .toDF("doc_id", "payload"))
       .collect().map(r => r.getLong(0) -> r).toMap
+    val past = out(7L)
+    assert(past.isNullAt(past.fieldIndex("orientation")) &&
+      past.isNullAt(past.fieldIndex("byte_order")),
+      "an IFD landing outside the APP1 segment must parse null, not read stray bytes")
     val le = out(1L)
     assert(le.getAs[String]("byte_order") == "II" &&
       le.getAs[Int]("n_ifd_entries") == 2 && le.getAs[Int]("orientation") == 6)

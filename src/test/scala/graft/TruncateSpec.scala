@@ -39,6 +39,23 @@ class TruncateSpec extends SparkSpec {
     assert(reliable == local)
   }
 
+  test("Reliable sets the context checkpoint dir ONCE across truncations") {
+    import spark.implicits._
+    val dir = reliableDir("once")
+    val t = Truncate.Reliable(dir)
+    t(Seq(1, 2, 3).toDF("x"))
+    val after1 = spark.sparkContext.getCheckpointDir
+    t(Seq(4, 5, 6).toDF("x"))
+    val after2 = spark.sparkContext.getCheckpointDir
+    // setCheckpointDir appends a fresh UUID per call; a second set would
+    // show up as a different stored dir (and a second UUID subdirectory)
+    assert(after1 == after2,
+      s"checkpoint dir re-set between truncations: $after1 -> $after2")
+    val uuidDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    assert(uuidDirs.length == 1,
+      s"expected ONE UUID checkpoint subdir, found ${uuidDirs.length}")
+  }
+
   test("resolve: explicit strategy wins; env-less default is Local") {
     assert(Truncate.resolve(Some(Truncate.Local)) == Truncate.Local)
     val r = Truncate.Reliable("/tmp/x")
