@@ -1226,6 +1226,57 @@ object Dedup {
       .orderBy(col("dup_ratio").desc, col("doc_id"))
   }
 
+  /** The removal transform that completes the substring family: strip
+    * EVERY cross-document duplicated span from every document (the
+    * C4-style stance — text appearing verbatim in ≥2 documents is
+    * boilerplate and is removed everywhere, the same policy the
+    * chunk-level boilerplate ratio scores). Output is the scrub
+    * manifest: per affected document the token counts before/after and
+    * the md5 of the cleaned text (narrow at any scale — the cleaned TEXT
+    * itself is what a production pass would write back to the corpus,
+    * but the query form ships the fixed-width witness).
+    *
+    * The span list per doc rides a collect_list whose ORDER is
+    * partition-dependent — harmless by construction: spans are disjoint,
+    * and the membership test (`exists` over the list) and the removed-
+    * token count are order-independent, so the output is deterministic
+    * under any parallelism. */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = dupSpanRows(docs).groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    docs.join(spans, "doc_id")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringScrubSql: String =
+    SpanSqlCte +
+      """, sp AS (
+        |  SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spans
+        |  FROM spans GROUP BY doc_id
+        |), scr AS (
+        |  SELECT doc_id, t,
+        |         list_filter(t, (tok, i) ->
+        |           len(list_filter(spans, x -> i - 1 >= x.s AND i - 1 <= x.e)) = 0) AS kept
+        |  FROM dd JOIN sp USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+        |       CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+        |       -- coalesce: a FULLY scrubbed doc has kept = [], which
+        |       -- array_to_string maps to NULL where Spark's concat_ws
+        |       -- yields '' — pin both engines to md5('')
+        |       md5(coalesce(array_to_string(kept, ' '), '')) AS scrubbed_md5
+        |FROM scr
+        |ORDER BY doc_id""".stripMargin
+
   val substringCoverageSql: String =
     SpanSqlCte +
       """, cov AS (
