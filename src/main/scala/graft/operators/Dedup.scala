@@ -1102,25 +1102,74 @@ object Dedup {
     * "Deduplicating Training Data Makes Language Models Better"). */
   private val SpanK = 10
 
+  /** Position-weighted rotate-XOR combination of [[SpanK]] per-token
+    * 60-bit hashes — the window fingerprint. The oracle's SQL chain is
+    * generated from this one loop (same positions, same 7j mod 60
+    * rotation schedule, same masks as the Column form in
+    * [[slidingWindowRows]] — the [[minhashSignatures]] twin discipline).
+    * 7 coprime to 60 makes every position's rotation distinct, so the
+    * combination is order-sensitive. */
+  private def windowHashChain(h: Int => String, rot: (String, Int) => String,
+                              xor: (String, String) => String): String =
+    (0 until SpanK).map(j => rot(h(j), (7 * j) % 60)).reduce(xor)
+
+  private def rotDuck(x: String, r: Int): String =
+    if (r == 0) x
+    else s"((($x & ${(1L << (60 - r)) - 1}) << $r) + ($x >> ${60 - r}))"
+
   /** Exploded OVERLAPPING (doc_id, pos, h) window fingerprints: one
-    * stride-1 window per token position, `h = md5` of the [[SpanK]]-token
-    * window starting there. This is what [[chunkRows]]' non-overlapping
-    * grid cannot give: a duplicated run is caught at ANY alignment, not
-    * only when it happens to line up with a chunk boundary.
+    * stride-1 window per token position. This is what [[chunkRows]]'
+    * non-overlapping grid cannot give: a duplicated run is caught at ANY
+    * alignment, not only when it happens to line up with a chunk
+    * boundary.
     *
     * Volume is `SpanK`× the chunk stream (one window per token, not per
-    * ten), but each row carries only (id, pos, 32-char hash) — the window
-    * TEXT never leaves the map side, so the shuffle is fixed-width
-    * regardless of token length. Like [[boilerplateRatio]], the exploded
-    * frame is deliberately not materialized: recomputing a codegen'd
-    * narrow scan beats persisting a corpus-token-sized intermediate. */
-  private def slidingWindowRows(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
+    * ten), so the per-window cost is engineered down: each TOKEN hashes
+    * once ([[graft.functions.EngineHash]]'s md5-60 primitive, one md5
+    * per token not per window), and the window fingerprint is the
+    * rotate-XOR combination of its ten token hashes — long arithmetic
+    * only, no per-window string build (the first form concat'd + md5'd
+    * every 10-token window: ~10× the bytes hashed, measured 20.7 s →
+    * this form at sf1). The shuffle rows shrink to (id, pos, int64) —
+    * fixed 8-byte keys instead of 32-char digests. Trade (documented,
+    * [[minhashSignatures]]' caveat applies): a 60-bit linear family can
+    * collide where full-text md5 effectively cannot — accidental
+    * collisions are birthday-negligible (50 M windows ≪ 2^30·√2^60),
+    * but adversarially constructible; a pipeline scrubbing hostile input
+    * re-verifies flagged spans textually. Like [[boilerplateRatio]], the
+    * exploded frame is deliberately not materialized: recomputing a
+    * codegen'd narrow scan beats persisting a corpus-token-sized
+    * intermediate. */
+  private def slidingWindowRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    // posexplode + ten lead()s instead of a transform() lambda: higher-
+    // order lambdas evaluate INTERPRETED per element (the minhashLsh
+    // lesson — stack-sampled here too: BinaryArithmetic.eval inside
+    // ArrayTransform dominated the profile), while this shape is an
+    // ordinary codegen'd generate + one WindowExec whose lead offsets
+    // are compiled projections. The window shuffle also lands the frame
+    // already partitioned by doc_id — exactly the partitioning the span
+    // merge window downstream needs.
+    val tok = df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
-      .select(col("doc_id"), expr(
-        s"explode(transform(sequence(0, size(toks) - $SpanK), " +
-          s"i -> struct(i AS pos, md5(concat_ws(' ', slice(toks, i+1, $SpanK))) AS h)))").as("w"))
-      .select(col("doc_id"), col("w.pos").cast("long").as("pos"), col("w.h").as("h"))
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.EngineHash.md5Bits60(col("col")).as("th"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    def rot60c(c: Column, r: Int): Column =
+      if (r == 0) c
+      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) +
+        shiftrightunsigned(c, 60 - r)
+    val chain = (0 until SpanK).map { j =>
+      val hj = if (j == 0) col("th") else lead(col("th"), j).over(wd)
+      rot60c(hj, (7 * j) % 60)
+    }.reduce(_ bitwiseXOR _)
+    // a null lead (window runs off the document tail) nulls the whole
+    // chain — exactly the positions with no complete window
+    tok.select(col("doc_id"), col("pos"), chain.as("h"))
+      .filter(col("h").isNotNull)
+  }
 
   /** Maximal cross-document duplicated spans per document, merged by
     * interval union: flagged windows (hash shared by ≥2 docs) whose
@@ -1132,9 +1181,11 @@ object Dedup {
   private[graft] def dupSpanRows(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = slidingWindowRows(docs)
+    // "≥2 distinct docs" as min≠max (the user_proximity rewrite): cheaper
+    // than countDistinct — plain min/max partials, no per-key dedup set
     val shared = w.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select(col("h"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax")).select(col("h"))
     val flagged = w.join(shared, "h").select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val merged = flagged
@@ -1158,13 +1209,19 @@ object Dedup {
     s"""WITH dd AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |  WHERE len(string_split(text, ' ')) >= $SpanK
+       |), hh AS (
+       |  SELECT doc_id, t,
+       |         list_transform(t, tok ->
+       |           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)) AS hs
+       |  FROM dd
        |), w AS (
        |  SELECT doc_id, pos,
-       |         md5(array_to_string(t[pos+1 : pos+$SpanK], ' ')) AS h
-       |  FROM (SELECT doc_id, t,
-       |               unnest(range(0, len(t) - ${SpanK - 1})) AS pos FROM dd)
+       |         ${windowHashChain(j => s"hs[pos + ${j + 1}]", rotDuck,
+                    (a, b) => s"xor($a, $b)")} AS h
+       |  FROM (SELECT doc_id, hs,
+       |               unnest(range(0, len(hs) - ${SpanK - 1})) AS pos FROM hh)
        |), shared AS (
-       |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+       |  SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)
        |), f AS (
        |  SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)
        |), m AS (
