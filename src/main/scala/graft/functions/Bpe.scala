@@ -57,20 +57,20 @@ object Bpe {
        |     ELSE 1 END""".stripMargin
 
   /** Document-level subword count of `text` as a single Spark Column:
-    * sum over whitespace words of the greedy piece count. BIGINT. */
-  def countCol: Column = expr(
-    s"""aggregate(
-       |  transform(split(text, ' '), w ->
-       |    IF(length(w) = 0, CAST(0 AS BIGINT),
-       |      aggregate(sequence(1, length(w)),
-       |        named_struct('pos', 1, 'n', 0),
-       |        (acc, i) -> IF(acc.pos > length(w), acc,
-       |          named_struct(
-       |            'pos', acc.pos + ${stepCase("w", "acc.pos")},
-       |            'n', acc.n + 1)),
-       |        acc -> CAST(acc.n AS BIGINT)))),
-       |  CAST(0 AS BIGINT),
-       |  (a, x) -> a + x)""".stripMargin)
+    * sum over whitespace words of the greedy piece count. BIGINT.
+    *
+    * Backed by the NATIVE [[org.apache.spark.sql.graft.BpeCount]]
+    * expression (r11): the original doubly-nested `aggregate()` fold
+    * evaluated interpreted per character position — the same bottleneck
+    * FloatVecDot closed for vectors — and dominated the `*_bpe` bench
+    * entries at sf1. The kernel implements the SAME ladder over the SAME
+    * vocab lists (this object remains the single vocab source); equality
+    * with the CASE-ladder semantics is pinned by BpeSpec's goldens and
+    * the three `*_bpe` full-hash oracles, whose DuckDB side still runs
+    * the ladder via [[oracleCte]]. */
+  def countCol: Column =
+    org.apache.spark.sql.graft.BpeFunctions.bpe_count(
+      org.apache.spark.sql.functions.col("text"))
 
   /** DuckDB twin: prepend once per oracle query. Defines `bpe(doc_id,
     * n_bpe)` — one row per document that has at least one nonempty word

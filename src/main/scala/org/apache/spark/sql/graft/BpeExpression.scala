@@ -1,0 +1,110 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Row-at-a-time kernel behind [[BpeCount]]: greedy longest-prefix
+  * subword counting over [[graft.functions.Bpe]]'s fixed vocab, as one
+  * tight JVM loop per row instead of the doubly-nested `aggregate()`
+  * higher-order expression it replaces (which evaluated INTERPRETED per
+  * character position — the FloatVecDot lesson applied to text).
+  *
+  * Semantics contract (pinned by BpeSpec's golden word pairs and the
+  * three `*_bpe` oracle queries): identical to the CASE-ladder fold —
+  * words are maximal runs between single spaces, positions advance by
+  * CODEPOINTS (the SQL `substring` unit; vocab entries are ASCII, so a
+  * window containing any non-ASCII codepoint simply never matches), the
+  * greedy order is 4 > 3 > 2 > 1, and empty words count zero. Vocab
+  * entries pack into sorted long arrays (4 ASCII bytes max) probed by
+  * binary search — no per-check substring allocation.
+  */
+object BpeKernel {
+  private def packs(units: Seq[String]): Array[Long] =
+    units.map(_.foldLeft(0L)((a, c) => (a << 8) | (c.toLong & 0xFF))).sorted.toArray
+
+  private val p4 = packs(graft.functions.Bpe.V4)
+  private val p3 = packs(graft.functions.Bpe.V3)
+  private val p2 = packs(graft.functions.Bpe.V2)
+
+  /** Pack `k` codepoints from `pos` into a long, or -1 if any is
+    * non-ASCII (which no vocab entry can match). */
+  private def packAt(cp: Array[Int], pos: Int, k: Int): Long = {
+    var a = 0L
+    var i = 0
+    while (i < k) {
+      val c = cp(pos + i)
+      if (c >= 128) return -1L
+      a = (a << 8) | c
+      i += 1
+    }
+    a
+  }
+
+  private def hit(set: Array[Long], key: Long): Boolean =
+    key >= 0 && java.util.Arrays.binarySearch(set, key) >= 0
+
+  private def countWord(w: String): Long = {
+    val cp = w.codePoints().toArray
+    val len = cp.length
+    var pos = 0
+    var cnt = 0L
+    while (pos < len) {
+      var step = 1
+      if (pos + 4 <= len && hit(p4, packAt(cp, pos, 4))) step = 4
+      else if (pos + 3 <= len && hit(p3, packAt(cp, pos, 3))) step = 3
+      else if (pos + 2 <= len && hit(p2, packAt(cp, pos, 2))) step = 2
+      pos += step
+      cnt += 1
+    }
+    cnt
+  }
+
+  def count(text: String): Long = {
+    var total = 0L
+    val n = text.length
+    var wStart = 0
+    var idx = 0
+    while (idx <= n) {
+      if (idx == n || text.charAt(idx) == ' ') {
+        if (idx > wStart) total += countWord(text.substring(wStart, idx))
+        wStart = idx + 1
+      }
+      idx += 1
+    }
+    total
+  }
+}
+
+/** Native subword-count expression: `bpe_count(text)` → BIGINT. See
+  * [[BpeKernel]] for semantics; [[graft.functions.Bpe.countCol]] is the
+  * Column API. Codegen emits one static kernel call per row — the loop
+  * stays inside whole-stage codegen's pipeline (one virtual call per
+  * ROW, versus one interpreter dispatch per CHARACTER before). */
+case class BpeCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def nullSafeEval(s: Any): Any =
+    BpeKernel.count(s.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.BpeKernel.count($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** Column API for [[BpeCount]] (ExpressionUtils is private[sql], so
+    * the bridge lives here like [[VectorFunctions]]'). */
+  def bpe_count(c: Column): Column =
+    ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c)))
+}
