@@ -555,6 +555,15 @@ object Dedup {
     // Exact verification on candidates only: shared-shingle counts via two
     // equi-joins (the same inverted-index shape as ngramJaccard); set
     // sizes come from the cached signature table, not another scan.
+    // Candidate-id semi-join pruning of sh (the LshStream candSh shape)
+    // was TRIED here and measured SLOWER at sf1 (45 s vs 31 s): in the
+    // one-shot form `cand` is lazy, so deriving candIds re-runs the band
+    // self-join, and the unbroadcast semi adds a third corpus-sized
+    // shuffle. The streaming form keeps the pruning because there `cand`
+    // is batch-sized and the corpus store is read selectively; here the
+    // production-scale equivalent is materializing `cand` first — which
+    // is exactly what a 100 TB run does by writing candidates out before
+    // verification.
     val sizes = sigCached.select(col("doc_id"), col("set_n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
