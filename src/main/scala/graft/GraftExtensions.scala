@@ -14,6 +14,7 @@ import org.apache.spark.sql.graft.VectorFunctions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.vecDotDescription)
+    ext.injectFunction(org.apache.spark.sql.graft.BpeFunctions.bpeCountDescription)
     // declarative aggregate(zip_with(...)) dot products → FloatVecDot
     // (see graft.plans.VecDotRewrite for the soundness gate)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)

@@ -102,9 +102,31 @@ case class BpeCount(child: Expression)
 object BpeFunctions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.classic.ExpressionUtils
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
   /** Column API for [[BpeCount]] (ExpressionUtils is private[sql], so
     * the bridge lives here like [[VectorFunctions]]'). */
   def bpe_count(c: Column): Column =
     ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c)))
+
+  /** Registry entry for [[graft.GraftExtensions]] — `bpe_count` from SQL
+    * text resolves to the native expression (same surface as vec_dot). */
+  val bpeCountDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"bpe_count expects exactly 1 argument, got ${children.length}")
+        BpeCount(children.head)
+      })
+
+  /** Make `bpe_count` callable from SQL text in an already-built session
+    * (the [[VectorFunctions.registerSql]] pattern). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (ident, info, builder) = bpeCountDescription
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
 }

@@ -76,4 +76,17 @@ class BpeSpec extends SparkSpec {
       assert(spark_(id) == scalaCount(text), s"doc $id diverged")
     }
   }
+
+  test("bpe_count is callable from SQL text (extensions surface)") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.BpeFunctions.registerSql(spark)
+    Seq((1L, "the nation ingests")).toDF("doc_id", "text")
+      .createOrReplaceTempView("bpe_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT bpe_count(text) AS n FROM bpe_sql_probe").first().getLong(0)
+    val viaCol = Seq((1L, "the nation ingests")).toDF("doc_id", "text")
+      .select(Bpe.countCol.as("n")).first().getLong(0)
+    assert(viaSql == viaCol && viaSql > 3,
+      s"SQL ($viaSql) and Column ($viaCol) surfaces must agree (> whitespace count 3)")
+  }
 }
