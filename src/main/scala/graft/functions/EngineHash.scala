@@ -18,4 +18,21 @@ object EngineHash {
     * 1 and 17 give the two independent halves of one digest. */
   def md5Bits60(c: Column, start: Int = 1): Column =
     conv(substring(md5(c), start, 15), 16, 10).cast("long")
+
+  /** 60-bit left rotation of a positive long held in a signed BIGINT:
+    * the shifted ranges are disjoint, so `+` ≡ `|` and nothing touches
+    * the sign bit (the property that keeps the arithmetic identical in
+    * Spark and DuckDB). Column and oracle-SQL forms live TOGETHER for
+    * the same reason as [[md5Bits60]]: the rotation is parity-critical
+    * in three derived-hash families (minhash slots, simhash, substring
+    * windows) and a drifted copy would silently break an oracle. */
+  def rot60(c: Column, r: Int): Column =
+    if (r == 0) c
+    else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) +
+      shiftrightunsigned(c, 60 - r)
+
+  /** The DuckDB twin of [[rot60]], as a SQL fragment over `x`. */
+  def rot60Sql(x: String, r: Int): String =
+    if (r == 0) x
+    else s"((($x & ${(1L << (60 - r)) - 1}) << $r) + ($x >> ${60 - r}))"
 }

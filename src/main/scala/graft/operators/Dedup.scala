@@ -470,10 +470,7 @@ object Dedup {
     val hashed = sh
       .withColumn("h1", graft.functions.EngineHash.md5Bits60(col("shingle"), 1))
       .withColumn("h2", graft.functions.EngineHash.md5Bits60(col("shingle"), 17))
-    // 60-bit rotation of a positive long: disjoint bit ranges, so + ≡ |.
-    def rot60(c: org.apache.spark.sql.Column, r: Int) =
-      if (r == 0) c
-      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) + shiftrightunsigned(c, 60 - r)
+    import graft.functions.EngineHash.rot60
     val minhashes = (0 until 60).map(s =>
       min(rot60(col("h1"), (7 * s) % 60).bitwiseXOR(rot60(col("h2"), (13 * s) % 60)))
         .as(s"m$s")) :+
@@ -1111,20 +1108,20 @@ object Dedup {
     * "Deduplicating Training Data Makes Language Models Better"). */
   private val SpanK = 10
 
-  /** Position-weighted rotate-XOR combination of [[SpanK]] per-token
-    * 60-bit hashes — the window fingerprint. The oracle's SQL chain is
-    * generated from this one loop (same positions, same 7j mod 60
-    * rotation schedule, same masks as the Column form in
-    * [[slidingWindowRows]] — the [[minhashSignatures]] twin discipline).
-    * 7 coprime to 60 makes every position's rotation distinct, so the
-    * combination is order-sensitive. */
-  private def windowHashChain(h: Int => String, rot: (String, Int) => String,
-                              xor: (String, String) => String): String =
-    (0 until SpanK).map(j => rot(h(j), (7 * j) % 60)).reduce(xor)
+  /** The ONE rotation schedule for substring-window fingerprints —
+    * position j rotates by 7j mod 60 (7 coprime to 60: every position
+    * distinct, so the combination is order-sensitive). Shared by the
+    * Spark Column chain in [[slidingWindowRows]] and the oracle chain
+    * below; the rotation arithmetic itself is
+    * [[graft.functions.EngineHash.rot60]]/`rot60Sql`, the single copy
+    * all three derived-hash families use. */
+  private val SpanRotSchedule: Seq[Int] =
+    (0 until SpanK).map(j => (7 * j) % 60)
 
-  private def rotDuck(x: String, r: Int): String =
-    if (r == 0) x
-    else s"((($x & ${(1L << (60 - r)) - 1}) << $r) + ($x >> ${60 - r}))"
+  private def windowHashChainSql(h: Int => String): String =
+    SpanRotSchedule.zipWithIndex
+      .map { case (r, j) => graft.functions.EngineHash.rot60Sql(h(j), r) }
+      .reduce((a, b) => s"xor($a, $b)")
 
   /** Exploded OVERLAPPING (doc_id, pos, h) window fingerprints: one
     * stride-1 window per token position. This is what [[chunkRows]]'
@@ -1166,13 +1163,9 @@ object Dedup {
         graft.functions.EngineHash.md5Bits60(col("col")).as("th"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    def rot60c(c: Column, r: Int): Column =
-      if (r == 0) c
-      else shiftleft(c.bitwiseAND(lit((1L << (60 - r)) - 1)), r) +
-        shiftrightunsigned(c, 60 - r)
-    val chain = (0 until SpanK).map { j =>
+    val chain = SpanRotSchedule.zipWithIndex.map { case (r, j) =>
       val hj = if (j == 0) col("th") else lead(col("th"), j).over(wd)
-      rot60c(hj, (7 * j) % 60)
+      graft.functions.EngineHash.rot60(hj, r)
     }.reduce(_ bitwiseXOR _)
     // a null lead (window runs off the document tail) nulls the whole
     // chain — exactly the positions with no complete window
@@ -1225,8 +1218,7 @@ object Dedup {
        |  FROM dd
        |), w AS (
        |  SELECT doc_id, pos,
-       |         ${windowHashChain(j => s"hs[pos + ${j + 1}]", rotDuck,
-                    (a, b) => s"xor($a, $b)")} AS h
+       |         ${windowHashChainSql(j => s"hs[pos + ${j + 1}]")} AS h
        |  FROM (SELECT doc_id, hs,
        |               unnest(range(0, len(hs) - ${SpanK - 1})) AS pos FROM hh)
        |), shared AS (
@@ -1306,7 +1298,14 @@ object Dedup {
     * partition-dependent — harmless by construction: spans are disjoint,
     * and the membership test (`exists` over the list) and the removed-
     * token count are order-independent, so the output is deterministic
-    * under any parallelism. */
+    * under any parallelism.
+    *
+    * The per-token `filter`/`exists` lambdas evaluate interpreted (the
+    * slidingWindowRows caveat) — accepted HERE because the frame is
+    * AFFECTED-DOCS-sized, not corpus-sized (the spans inner join prunes
+    * first; 4.6 s at sf1), and text re-assembly inherently walks each
+    * kept token once. If a corpus ever arrives mostly-duplicated, this
+    * is the next native-kernel candidate after bpe_count. */
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val spans = dupSpanRows(docs).groupBy(col("doc_id"))

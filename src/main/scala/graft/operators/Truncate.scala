@@ -47,10 +47,16 @@ object Truncate {
     * checks containment: is the current checkpoint dir a child of `dir`? */
   final case class Reliable(dir: String) extends Truncate {
     private def pathOf(s: String): String = {
-      val u = new java.net.URI(s)
-      val p = if (u.getScheme == null) new java.io.File(s).getAbsolutePath
-              else u.getPath
-      p.replaceAll("/+$", "")
+      // URI parse only to strip a scheme (hdfs://, file:/). Legal
+      // filesystem paths can be URI-ILLEGAL (spaces) — those fall back
+      // to plain path resolution rather than crashing the truncation.
+      val viaUri =
+        try {
+          val u = new java.net.URI(s)
+          if (u.getScheme == null) None else Option(u.getPath)
+        } catch { case _: java.net.URISyntaxException => None }
+      viaUri.getOrElse(new java.io.File(s).getAbsolutePath)
+        .replaceAll("/+$", "")
     }
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext

@@ -173,7 +173,17 @@ object LshStream {
       .trigger(trigger)
       .start()
 
-  /** Accumulated verified pairs, the batch result's shape. */
+  /** Accumulated verified pairs, the batch result's shape.
+    *
+    * Visibility contract: reads every batch partition, so pairs from a
+    * crashed batch whose other table writes never landed ARE visible
+    * until the stream's restart replays (and rewrites) that batch — the
+    * pairs themselves are correctly verified against real documents, so
+    * the window shows true pairs early, never wrong ones; it only
+    * persists if the stream is decommissioned mid-crash without a final
+    * restart. Reading concurrently with a replay's partition overwrite
+    * is the same swap-window caveat as every store here (docs/SCALE.md
+    * §Writers: one writer per table, readers between swaps). */
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     readBefore(spark, path(stateDir, "pairs"), Long.MaxValue,

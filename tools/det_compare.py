@@ -24,10 +24,15 @@ def rowkeys(df):
 
 
 def main(a, b):
-    names = sorted(n for n in os.listdir(a)
-                   if os.path.isdir(os.path.join(a, n)))
+    # symmetric surface: a dump missing from EITHER side is a difference,
+    # not a silently shrunken surface
+    names = sorted({n for d in (a, b) for n in os.listdir(d)
+                    if os.path.isdir(os.path.join(d, n))})
     differing, identical = [], 0
     for n in names:
+        if not os.path.isdir(os.path.join(a, n)):
+            differing.append(n + " (missing in A)")
+            continue
         if not os.path.isdir(os.path.join(b, n)):
             differing.append(n + " (missing in B)")
             continue
