@@ -63,4 +63,23 @@ class SkewSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "bucket cap regressed to a window count")
   }
+
+  test("substring spans under a hot window: a 2000-doc boilerplate header stays exact") {
+    import spark.implicits._
+    // the pathological shape for the shared-hash aggregation and the
+    // flag join-back: ONE window hash carried by every document (a
+    // boilerplate header). min/max partials absorb the hot key map-side;
+    // the join back fans the single shared row across the hot hash.
+    val header = (0 until 10).map(i => s"hdr_$i").mkString(" ")
+    val docs = (1L to 2000L).map(i =>
+      (i, s"$header " + (0 until 10).map(j => s"u_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.dupSpanRows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the pure-header window (pos 0) is cross-doc duplicated — every
+    // later window mixes in per-doc unique tokens
+    assert(rows.length == 2000)
+    assert(rows.forall { case (_, s, e, n) => s == 0L && e == 9L && n == 1L },
+      s"every doc must carry exactly the [0,9] header span; got ${rows.take(3).mkString(",")}")
+  }
 }
