@@ -1146,7 +1146,7 @@ object Dedup {
     * exploded frame is deliberately not materialized: recomputing a
     * codegen'd narrow scan beats persisting a corpus-token-sized
     * intermediate. */
-  private def slidingWindowRows(df: DataFrame): DataFrame = {
+  private[graft] def slidingWindowRows(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     // posexplode + ten lead()s instead of a transform() lambda: higher-
     // order lambdas evaluate INTERPRETED per element (the minhashLsh
@@ -1181,7 +1181,6 @@ object Dedup {
     * count (a consecutive-run grouping would double-count the overlap
     * of two flagged windows 5 positions apart). */
   private[graft] def dupSpanRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = slidingWindowRows(docs)
     // "≥2 distinct docs" as min≠max (the user_proximity rewrite): cheaper
     // than countDistinct — plain min/max partials, no per-key dedup set
@@ -1189,6 +1188,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
       .filter(col("dmin") =!= col("dmax")).select(col("h"))
     val flagged = w.join(shared, "h").select(col("doc_id"), col("pos"))
+    mergeSpans(flagged)
+  }
+
+  /** Interval-union merge of flagged (doc_id, pos) windows into maximal
+    * disjoint spans — shared by the one-shot form above and the
+    * streaming form ([[graft.streaming.SpanStream]]), so the two cannot
+    * disagree about what a "span" is. */
+  private[graft] def mergeSpans(flagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val merged = flagged
       .withColumn("prev_max", max(col("pos")).over(

@@ -203,6 +203,56 @@ class StreamingSpec extends SparkSpec {
       "replay after a partial crash must rebuild the lost batch partitions")
   }
 
+  test("streaming substring spans equal the one-shot run after EVERY micro-batch") {
+    import spark.implicits._
+    import graft.streaming.SpanStream
+    import graft.operators.Dedup
+    def run(name: String, n: Int) = (0 until n).map(i => s"R_${name}_$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"u_${tag}_$i").mkString(" ")
+    // doc 1 carries TWO plantable regions; doc 2 duplicates S in batch 0,
+    // doc 3 duplicates T in batch 1 — so doc 1's span set GROWS after it
+    // arrived (the upsert path), and doc 4 is a sub-window doc (no-op
+    // windows but must still be admitted exactly once)
+    val d1 = s"${run("S", 12)} ${uniq("a", 5)} ${run("T", 12)}"
+    val d2 = s"${uniq("b", 7)} ${run("S", 12)}"
+    val d3 = s"${uniq("c", 3)} ${run("T", 12)}"
+    val d4 = "tiny doc"
+    val batches: Seq[Seq[(Long, String)]] =
+      Seq(Seq(1L -> d1, 2L -> d2), Seq(3L -> d3), Seq(4L -> d4))
+    val stateDir = tmp("span-state")
+    var seen = Seq.empty[(Long, String)]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      seen ++= b
+      SpanStream.processBatch(spark, b.toDF("doc_id", "text"), stateDir, i.toLong)
+      val streamed = SpanStream.spans(spark, stateDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val oneShot = Dedup.dupSpanRows(seen.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == oneShot, s"after batch $i: $streamed vs one-shot $oneShot")
+    }
+    // the grown span set is the interesting row: doc 1 now carries BOTH
+    // planted regions as separate spans
+    val doc1 = SpanStream.spans(spark, stateDir).filter(col("doc_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(doc1.toSet == Set((0L, 11L), (17L, 28L)), doc1.mkString(","))
+
+    // replay idempotence + crash-window convergence (the LshStream
+    // machinery, re-proven on this stream's three tables)
+    val before = SpanStream.spans(spark, stateDir).count()
+    SpanStream.processBatch(spark, batches(1).toDF("doc_id", "text"), stateDir, 1L)
+    assert(SpanStream.spans(spark, stateDir).count() == before)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$stateDir/wins/batch=1")).deleteRecursively()
+    new Directory(new java.io.File(s"$stateDir/spans/batch=1")).deleteRecursively()
+    SpanStream.processBatch(spark, batches(1).toDF("doc_id", "text"), stateDir, 1L)
+    val afterReplay = SpanStream.spans(spark, stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShotAll = Dedup.dupSpanRows(seen.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(afterReplay == oneShotAll,
+      "replay after losing two of three batch partitions must converge")
+  }
+
   test("streaming LSH bucket cap is PREFIX semantics: pairs found while small persist") {
     import spark.implicits._
     import graft.streaming.LshStream
