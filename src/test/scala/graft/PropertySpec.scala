@@ -93,4 +93,43 @@ class PropertySpec extends SparkSpec {
       n == expected.toLong
     })
   }
+
+  test("property: substring spans equal a brute-force text-equality reference") {
+    import spark.implicits._
+    val K = 10
+    // a 4-token alphabet makes genuine >=10-token cross-document repeats
+    // common, so the generator exercises flagging, interval-union
+    // merging, AND the rotate-XOR hash chain against TEXT equality (a
+    // hash-chain bug or accidental collision shows up as a span diff)
+    def refSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val wins = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        if (ts.length < K) Nil
+        else (0 to ts.length - K).map(p => (id, p, ts.slice(p, p + K).mkString(" ")))
+      }
+      val flagged = wins.groupBy(_._3)
+        .filter { case (_, g) => g.map(_._1).distinct.size >= 2 }
+        .values.flatten.toSeq
+      flagged.groupBy(_._1).flatMap { case (id, g) =>
+        val ps = g.map(_._2).distinct.sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Int)]
+        for (p <- ps) {
+          if (spans.nonEmpty && p <= spans.last._2 + K) {
+            val (s, m, n) = spans.last
+            spans(spans.length - 1) = (s, math.max(p, m), n + 1)
+          } else spans += ((p, p, 1))
+        }
+        spans.map { case (s, m, n) => (id, s.toLong, (m + K - 1).toLong, n.toLong) }
+      }.toSet
+    }
+    val docGen = Gen.chooseNum(5, 28).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(3, 6).flatMap(n => Gen.listOfN(n, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+    check(Prop.forAll(corpusGen) { corpus =>
+      val got = graft.operators.Dedup.dupSpanRows(corpus.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == refSpans(corpus)
+    }, n = 8)
+  }
 }
