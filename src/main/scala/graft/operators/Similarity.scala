@@ -188,13 +188,25 @@ object Similarity {
     * the oracle's list fold, so distances are bit-identical and the
     * argmin is stable across engines, while the E-step scan stays inside
     * whole-stage codegen. */
-  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cent = embCentroids(spark, dir)
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    assignFrom(Tables.embeddings(spark, dir), centroidTable(spark, dir))
+      .orderBy(col("vec_id"))
+
+  /** The label-mean centroid table as one (c_label, cl) row per cluster —
+    * the broadcast side of every assignment. */
+  private[graft] def centroidTable(spark: SparkSession, dir: String): DataFrame =
+    embCentroids(spark, dir)
       .groupBy(col("label").as("c_label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, centroid))), x -> x.centroid)")
         .as("cl"))
+
+  /** Nearest-centroid assignment of an arbitrary embedding frame —
+    * shared by the one-shot query above and the streaming serving form
+    * ([[graft.streaming.AssignStream]]), so online and offline
+    * assignments cannot disagree. */
+  private[graft] def assignFrom(emb: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
-    Tables.embeddings(spark, dir)
+    emb
       .crossJoin(broadcast(cent))
       // codegen'd native expression — the higher-order
       // aggregate(zip_with(...)) form of this ran interpreted (the
@@ -207,7 +219,6 @@ object Similarity {
       .select(col("vec_id"), col("label").as("orig_label"),
         col("c_label").cast("int").as("assigned_label"),
         (col("label") === col("c_label")).as("is_same"))
-      .orderBy(col("vec_id"))
   }
 
   // fixture tables must be referenced unaliased (Verify's read_parquet

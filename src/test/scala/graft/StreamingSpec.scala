@@ -203,6 +203,25 @@ class StreamingSpec extends SparkSpec {
       "replay after a partial crash must rebuild the lost batch partitions")
   }
 
+  test("streaming centroid assignment equals the one-shot kmeans_assign") {
+    import graft.streaming.AssignStream
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val outDir = tmp("assign-out")
+    // two micro-batches split by vec_id parity, assigned at arrival
+    AssignStream.processBatch(spark, emb.filter(col("vec_id") % 2 === 0), sf, outDir, 0L)
+    AssignStream.processBatch(spark, emb.filter(col("vec_id") % 2 === 1), sf, outDir, 1L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSet
+    val streamed = key(AssignStream.assignments(spark, outDir))
+    val oneShot = key(Similarity.kmeansAssign(spark, sf))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "online and offline assignments must be identical")
+    // replay idempotence: same batch id overwrites identical rows
+    AssignStream.processBatch(spark, emb.filter(col("vec_id") % 2 === 0), sf, outDir, 0L)
+    assert(key(AssignStream.assignments(spark, outDir)) == oneShot)
+  }
+
   test("streaming substring spans equal the one-shot run after EVERY micro-batch") {
     import spark.implicits._
     import graft.streaming.SpanStream
