@@ -4,28 +4,38 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
-/** Row-at-a-time kernel behind [[BpeCount]]: greedy longest-prefix
-  * subword counting over [[graft.functions.Bpe]]'s fixed vocab, as one
-  * tight JVM loop per row instead of the doubly-nested `aggregate()`
-  * higher-order expression it replaces (which evaluated INTERPRETED per
-  * character position — the FloatVecDot lesson applied to text).
+/** A greedy longest-prefix subword vocabulary, packed for the counting
+  * kernel: unit lengths 4 > 3 > 2 (single codepoints are the implicit
+  * fallback), each length class a sorted array of packed ASCII longs
+  * probed by binary search — no per-check substring allocation.
+  *
+  * SERIALIZABLE and carried BY the expression (codegen binds it as a
+  * reference object), so a caller can count under any published merge
+  * vocab — the 50k-entry upgrade path the fixed in-repo vocab documents.
+  * [[graft.functions.Bpe]]'s lists remain the default instance used by
+  * the `*_bpe` oracle queries.
   *
   * Semantics contract (pinned by BpeSpec's golden word pairs and the
   * three `*_bpe` oracle queries): identical to the CASE-ladder fold —
   * words are maximal runs between single spaces, positions advance by
   * CODEPOINTS (the SQL `substring` unit; vocab entries are ASCII, so a
   * window containing any non-ASCII codepoint simply never matches), the
-  * greedy order is 4 > 3 > 2 > 1, and empty words count zero. Vocab
-  * entries pack into sorted long arrays (4 ASCII bytes max) probed by
-  * binary search — no per-check substring allocation.
+  * greedy order is 4 > 3 > 2 > 1, and empty words count zero.
   */
-object BpeKernel {
+final class BpeVocab(v4: Seq[String], v3: Seq[String], v2: Seq[String])
+    extends Serializable {
+  require(v4.forall(_.length == 4) && v3.forall(_.length == 3) &&
+    v2.forall(_.length == 2),
+    "BpeVocab unit lists must be length-homogeneous (4/3/2)")
+  require((v4 ++ v3 ++ v2).forall(_.forall(_ < 128)),
+    "BpeVocab units must be ASCII — the packed-long probe depends on it")
+
   private def packs(units: Seq[String]): Array[Long] =
     units.map(_.foldLeft(0L)((a, c) => (a << 8) | (c.toLong & 0xFF))).sorted.toArray
 
-  private val p4 = packs(graft.functions.Bpe.V4)
-  private val p3 = packs(graft.functions.Bpe.V3)
-  private val p2 = packs(graft.functions.Bpe.V2)
+  private val p4 = packs(v4)
+  private val p3 = packs(v3)
+  private val p2 = packs(v2)
 
   /** Pack `k` codepoints from `pos` into a long, or -1 if any is
     * non-ASCII (which no vocab entry can match). */
@@ -76,12 +86,23 @@ object BpeKernel {
   }
 }
 
-/** Native subword-count expression: `bpe_count(text)` → BIGINT. See
-  * [[BpeKernel]] for semantics; [[graft.functions.Bpe.countCol]] is the
-  * Column API. Codegen emits one static kernel call per row — the loop
-  * stays inside whole-stage codegen's pipeline (one virtual call per
-  * ROW, versus one interpreter dispatch per CHARACTER before). */
-case class BpeCount(child: Expression)
+/** Default-vocab kernel — [[graft.functions.Bpe]]'s lists, the single
+  * vocab source the `*_bpe` oracles pin. */
+object BpeKernel {
+  val default: BpeVocab = new BpeVocab(
+    graft.functions.Bpe.V4, graft.functions.Bpe.V3, graft.functions.Bpe.V2)
+
+  def count(text: String): Long = default.count(text)
+}
+
+/** Native subword-count expression: `bpe_count(text)` → BIGINT under
+  * the expression's [[BpeVocab]] (default: the in-repo lists). Replaces
+  * the doubly-nested `aggregate()` higher-order fold, which evaluated
+  * INTERPRETED per character position — codegen emits one kernel call
+  * per row (the FloatVecDot lesson applied to text).
+  * [[graft.functions.Bpe.countCol]] is the Column API. */
+case class BpeCount(child: Expression,
+                    vocab: BpeVocab = BpeKernel.default)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -89,11 +110,14 @@ case class BpeCount(child: Expression)
   override def prettyName: String = "bpe_count"
 
   override def nullSafeEval(s: Any): Any =
-    BpeKernel.count(s.toString)
+    vocab.count(s.toString)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeVocab", vocab,
+      classOf[BpeVocab].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = org.apache.spark.sql.graft.BpeKernel.count($c.toString());")
+      s"${ev.value} = $ref.count($c.toString());")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -110,8 +134,13 @@ object BpeFunctions {
   def bpe_count(c: Column): Column =
     ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c)))
 
+  /** [[bpe_count]] under a caller-supplied vocabulary. */
+  def bpe_count(c: Column, vocab: BpeVocab): Column =
+    ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c), vocab))
+
   /** Registry entry for [[graft.GraftExtensions]] — `bpe_count` from SQL
-    * text resolves to the native expression (same surface as vec_dot). */
+    * text resolves to the native expression (same surface as vec_dot;
+    * SQL callers get the default vocab). */
   val bpeCountDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (new FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),

@@ -77,6 +77,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe_count under a caller-supplied vocabulary (the 50k-vocab upgrade path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{BpeFunctions, BpeVocab}
+    val v = new BpeVocab(Seq("abcd"), Seq("qrs"), Seq("xy"))
+    def countWith(s: String): Long =
+      Seq(Tuple1(s)).toDF("text")
+        .select(BpeFunctions.bpe_count(col("text"), v).as("n")).first().getLong(0)
+    assert(countWith("abcdxyz") == 3L)      // abcd|xy|z
+    assert(countWith("qrsqrs abcd") == 3L)  // qrs|qrs + abcd
+    assert(countWith("zz") == 2L)           // no unit matches -> z|z
+    // vocab validation is loud
+    intercept[IllegalArgumentException](new BpeVocab(Seq("abc"), Nil, Nil))
+  }
+
   test("bpe_count is callable from SQL text (extensions surface)") {
     import spark.implicits._
     org.apache.spark.sql.graft.BpeFunctions.registerSql(spark)
