@@ -1304,30 +1304,47 @@ object Dedup {
     *
     * The span list per doc rides a collect_list whose ORDER is
     * partition-dependent — harmless by construction: spans are disjoint,
-    * and the membership test (`exists` over the list) and the removed-
-    * token count are order-independent, so the output is deterministic
-    * under any parallelism.
+    * the native kernel sorts them defensively, and the removed-token
+    * count is their length sum, so the output is deterministic under
+    * any parallelism.
     *
-    * The per-token `filter`/`exists` lambdas evaluate interpreted (the
-    * slidingWindowRows caveat) — accepted HERE because the frame is
-    * AFFECTED-DOCS-sized, not corpus-sized (the spans inner join prunes
-    * first; 4.6 s at sf1), and text re-assembly inherently walks each
-    * kept token once. If a corpus ever arrives mostly-duplicated, this
-    * is the next native-kernel candidate after bpe_count. */
+    * Removal runs in the native `span_scrub` expression (r11: the
+    * original `filter`/`exists` higher-order form evaluated interpreted
+    * per token × span — the bpe_count lesson): one linear walk per row
+    * with a span cursor, emitting the cleaned text directly. n_removed
+    * is exactly the span-length sum because spans are disjoint and
+    * in-bounds. */
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val spans = dupSpanRows(docs).groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("spans"))
+        .as("spans"),
+        sum(col("span_end") - col("span_start") + lit(1L)).as("n_removed"))
     docs.join(spans, "doc_id")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("kept", expr(
-        "filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))"))
+      .withColumn("cleaned", org.apache.spark.sql.graft.SpanScrubFunctions
+        .span_scrub(col("text"), col("spans")))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(concat_ws(" ", col("kept"))).as("scrubbed_md5"))
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("n_removed"),
+        md5(col("cleaned")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The production form of the scrub: the FULL corpus with duplicated
+    * spans stripped — affected documents carry their cleaned text,
+    * untouched documents pass through (left join + coalesce; the query
+    * form above ships only the fixed-width md5 witness because a result
+    * table should not re-materialize the corpus). */
+  def substringScrubbedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val spans = dupSpanRows(docs).groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("text", when(col("spans").isNull, col("text"))
+        .otherwise(org.apache.spark.sql.graft.SpanScrubFunctions
+          .span_scrub(col("text"), col("spans"))))
+      .drop("spans")
   }
 
   val substringScrubSql: String =

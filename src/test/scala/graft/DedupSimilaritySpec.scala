@@ -338,6 +338,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scrubbedDocs production form matches the md5 witness; untouched docs pass through") {
+    val wit = Dedup.substringScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val byId = Dedup.substringScrubbedDocs(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wit.nonEmpty && byId.size == orig.size)
+    wit.foreach { case (id, h) =>
+      assert(byId(id) == h, s"doc $id: cleaned text must hash to the witness")
+    }
+    (byId.keySet -- wit.keySet).foreach { id =>
+      assert(byId(id) == orig(id), s"doc $id untouched must pass through byte-identical")
+    }
+  }
+
   test("fixture spans are disjoint, non-adjacent, >= window length; coverage is consistent") {
     val spans = Dedup.substringSpans(spark, sf)
     assert(spans.count() > 0, "fixture must exercise the operator non-vacuously")
