@@ -1211,6 +1211,45 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** The KEEP-ONE policy variant (Lee et al.'s stance, vs the scrub's
+    * C4-style remove-everywhere): each duplicated window keeps its
+    * CANONICAL occurrence — the minimum doc_id holding that window hash
+    * — and is a removal candidate everywhere else. Per-window
+    * attribution (not per-span: a merged span can mix hashes with
+    * different canonical holders, so the window is the sound unit);
+    * positions flagged for removal then merge by the same interval
+    * union. A document never self-collides into removal: the canonical
+    * doc keeps its windows even when it repeats them internally. */
+  def substringNoncanonical(spark: SparkSession, dir: String): DataFrame = {
+    val w = slidingWindowRows(Tables.documents(spark, dir))
+    val shared = w.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
+      .select(col("h"), col("dmin"))
+    val flagged = w.join(shared, "h")
+      .filter(col("doc_id") =!= col("dmin"))
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(flagged).orderBy(col("doc_id"), col("span_start"))
+  }
+
+  lazy val substringNoncanonicalSql: String =
+    SpanSqlCte.replace(
+      """), shared AS (
+        |  SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)
+        |), f AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)
+        |), m AS (""".stripMargin,
+      """), shared AS (
+        |  SELECT h, min(doc_id) AS dmin FROM w
+        |  GROUP BY h HAVING min(doc_id) <> max(doc_id)
+        |), f AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)
+        |  WHERE w.doc_id <> shared.dmin
+        |), m AS (""".stripMargin) +
+      """
+        |SELECT doc_id, span_start, span_end, n_windows FROM spans
+        |ORDER BY doc_id, span_start""".stripMargin
+
   /** The oracle's mirror of [[slidingWindowRows]]→flagged→merged spans:
     * CTEs `dd`/`w`/`shared`/`f`/`m`/`g`/`spans` over `documents`. Kept as
     * ONE shared prefix so [[substringSpansSql]] and

@@ -338,6 +338,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("keep-one policy: the canonical (min doc_id) occurrence survives, others flag") {
+    // private path exercised through the fixture-level relation instead:
+    // every noncanonical span is also an all-copies span, and at least
+    // one document with remove-everywhere spans carries NO noncanonical
+    // span (it is the canonical holder of all its duplicated windows)
+    val all = Dedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nc = Dedup.substringNoncanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nc.nonEmpty && nc.size < all.size)
+    val allDocs = all.map(_._1); val ncDocs = nc.map(_._1)
+    assert(ncDocs.subsetOf(allDocs),
+      "keep-one can only flag docs the remove-everywhere policy flags")
+    assert((allDocs -- ncDocs).nonEmpty,
+      "some canonical doc must keep all its duplicated text under keep-one")
+    // positionally: every noncanonical span lies within some all-copies
+    // span of the same doc (keep-one only ever removes LESS)
+    nc.foreach { case (d, s, e) =>
+      assert(all.exists { case (d2, s2, e2) => d2 == d && s >= s2 && e <= e2 },
+        s"noncanonical span ($d,$s,$e) outside every all-copies span")
+    }
+  }
+
   test("scrubbedDocs production form matches the md5 witness; untouched docs pass through") {
     val wit = Dedup.substringScrub(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
