@@ -1232,8 +1232,8 @@ object Dedup {
     mergeSpans(flagged).orderBy(col("doc_id"), col("span_start"))
   }
 
-  lazy val substringNoncanonicalSql: String =
-    SpanSqlCte.replace(
+  lazy val substringNoncanonicalSql: String = {
+    val rewritten = SpanSqlCte.replace(
       """), shared AS (
         |  SELECT h FROM w GROUP BY h HAVING min(doc_id) <> max(doc_id)
         |), f AS (
@@ -1245,10 +1245,18 @@ object Dedup {
         |), f AS (
         |  SELECT w.doc_id, w.pos FROM w JOIN shared USING (h)
         |  WHERE w.doc_id <> shared.dmin
-        |), m AS (""".stripMargin) +
+        |), m AS (""".stripMargin)
+    // a silent no-op replace (SpanSqlCte reworded) would degrade this
+    // oracle to the remove-everywhere semantics and only surface at gate
+    // runtime, far from the edit — fail HERE instead
+    require(rewritten != SpanSqlCte,
+      "substringNoncanonicalSql: shared/f CTE rewrite did not match SpanSqlCte — " +
+        "the keep-one-canonical oracle would silently revert to remove-everywhere")
+    rewritten +
       """
         |SELECT doc_id, span_start, span_end, n_windows FROM spans
         |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** The oracle's mirror of [[slidingWindowRows]]→flagged→merged spans:
     * CTEs `dd`/`w`/`shared`/`f`/`m`/`g`/`spans` over `documents`. Kept as

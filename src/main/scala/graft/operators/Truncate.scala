@@ -47,15 +47,21 @@ object Truncate {
     * checks containment: is the current checkpoint dir a child of `dir`? */
   final case class Reliable(dir: String) extends Truncate {
     private def pathOf(s: String): String = {
-      // URI parse only to strip a scheme (hdfs://, file:/). Legal
-      // filesystem paths can be URI-ILLEGAL (spaces) — those fall back
-      // to plain path resolution rather than crashing the truncation.
-      val viaUri =
+      // Hadoop Path, not java.net.URI: legal filesystem paths can be
+      // URI-ILLEGAL (spaces), and a scheme'd path with a space
+      // ("hdfs://nn/check point") must still strip its scheme — falling
+      // back to File.getAbsolutePath there would cwd-prefix the string,
+      // the containment check would fail every call, and setCheckpointDir
+      // would re-run per truncation (re-scattering blocks across fresh
+      // UUID dirs, the exact failure this class exists to prevent).
+      // Path's own parser handles spaces; only a genuinely unparseable
+      // string (e.g. a bare ':') falls back to local-path resolution.
+      val viaPath =
         try {
-          val u = new java.net.URI(s)
+          val u = new org.apache.hadoop.fs.Path(s).toUri
           if (u.getScheme == null) None else Option(u.getPath)
-        } catch { case _: java.net.URISyntaxException => None }
-      viaUri.getOrElse(new java.io.File(s).getAbsolutePath)
+        } catch { case _: IllegalArgumentException => None }
+      viaPath.getOrElse(new java.io.File(s).getAbsolutePath)
         .replaceAll("/+$", "")
     }
     def apply(df: DataFrame): DataFrame = {

@@ -101,8 +101,12 @@ object LshStream {
     // doc_id. Seen-ness keys on the CORPUS store, not sigs — a <3-token
     // doc has no shingles and so no signature row, but it IS admitted to
     // the corpus, and keying on sigs would re-admit it forever.
+    // min_by(text, md5(text)), not first(text): first without ordering is
+    // partition-order-dependent, so a batch carrying two texts under one
+    // doc_id would admit a NONDETERMINISTIC one — md5 gives a content
+    // total order, deterministic under any parallelism (spec'd).
     val newDocs = newDocsRaw.select(col("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+      .groupBy(col("doc_id")).agg(min_by(col("text"), md5(col("text"))).as("text"))
       .join(oldCorpus.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // read repeatedly below; lineage is batch-local
     if (newDocs.isEmpty) return

@@ -66,8 +66,10 @@ object SpanStream {
     val oldDocs = readBefore(spark, docsP, batchId,
       Seq.empty[Long].toDF("doc_id"))
 
+    // min_by(text, md5(text)): deterministic in-batch doc dedup (the
+    // LshStream.processBatch note — first() is partition-order-dependent)
     val newDocs = newDocsRaw.select(col("doc_id"), col("text"))
-      .groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+      .groupBy(col("doc_id")).agg(min_by(col("text"), md5(col("text"))).as("text"))
       .join(oldDocs, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     if (newDocs.isEmpty) return

@@ -795,4 +795,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
     assert(u1.toSeq === Seq(("A", 100L, Some(200L)), ("B", 200L, None)))
   }
+
+  test("in-batch conflicting texts under one doc_id admit the md5-min text deterministically") {
+    import spark.implicits._
+    import graft.streaming.{LshStream, SpanStream}
+    // two DIFFERENT texts under the same doc_id in one batch — with
+    // first(), the admitted one depended on partition order; the
+    // min_by(text, md5(text)) contract makes it a pure content function
+    val tA = (0 until 15).map(i => s"alpha_$i").mkString(" ")
+    val tB = (0 until 15).map(i => s"beta_$i").mkString(" ")
+    def md5Hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = Seq(tA, tB).minBy(md5Hex)
+    val orders = Seq(Seq(1L -> tA, 1L -> tB), Seq(1L -> tB, 1L -> tA))
+
+    orders.foreach { order =>
+      val st = tmp("lsh-det")
+      LshStream.processBatch(spark,
+        order.toDF("doc_id", "text").repartition(4), st, batchId = 0L)
+      val admitted = spark.read.parquet(s"$st/corpus")
+        .select("text").collect().map(_.getString(0)).toSeq
+      assert(admitted == Seq(expected),
+        s"LshStream admitted ${admitted.headOption} — not the md5-min text")
+    }
+
+    // SpanStream keeps fingerprints, not text: both arrival orders must
+    // land the IDENTICAL window rows — the md5-min text's
+    val winsPerOrder = orders.map { order =>
+      val st = tmp("span-det")
+      SpanStream.processBatch(spark,
+        order.toDF("doc_id", "text").repartition(4), st, batchId = 0L)
+      spark.read.parquet(s"$st/wins").select("doc_id", "pos", "h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val expWins = graft.operators.Dedup
+      .slidingWindowRows(Seq(1L -> expected).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(winsPerOrder.head.nonEmpty && winsPerOrder.forall(_ == expWins),
+      "SpanStream window rows differ from the md5-min text's windows")
+  }
 }

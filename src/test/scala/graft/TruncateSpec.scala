@@ -56,6 +56,24 @@ class TruncateSpec extends SparkSpec {
       s"expected ONE UUID checkpoint subdir, found ${uuidDirs.length}")
   }
 
+  test("Reliable handles a scheme'd dir CONTAINING A SPACE: still sets once") {
+    import spark.implicits._
+    // "file:/…/graft ck …" is URI-ILLEGAL (space) but a legal filesystem
+    // path; the old java.net.URI fallback cwd-prefixed it, the containment
+    // check then failed every call, and setCheckpointDir re-ran per
+    // truncation — scattering each round's blocks across fresh UUID dirs
+    val base = Files.createTempDirectory("graft ck sp").toFile.getAbsolutePath
+    val t = Truncate.Reliable("file:" + base)
+    t(Seq(1, 2).toDF("x"))
+    val after1 = spark.sparkContext.getCheckpointDir
+    t(Seq(3, 4).toDF("x"))
+    assert(spark.sparkContext.getCheckpointDir == after1,
+      "checkpoint dir re-set between truncations on a scheme'd+space dir")
+    val uuidDirs = new java.io.File(base).listFiles().filter(_.isDirectory)
+    assert(uuidDirs.length == 1,
+      s"expected ONE UUID checkpoint subdir, found ${uuidDirs.length}")
+  }
+
   test("resolve: explicit strategy wins; env-less default is Local") {
     assert(Truncate.resolve(Some(Truncate.Local)) == Truncate.Local)
     val r = Truncate.Reliable("/tmp/x")
