@@ -733,7 +733,12 @@ object TextAnalytics {
       .limit(topK)
   }
 
-  val bm25TopKSql: String =
+  val bm25TopKSql: String = bm25Sql(Bm25TopK)
+
+  /** The oracle twin parameterized on k — [[bm25TopKSql]] pins the
+    * registered query's k; `hybrid_topk` nests a wider-k instance as its
+    * lexical-arm CTE (the ann_recall compose-the-twins pattern). */
+  private[graft] def bm25Sql(k: Int): String =
     s"""WITH dd AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |), dl AS (
@@ -757,5 +762,5 @@ object TextAnalytics {
        |SELECT doc_id, CAST(sum(term) AS DOUBLE) AS score
        |FROM terms GROUP BY doc_id
        |ORDER BY score DESC, doc_id
-       |LIMIT $Bm25TopK""".stripMargin
+       |LIMIT $k""".stripMargin
 }

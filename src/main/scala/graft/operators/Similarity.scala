@@ -55,8 +55,13 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val annBruteForceSql: String =
-    """WITH c AS (
+  val annBruteForceSql: String = annBruteForceSqlK(10)
+
+  /** The oracle twin parameterized on k — [[annBruteForceSql]] pins the
+    * registered query's top-10; `hybrid_topk` nests a wider-k instance as
+    * its vector-arm CTE (the ann_recall compose-the-twins pattern). */
+  private[graft] def annBruteForceSqlK(k: Int): String =
+    s"""WITH c AS (
       |  SELECT vec_id, embedding,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings
@@ -73,7 +78,7 @@ object Similarity {
       |         CAST(row_number() OVER (PARTITION BY q_id
       |                                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
       |  FROM scored
-      |) WHERE rank <= 10
+      |) WHERE rank <= $k
       |ORDER BY q_id, rank""".stripMargin
 
   // --- sign-LSH bucketed near-duplicate pairs ------------------------------

@@ -35,7 +35,10 @@ class PlanGuardSpec extends SparkSpec {
     // bm25_topk: the (N, Σdl) corpus statistics reduce map-side to ONE
     // row broadcast back over the query-term tf rows (the tfidf_terms
     // corpus-N shape)
-    "bm25_topk" -> 1)
+    "bm25_topk" -> 1,
+    // hybrid_topk composes both sanctioned arms: bm25's stats broadcast
+    // + ann_brute_force's corpus-vs-broadcast-queries cross join
+    "hybrid_topk" -> 2)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -83,7 +86,11 @@ class PlanGuardSpec extends SparkSpec {
     "txt_collocations" -> 1, "trending_events" -> 1,
     // bm25_topk: the one-row (N, Σdl) scalar — per-partition partials
     // reduce to one (long, long) before the exchange (tfidf_terms shape)
-    "bm25_topk" -> 1)
+    "bm25_topk" -> 1,
+    // hybrid_topk: bm25's scalar plus the lexical-arm rank window — a
+    // global window over ≤ ArmK CANDIDATE rows by construction (the
+    // approx_topk_check bytes-not-rows shape)
+    "hybrid_topk" -> 2)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
