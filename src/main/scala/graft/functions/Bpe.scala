@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions.expr
   *     identical CASE ladder ([[oracleCte]]), `UNION ALL` so duplicate
   *     word instances keep their multiplicity.
   *
-  * At 100 TB this stays a map-side projection — the vocab is a literal
-  * in the generated code (a real 50k-entry vocab would broadcast and the
-  * ladder would become a prefix-trie lookup, but the dataflow shape —
-  * scan → fold → aggregate, no shuffle — is already the at-scale one).
+  * At 100 TB this stays a map-side projection — the kernel is a native
+  * codegen'd expression carrying its vocab as a task-serialized flat
+  * byte trie ([[org.apache.spark.sql.graft.BpeVocab]], r13: arbitrary-
+  * length byte-level units, GPT-2 merges.txt loadable), so a real
+  * 50k-entry vocab ships once per executor with the closure; the
+  * dataflow shape — scan → kernel → aggregate, no shuffle — is the
+  * at-scale one.
   */
 object Bpe {
 

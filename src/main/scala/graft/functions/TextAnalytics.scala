@@ -735,6 +735,105 @@ object TextAnalytics {
 
   val bm25TopKSql: String = bm25Sql(Bm25TopK)
 
+  /** Probe set for the MULTI-query retrieval surface (`hybrid_topk_multi`,
+    * VERDICT r12 ask #8): probe id (the embedding q_id space, vec_id 0-4)
+    * → term list. Probe 0 is [[Bm25Query]] verbatim, so the single-probe
+    * hybrid is exactly the q_id-0 slice of the generalized form. Terms
+    * are drawn from the fixture corpus vocabulary; probe 4's "dup"
+    * (rare, ~5% of docs) exercises the high-IDF path. */
+  val Bm25Probes: Seq[(Int, Seq[String])] = Seq(
+    0 -> Bm25Query,
+    1 -> Seq("scan", "filter"),
+    2 -> Seq("merge", "sort", "order"),
+    3 -> Seq("stream", "window", "batch"),
+    4 -> Seq("query", "spark", "dup"))
+
+  /** Multi-query BM25 in ONE corpus pass: every probe's terms join the
+    * same exploded token stream (one broadcast of Σ|terms| rows), tf
+    * aggregates carry the probe id, df stays a per-TOKEN property
+    * (deduplicated across probes sharing a term), and per-probe top-k is
+    * taken in two stages — a salted local window (64 hash buckets per
+    * probe) then a final window over ≤ 64·k candidate rows per probe —
+    * so no corpus-sized partition ever funnels through a 5-partition
+    * window shuffle (the probe-count is tiny; the salt restores
+    * parallelism). Output: (q_id, doc_id, score, rank), rank 1..k per
+    * probe by (score desc, doc_id).
+    *
+    * Scale shape: identical to [[bm25From]] plus the probe-id column —
+    * the only corpus-scale shuffle still carries query-matching token
+    * rows; the salted windows add one exchange over candidate rows only. */
+  private[graft] def bm25MultiFrom(docs: DataFrame,
+                                   probes: Seq[(Int, Seq[String])],
+                                   topK: Int,
+                                   saltBuckets: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val probeToks = probes
+      .flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }.toDF("q_id", "tok")
+    val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(probeToks), "tok")
+      .groupBy(col("q_id"), col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term", expr(Bm25TermFrag))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term")).as("s"))
+      .select(col("q_id"), col("doc_id"), expr("CAST(s AS DOUBLE)").as("score"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "_salt").orderBy(col("score").desc, col("doc_id"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("_salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets.toLong)))
+      .withColumn("_lr", row_number().over(wLocal)).filter(col("_lr") <= topK)
+      .withColumn("rank", row_number().over(wFinal).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** DuckDB twin of [[bm25MultiFrom]] under [[Bm25Probes]] — same
+    * [[Bm25TermFrag]], per-probe rank window (the oracle needs no salt:
+    * correctness of the two-stage Spark form is exactly "same top-k per
+    * probe", which this window states directly). */
+  private[graft] def bm25MultiSql(k: Int): String = {
+    val probeValues = Bm25Probes
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dd
+       |), st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+       |), q AS (
+       |  SELECT CAST(q_id AS BIGINT) AS q_id, tok
+       |  FROM (VALUES $probeValues) AS probes(q_id, tok)
+       |), tf AS (
+       |  SELECT q_id, doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM dd) JOIN q USING (tok)
+       |  GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+       |), terms AS (
+       |  SELECT tf.q_id, tf.doc_id, $Bm25TermFrag AS term
+       |  FROM tf JOIN dfreq USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN st
+       |), sc AS (
+       |  SELECT q_id, doc_id, CAST(sum(term) AS DOUBLE) AS score
+       |  FROM terms GROUP BY 1, 2
+       |)
+       |SELECT q_id, doc_id, score, rank FROM (
+       |  SELECT q_id, doc_id, score,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM sc
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** The oracle twin parameterized on k — [[bm25TopKSql]] pins the
     * registered query's k; `hybrid_topk` nests a wider-k instance as its
     * lexical-arm CTE (the ann_recall compose-the-twins pattern). */

@@ -66,10 +66,11 @@ object Hybrid {
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
       .select(col("doc_id").as("id"), col("lex_rank"))
-    // vector arm: the registered brute-force scorer at k = ArmK, probe
-    // vec 0 only (its rank column is already the per-query contract)
-    val vec = Similarity.annBruteForce(spark, dir, ArmK)
-      .filter(col("q_id") === 0)
+    // vector arm: the registered brute-force scorer at k = ArmK,
+    // restricted to probe 0 INSIDE the broadcast query relation (ADVICE
+    // r12: the old post-window q_id filter scored all 5 probes and
+    // discarded 4/5 of the work)
+    val vec = Similarity.annBruteForceProbes(spark, dir, ArmK, Some(Seq(0)))
       .select(col("vec_id").as("id"), col("rank").as("vec_rank"))
     lex.join(vec, Seq("id"), "full_outer")
       .select(col("id").as("doc_id"), col("lex_rank"), col("vec_rank"),
@@ -86,14 +87,68 @@ object Hybrid {
        |  SELECT doc_id AS id,
        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
        |  FROM lexraw
-       |), vecraw AS (${Similarity.annBruteForceSqlK(ArmK)}
+       |), vecraw AS (${Similarity.annBruteForceSqlK(ArmK, Some(Seq(0)))}
        |), vec AS (
        |  SELECT vec_id AS id, CAST(rank AS INT) AS vec_rank
-       |  FROM vecraw WHERE q_id = 0
+       |  FROM vecraw
        |)
        |SELECT COALESCE(lex.id, vec.id) AS doc_id, lex_rank, vec_rank,
        |       CAST(${rrfDuck("lex_rank")} + ${rrfDuck("vec_rank")} AS BIGINT) AS rrf_score
        |FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
        |ORDER BY rrf_score DESC, doc_id
        |LIMIT $FusedK""".stripMargin
+
+  /** The GENERALIZED form (VERDICT r12 ask #8): per-query RRF fusion over
+    * the FULL probe set — all 5 embedding probes on the vector arm, the
+    * matching [[TextAnalytics.Bm25Probes]] term lists on the lexical arm
+    * (probe 0 ≡ the single-probe query, so [[hybridTopK]] is exactly this
+    * operator's q_id-0 slice). Both arms run their corpus work ONCE for
+    * all probes (one exploded-token join / one broadcast-probe scan);
+    * fusion joins on (q_id, id) and ranks per probe.
+    *
+    * Scale shape: the lexical arm's per-probe top-k is two-stage salted
+    * (see [[TextAnalytics.bm25MultiFrom]]) so the probe-count (tiny)
+    * never bounds window parallelism; everything past the arms — the
+    * fusion join and the final per-probe rank — runs over ≤ 2·[[ArmK]]
+    * rows per probe by construction. */
+  def hybridTopKMulti(spark: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalytics
+      .bm25MultiFrom(Tables.documents(spark, dir), TextAnalytics.Bm25Probes, ArmK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rank").as("lex_rank"))
+    val vec = Similarity.annBruteForce(spark, dir, ArmK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rank").as("vec_rank"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .select(col("q_id"), col("id").as("doc_id"), col("lex_rank"), col("vec_rank"),
+        (rrfSpark("lex_rank") + rrfSpark("vec_rank")).as("rrf_score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= FusedK)
+      .drop("rk")
+      .orderBy(col("q_id"), col("rrf_score").desc, col("doc_id"))
+  }
+
+  /** DuckDB twin of [[hybridTopKMulti]]: both multi-probe component twins
+    * nested as CTEs, fused by the same integer RRF, per-probe rank. */
+  val hybridTopKMultiSql: String =
+    s"""WITH lexmulti AS (${TextAnalytics.bm25MultiSql(ArmK)}
+       |), lex AS (
+       |  SELECT q_id, doc_id AS id, rank AS lex_rank FROM lexmulti
+       |), vecraw AS (${Similarity.annBruteForceSqlK(ArmK)}
+       |), vec AS (
+       |  SELECT q_id, vec_id AS id, CAST(rank AS INT) AS vec_rank FROM vecraw
+       |), fused AS (
+       |  SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+       |         COALESCE(lex.id, vec.id) AS doc_id,
+       |         lex_rank, vec_rank,
+       |         CAST(${rrfDuck("lex_rank")} + ${rrfDuck("vec_rank")} AS BIGINT) AS rrf_score
+       |  FROM lex FULL OUTER JOIN vec ON lex.q_id = vec.q_id AND lex.id = vec.id
+       |)
+       |SELECT q_id, doc_id, lex_rank, vec_rank, rrf_score FROM (
+       |  SELECT q_id, doc_id, lex_rank, vec_rank, rrf_score,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY rrf_score DESC, doc_id) AS rk
+       |  FROM fused
+       |) WHERE rk <= $FusedK
+       |ORDER BY q_id, rrf_score DESC, doc_id""".stripMargin
 }

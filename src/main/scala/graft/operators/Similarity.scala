@@ -41,9 +41,22 @@ object Similarity {
     * every vector, keep the top 10 by ranking window. Queries are broadcast
     * so the corpus scan never shuffles; the row_number window partitions by
     * query id. */
-  def annBruteForce(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annBruteForceProbes(spark, dir, k, None)
+
+  /** [[annBruteForce]] restricted to a probe subset (ADVICE r12: the
+    * single-probe hybrid arm was scoring the corpus against all 5 probes
+    * and discarding 4/5 of the work post-window — the probe predicate
+    * belongs INSIDE the broadcast query relation, shrinking the scored
+    * cross product itself, not its output). `None` = all 5 probes. */
+  def annBruteForceProbes(spark: SparkSession, dir: String, k: Int,
+                          qIds: Option[Seq[Int]]): DataFrame = {
     val corpus  = withNorm(Tables.embeddings(spark, dir))
-    val queries = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < 5))
+    val probeFilter = qIds
+      .map(ids => col("vec_id").isInCollection(ids.map(_.toLong)))
+      .getOrElse(lit(true))
+    val queries = withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 5).filter(probeFilter))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
     corpus.crossJoin(broadcast(queries))
@@ -57,16 +70,19 @@ object Similarity {
 
   val annBruteForceSql: String = annBruteForceSqlK(10)
 
-  /** The oracle twin parameterized on k — [[annBruteForceSql]] pins the
-    * registered query's top-10; `hybrid_topk` nests a wider-k instance as
-    * its vector-arm CTE (the ann_recall compose-the-twins pattern). */
-  private[graft] def annBruteForceSqlK(k: Int): String =
+  /** The oracle twin parameterized on k and an optional probe subset —
+    * [[annBruteForceSql]] pins the registered query's top-10; `hybrid_topk`
+    * nests a wider-k single-probe instance as its vector-arm CTE (the
+    * ann_recall compose-the-twins pattern; the probe predicate sits inside
+    * the q CTE so the oracle scores only the probes it uses — ADVICE r12). */
+  private[graft] def annBruteForceSqlK(k: Int, qIds: Option[Seq[Int]] = None): String =
     s"""WITH c AS (
       |  SELECT vec_id, embedding,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings
       |), q AS (
-      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c WHERE vec_id < 5
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c
+      |  WHERE vec_id < 5${qIds.map(ids => s" AND vec_id IN (${ids.mkString(", ")})").getOrElse("")}
       |), scored AS (
       |  SELECT q.q_id, c.vec_id,
       |         list_dot_product(c.embedding::DOUBLE[], q.q_emb::DOUBLE[]) / (c.norm * q.q_norm) AS cos_sim

@@ -3,86 +3,260 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** A greedy longest-prefix subword vocabulary, packed for the counting
-  * kernel: unit lengths 4 > 3 > 2 (single codepoints are the implicit
-  * fallback), each length class a sorted array of packed ASCII longs
-  * probed by binary search — no per-check substring allocation.
+/** A greedy longest-match subword vocabulary over ARBITRARY-LENGTH,
+  * BYTE-LEVEL merge units, compiled to a flat byte trie: one forward
+  * walk per position, the last terminal node seen is the longest match —
+  * no per-check substring allocation, no length-class restriction.
   *
-  * SERIALIZABLE and carried BY the expression (codegen binds it as a
-  * reference object), so a caller can count under any published merge
-  * vocab — the 50k-entry upgrade path the fixed in-repo vocab documents.
-  * [[graft.functions.Bpe]]'s lists remain the default instance used by
-  * the `*_bpe` oracle queries.
+  * This replaces the r11 packed-long probe, which required
+  * length-homogeneous 4/3/2-char ASCII units and therefore could not
+  * load a real published merge table (GPT-2/LLaMA-style vocabularies mix
+  * unit lengths 1..16+ and contain non-ASCII byte sequences — including
+  * bytes that are not valid standalone UTF-8, like the leading-space
+  * marker 0x20+'t'+'h'+'e'). Load paths:
   *
-  * Semantics contract (pinned by BpeSpec's golden word pairs and the
-  * three `*_bpe` oracle queries): identical to the CASE-ladder fold —
-  * words are maximal runs between single spaces, positions advance by
-  * CODEPOINTS (the SQL `substring` unit; vocab entries are ASCII, so a
-  * window containing any non-ASCII codepoint simply never matches), the
-  * greedy order is 4 > 3 > 2 > 1, and empty words count zero.
+  *   - [[BpeVocab.fromUnits]]: any `Seq[Array[Byte]]` of unit byte
+  *     sequences (arbitrary lengths, arbitrary bytes);
+  *   - [[BpeVocab.fromGpt2Merges]]: the published GPT-2 `merges.txt`
+  *     format verbatim (one "A B" merge per line in the byte-to-unicode
+  *     alphabet of GPT-2's encoder.py; the loader inverts that mapping
+  *     back to raw bytes). The 50k-entry file itself is not vendored —
+  *     this build environment has no network egress — but the format
+  *     round-trip is spec-pinned at 50k+ entries in BpeSpec;
+  *   - the legacy `new BpeVocab(v4, v3, v2)` constructor (the in-repo
+  *     default vocab and its CASE-ladder oracle contract) still works
+  *     and keeps its length-homogeneity `require`s, because those lists
+  *     ARE the ladder the `*_bpe` DuckDB oracles execute.
+  *
+  * Semantics contract, pinned by BpeSpec goldens and the three `*_bpe`
+  * full-hash oracles: words are maximal runs between single spaces
+  * (byte 0x20 — safe to split on in UTF-8, which never uses 0x20 as a
+  * continuation byte); at each position the LONGEST vocab unit matching
+  * the upcoming bytes is consumed (greedy maximal munch — the published
+  * WordPiece/BPE inference scheme, Sennrich et al. 2016 §3; note this is
+  * inventory-driven longest-match, not merge-rank replay — the count is
+  * a deterministic engine-reproducible budget, documented as such); when
+  * nothing matches, the fallback consumes
+  *
+  *   - one CODEPOINT when `codepointFallback` (the legacy default-vocab
+  *     contract: the DuckDB twin's `substring` ladder steps in SQL
+  *     characters, and for ASCII-only vocabs byte-trie matching is
+  *     step-for-step identical to codepoint matching, so oracle parity
+  *     is preserved exactly), or
+  *   - one BYTE otherwise (byte-level BPE's no-OOV guarantee: every
+  *     unmatched byte is itself a base token — the GPT-2 convention, and
+  *     the correct budget accounting for code/CJK corpora where the
+  *     legacy codepoint fallback undercounted).
+  *
+  * Empty words count zero. Reference for WHAT is counted:
+  * komodo-data process.py has no tokenizer — this family is part of the
+  * driver-mandated training-data-pipeline extension surface.
   */
-final class BpeVocab(v4: Seq[String], v3: Seq[String], v2: Seq[String])
+final class BpeVocab private (
+    units: Array[Array[Byte]],
+    val codepointFallback: Boolean)
     extends Serializable {
-  require(v4.forall(_.length == 4) && v3.forall(_.length == 3) &&
-    v2.forall(_.length == 2),
-    "BpeVocab unit lists must be length-homogeneous (4/3/2)")
-  require((v4 ++ v3 ++ v2).forall(_.forall(_ < 128)),
-    "BpeVocab units must be ASCII — the packed-long probe depends on it")
 
-  private def packs(units: Seq[String]): Array[Long] =
-    units.map(_.foldLeft(0L)((a, c) => (a << 8) | (c.toLong & 0xFF))).sorted.toArray
+  require(units.forall(_.length > 0), "BpeVocab units must be non-empty")
 
-  private val p4 = packs(v4)
-  private val p3 = packs(v3)
-  private val p2 = packs(v2)
-
-  /** Pack `k` codepoints from `pos` into a long, or -1 if any is
-    * non-ASCII (which no vocab entry can match). */
-  private def packAt(cp: Array[Int], pos: Int, k: Int): Long = {
-    var a = 0L
-    var i = 0
-    while (i < k) {
-      val c = cp(pos + i)
-      if (c >= 128) return -1L
-      a = (a << 8) | c
-      i += 1
-    }
-    a
+  /** Legacy 4/3/2 ASCII constructor — the in-repo default vocab's
+    * surface. Length homogeneity is still required HERE (not in the
+    * general path) because these lists are injected verbatim into the
+    * oracle CASE ladder, which probes exactly substring(_,pos,4|3|2). */
+  def this(v4: Seq[String], v3: Seq[String], v2: Seq[String]) = {
+    this(
+      {
+        require(v4.forall(_.length == 4) && v3.forall(_.length == 3) &&
+          v2.forall(_.length == 2),
+          "BpeVocab unit lists must be length-homogeneous (4/3/2)")
+        require((v4 ++ v3 ++ v2).forall(_.forall(_ < 128)),
+          "BpeVocab units must be ASCII — the oracle CASE ladder depends on it")
+        (v4 ++ v3 ++ v2).map(_.getBytes("UTF-8")).toArray
+      },
+      true)
   }
 
-  private def hit(set: Array[Long], key: Long): Boolean =
-    key >= 0 && java.util.Arrays.binarySearch(set, key) >= 0
+  // ---- flat trie ----
+  // Node n: children are the sorted byte keys childKeys(n) with child
+  // node ids childVal(n); terminal(n) marks a complete unit. Root (node
+  // 0) additionally gets a direct 256-way dispatch table (the hottest
+  // probe — most positions fail at the first byte).
+  private val (childKeys, childVal, terminal) = {
+    import scala.collection.mutable
+    val keys = mutable.ArrayBuffer(mutable.TreeMap.empty[Int, Int])
+    val term = mutable.ArrayBuffer(false)
+    units.foreach { u =>
+      var node = 0
+      var i = 0
+      while (i < u.length) {
+        val b = u(i) & 0xFF
+        node = keys(node).getOrElse(b, {
+          keys += mutable.TreeMap.empty[Int, Int]
+          term += false
+          val nn = keys.length - 1
+          keys(node).put(b, nn)
+          nn
+        })
+        i += 1
+      }
+      term(node) = true
+    }
+    (keys.map(_.keysIterator.map(_.toByte).toArray).toArray,
+      keys.map(_.valuesIterator.toArray).toArray,
+      term.toArray)
+  }
 
-  private def countWord(w: String): Long = {
-    val cp = w.codePoints().toArray
-    val len = cp.length
-    var pos = 0
+  private val rootDispatch: Array[Int] = {
+    val d = Array.fill(256)(-1)
+    var i = 0
+    while (i < childKeys(0).length) {
+      d(childKeys(0)(i) & 0xFF) = childVal(0)(i)
+      i += 1
+    }
+    d
+  }
+
+  /** Number of trie nodes (observability for large-vocab loads). */
+  def trieSize: Int = terminal.length
+
+  private def child(node: Int, b: Byte): Int = {
+    val k = java.util.Arrays.binarySearch(childKeys(node), b)
+    if (k >= 0) childVal(node)(k) else -1
+  }
+
+  /** Longest terminal match starting at `pos` (bytes), 0 if none. */
+  private def longestMatch(b: Array[Byte], pos: Int, end: Int): Int = {
+    if (pos >= end) return 0
+    var node = rootDispatch(b(pos) & 0xFF)
+    if (node < 0) return 0
+    var best = if (terminal(node)) 1 else 0
+    var i = pos + 1
+    while (i < end && node >= 0) {
+      node = child(node, b(i))
+      if (node >= 0) {
+        i += 1
+        if (terminal(node)) best = i - pos
+      }
+    }
+    best
+  }
+
+  /** UTF-8 codepoint width from a lead byte (continuation/invalid → 1,
+    * matching java.codePoints' per-unit degradation on malformed data). */
+  private def cpWidth(lead: Byte): Int = {
+    val b = lead & 0xFF
+    if (b < 0x80) 1
+    else if (b >= 0xF0) 4
+    else if (b >= 0xE0) 3
+    else if (b >= 0xC0) 2
+    else 1
+  }
+
+  private def countWord(b: Array[Byte], start: Int, end: Int): Long = {
+    var pos = start
     var cnt = 0L
-    while (pos < len) {
-      var step = 1
-      if (pos + 4 <= len && hit(p4, packAt(cp, pos, 4))) step = 4
-      else if (pos + 3 <= len && hit(p3, packAt(cp, pos, 3))) step = 3
-      else if (pos + 2 <= len && hit(p2, packAt(cp, pos, 2))) step = 2
-      pos += step
+    while (pos < end) {
+      val m = longestMatch(b, pos, end)
+      if (m > 0) pos += m
+      else if (codepointFallback) pos += math.min(cpWidth(b(pos)), end - pos)
+      else pos += 1
       cnt += 1
     }
     cnt
   }
 
-  def count(text: String): Long = {
+  def countBytes(b: Array[Byte]): Long = {
     var total = 0L
-    val n = text.length
+    val n = b.length
     var wStart = 0
     var idx = 0
     while (idx <= n) {
-      if (idx == n || text.charAt(idx) == ' ') {
-        if (idx > wStart) total += countWord(text.substring(wStart, idx))
+      if (idx == n || b(idx) == 0x20) {
+        if (idx > wStart) total += countWord(b, wStart, idx)
         wStart = idx + 1
       }
       idx += 1
     }
     total
+  }
+
+  def count(text: String): Long = countBytes(text.getBytes("UTF-8"))
+
+  /** Zero-copy-ish entry for codegen: UTF8String's backing bytes. */
+  def countUtf8(s: UTF8String): Long = countBytes(s.getBytes)
+}
+
+object BpeVocab {
+
+  /** General load path: arbitrary-length byte-level units. `byteFallback`
+    * selects the unmatched-byte convention (default: byte-level BPE's
+    * one-token-per-byte no-OOV rule; pass false for the legacy
+    * codepoint-fallback accounting). */
+  def fromUnits(units: Seq[Array[Byte]], byteFallback: Boolean = true): BpeVocab =
+    new BpeVocab(units.toArray, !byteFallback)
+
+  /** GPT-2's byte-to-unicode table (public: gpt2/encoder.py
+    * bytes_to_unicode) — printable latin-1 bytes map to themselves, the
+    * other 68 bytes map to U+0100.. in discovery order — inverted here so
+    * merge lines decode back to raw bytes (e.g. 'Ġ' U+0120 → 0x20). */
+  val gpt2ByteDecoder: Map[Char, Byte] = {
+    val printable =
+      ('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)
+    val inPrintable = printable.toSet
+    val pairs = Seq.newBuilder[(Char, Byte)]
+    printable.foreach(b => pairs += (b.toChar -> b.toByte))
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (!inPrintable(b)) {
+        pairs += ((256 + n).toChar -> b.toByte)
+        n += 1
+      }
+    }
+    pairs.result().toMap
+  }
+
+  /** Inverse table (test/tooling surface: render raw bytes in the
+    * published merges.txt alphabet). */
+  val gpt2ByteEncoder: Map[Byte, Char] =
+    gpt2ByteDecoder.map(_.swap)
+
+  private def decodeGpt2(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = gpt2ByteDecoder.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"not a GPT-2 byte-alphabet character: U+${s.charAt(i).toInt.toHexString} in '$s'"))
+      i += 1
+    }
+    out
+  }
+
+  /** Load the published GPT-2 `merges.txt` format: optional `#version`
+    * header, then one merge per line as two space-separated tokens in
+    * the byte-to-unicode alphabet; each merge's RESULT (the
+    * concatenation, decoded to raw bytes) becomes a vocabulary unit.
+    * Counting runs greedy longest-match over that inventory with
+    * byte fallback (every unmatched byte is a base token — GPT-2's
+    * 256-entry byte alphabet made implicit). */
+  def fromGpt2Merges(lines: Iterator[String]): BpeVocab = {
+    val units = lines
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merge line: '$l'")
+        decodeGpt2(sp(0) + sp(1))
+      }
+      .toSeq
+    fromUnits(units)
+  }
+
+  def fromGpt2MergesFile(path: String): BpeVocab = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromGpt2Merges(src.getLines()) finally src.close()
   }
 }
 
@@ -99,7 +273,8 @@ object BpeKernel {
   * the expression's [[BpeVocab]] (default: the in-repo lists). Replaces
   * the doubly-nested `aggregate()` higher-order fold, which evaluated
   * INTERPRETED per character position — codegen emits one kernel call
-  * per row (the FloatVecDot lesson applied to text).
+  * per row (the FloatVecDot lesson applied to text), operating directly
+  * on the UTF8String's bytes (no String materialization).
   * [[graft.functions.Bpe.countCol]] is the Column API. */
 case class BpeCount(child: Expression,
                     vocab: BpeVocab = BpeKernel.default)
@@ -110,13 +285,13 @@ case class BpeCount(child: Expression,
   override def prettyName: String = "bpe_count"
 
   override def nullSafeEval(s: Any): Any =
-    vocab.count(s.toString)
+    vocab.countUtf8(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeVocab", vocab,
       classOf[BpeVocab].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $ref.count($c.toString());")
+      s"${ev.value} = $ref.countUtf8($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -91,6 +91,148 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](new BpeVocab(Seq("abc"), Nil, Nil))
   }
 
+  test("arbitrary-length byte-level units: greedy longest-match goldens (r13 general kernel)") {
+    import org.apache.spark.sql.graft.BpeVocab
+    // mixed unit lengths 1/5/7 + multi-byte UTF-8 + CJK — everything the
+    // legacy 4/3/2-ASCII packed probe rejected
+    val v = BpeVocab.fromUnits(Seq(
+      "hello".getBytes("UTF-8"),          // 5 bytes
+      "goodbye".getBytes("UTF-8"),        // 7 bytes
+      "q".getBytes("UTF-8"),              // 1 byte
+      "é".getBytes("UTF-8"),              // 2 bytes, non-ASCII
+      "日本".getBytes("UTF-8")))           // 6 bytes, CJK
+    assert(v.count("hello") == 1L)
+    assert(v.count("hellogoodbye") == 2L)        // hello|goodbye
+    assert(v.count("helloo") == 2L)              // hello|o (byte fallback)
+    assert(v.count("qqq") == 3L)
+    assert(v.count("café") == 4L)                // c|a|f|é
+    assert(v.count("日本語") == 4L)               // 日本 then 語 = 3 fallback bytes
+    assert(v.count("hello goodbye q") == 3L)     // word split preserved
+    assert(v.count("") == 0L)
+    // longest-match beats a shorter prefix: add a prefix unit and confirm
+    // the longer one still wins
+    val v2 = BpeVocab.fromUnits(Seq(
+      "he".getBytes("UTF-8"), "hello".getBytes("UTF-8")))
+    assert(v2.count("hello") == 1L)
+    assert(v2.count("hell") == 3L)               // he|l|l
+  }
+
+  test("byte vs codepoint fallback accounting (the CJK undercount fix)") {
+    import org.apache.spark.sql.graft.BpeVocab
+    val byteLevel = BpeVocab.fromUnits(Seq("zz".getBytes("UTF-8")), byteFallback = true)
+    val cpLevel = BpeVocab.fromUnits(Seq("zz".getBytes("UTF-8")), byteFallback = false)
+    // é is 2 UTF-8 bytes / 1 codepoint
+    assert(byteLevel.count("é") == 2L)
+    assert(cpLevel.count("é") == 1L)
+    // 語 is 3 bytes / 1 codepoint; supplementary 𝄞 (U+1D11E) is 4 bytes
+    assert(byteLevel.count("語") == 3L)
+    assert(cpLevel.count("語") == 1L)
+    assert(byteLevel.count("𝄞") == 4L)
+    assert(cpLevel.count("𝄞") == 1L)
+    // pure ASCII: the two conventions agree
+    assert(byteLevel.count("azza zz") == 4L && cpLevel.count("azza zz") == 4L)
+  }
+
+  test("GPT-2 merges.txt loader: published format round-trips to byte units") {
+    import org.apache.spark.sql.graft.BpeVocab
+    // the well-known alphabet facts from gpt2 encoder.py bytes_to_unicode:
+    // printable latin-1 maps to itself, space (0x20) maps to 'Ġ' (U+0120),
+    // newline (0x0A) to 'Ċ' (U+010A)
+    assert(BpeVocab.gpt2ByteEncoder(0x20.toByte) == 'Ġ')
+    assert(BpeVocab.gpt2ByteEncoder(0x0A.toByte) == 'Ċ')
+    assert(BpeVocab.gpt2ByteEncoder('t'.toByte) == 't')
+    assert(BpeVocab.gpt2ByteDecoder('Ġ') == 0x20.toByte)
+    // decoder and encoder are exact inverses over all 256 bytes
+    assert(BpeVocab.gpt2ByteDecoder.size == 256 && BpeVocab.gpt2ByteEncoder.size == 256)
+    (0 until 256).foreach { b =>
+      assert(BpeVocab.gpt2ByteDecoder(BpeVocab.gpt2ByteEncoder(b.toByte)) == b.toByte)
+    }
+    // a real header + real GPT-2 merge lines (the first published merges
+    // are "Ġ t", "Ġ a", "h e", "i n", "r e", "o n" — public knowledge)
+    val merges = Seq(
+      "#version: 0.2",
+      "Ġ t", "h e", "i n", "r e", "o n", "t he")
+    val v = BpeVocab.fromGpt2Merges(merges.iterator)
+    // "Ġt" = [0x20,'t']: a unit containing a space byte — cannot occur at
+    // a word START under the single-space split (the space is the
+    // delimiter), exactly like GPT-2's pre-tokenizer attaches the space
+    // to the following word. Interior bytes still match: none here, so
+    // assert on the pure-ASCII merges instead.
+    assert(v.count("the") == 1L)     // "the" merge result matches whole word
+    assert(v.count("he") == 1L)
+    assert(v.count("rein") == 2L)    // re|in
+    assert(v.count("xin") == 2L)     // x|in
+    // malformed alphabet char is loud
+    intercept[IllegalArgumentException](
+      BpeVocab.fromGpt2Merges(Seq(" x").iterator))
+    // malformed line shape is loud
+    intercept[IllegalArgumentException](
+      BpeVocab.fromGpt2Merges(Seq("a b c").iterator))
+  }
+
+  test("50k-entry real-format vocab: loads, counts, and stays a map-side projection") {
+    import org.apache.spark.sql.graft.{BpeFunctions, BpeVocab}
+    import spark.implicits._
+    // Generate 50,000 merge lines IN THE PUBLISHED FORMAT (pairs rendered
+    // in the gpt2 byte alphabet), covering unit lengths 2..12 and all 256
+    // byte values — the scale and shape of the real published table,
+    // which cannot be vendored here (no network egress; the loader takes
+    // the real file verbatim via fromGpt2MergesFile).
+    val enc = BpeVocab.gpt2ByteEncoder
+    def render(bs: Array[Byte]): String = bs.map(enc).mkString
+    val rnd = new scala.util.Random(13)
+    val lines = Seq("#version: 0.2") ++ (0 until 50000).map { i =>
+      val lenA = 1 + (i % 6)
+      val lenB = 1 + ((i / 6) % 6)
+      val a = Array.fill(lenA)(rnd.nextInt(256).toByte)
+      val b = Array.fill(lenB)(rnd.nextInt(256).toByte)
+      render(a) + " " + render(b)
+    }
+    val v = BpeVocab.fromGpt2Merges(lines.iterator)
+    assert(v.trieSize > 50000, s"trie must hold the vocab (got ${v.trieSize} nodes)")
+    // count through the SPARK EXPRESSION under the big vocab and check
+    // the plan stays a pure projection over the scan (no shuffle)
+    val df = Tables.documents(spark, sf)
+      .select(BpeFunctions.bpe_count(col("text"), v).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpe_count must not shuffle:\n$plan")
+    val total = df.agg(sum("n")).first().getLong(0)
+    assert(total > 0L)
+    // and the kernel agrees with a naive greedy reference on a sample
+    val units = lines.drop(1).map { l =>
+      val sp = l.split(" "); (sp(0) + sp(1)).map(BpeVocab.gpt2ByteDecoder).toArray
+    }
+    val unitSet = units.map(_.toSeq).toSet
+    def naive(text: String): Long = {
+      val bs = text.getBytes("UTF-8")
+      var total = 0L
+      var wS = 0
+      var i = 0
+      while (i <= bs.length) {
+        if (i == bs.length || bs(i) == 0x20) {
+          var p = wS
+          while (p < i) {
+            var best = 0
+            var L = math.min(12, i - p)
+            while (L >= 1 && best == 0) {
+              if (unitSet.contains(bs.slice(p, p + L).toSeq)) best = L
+              L -= 1
+            }
+            p += math.max(best, 1)
+            total += 1
+          }
+          wS = i + 1
+        }
+        i += 1
+      }
+      total
+    }
+    Tables.documents(spark, sf).select("text").limit(50).collect().foreach { r =>
+      val t = r.getString(0)
+      assert(v.count(t) == naive(t), s"50k-vocab kernel diverged on: ${t.take(60)}")
+    }
+  }
+
   test("bpe_count is callable from SQL text (extensions surface)") {
     import spark.implicits._
     org.apache.spark.sql.graft.BpeFunctions.registerSql(spark)

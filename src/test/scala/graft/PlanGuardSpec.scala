@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     "bm25_topk" -> 1,
     // hybrid_topk composes both sanctioned arms: bm25's stats broadcast
     // + ann_brute_force's corpus-vs-broadcast-queries cross join
-    "hybrid_topk" -> 2)
+    "hybrid_topk" -> 2,
+    // hybrid_topk_multi: the same two arms run once for all 5 probes
+    "hybrid_topk_multi" -> 2)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -90,7 +92,11 @@ class PlanGuardSpec extends SparkSpec {
     // hybrid_topk: bm25's scalar plus the lexical-arm rank window — a
     // global window over ≤ ArmK CANDIDATE rows by construction (the
     // approx_topk_check bytes-not-rows shape)
-    "hybrid_topk" -> 2)
+    "hybrid_topk" -> 2,
+    // hybrid_topk_multi: ONLY bm25's one-row scalar — every rank window
+    // (salted local, per-probe final, fusion) keeps a PARTITION BY, so
+    // the multi form has FEWER serialization points than the single
+    "hybrid_topk_multi" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
