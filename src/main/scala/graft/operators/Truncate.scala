@@ -56,12 +56,20 @@ object Truncate {
       // UUID dirs, the exact failure this class exists to prevent).
       // Path's own parser handles spaces; only a genuinely unparseable
       // string (e.g. a bare ':') falls back to local-path resolution.
+      // keep scheme+authority in the normalized form (ADVICE r12: path
+      // alone would conflate hdfs://nnA/ck with hdfs://nnB/ck — or a
+      // file:/ck with an hdfs one — and skip setCheckpointDir when the
+      // configured filesystem actually differs). Scheme-less strings
+      // normalize to file:// like the fallback, so the common
+      // "/tmp/ck" vs Spark's own "file:/tmp/ck" spelling still matches.
       val viaPath =
         try {
           val u = new org.apache.hadoop.fs.Path(s).toUri
-          if (u.getScheme == null) None else Option(u.getPath)
+          if (u.getScheme == null) None
+          else Option(u.getPath).map(p =>
+            u.getScheme + "://" + Option(u.getAuthority).getOrElse("") + p)
         } catch { case _: IllegalArgumentException => None }
-      viaPath.getOrElse(new java.io.File(s).getAbsolutePath)
+      viaPath.getOrElse("file://" + new java.io.File(s).getAbsolutePath)
         .replaceAll("/+$", "")
     }
     def apply(df: DataFrame): DataFrame = {

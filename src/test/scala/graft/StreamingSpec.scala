@@ -261,7 +261,8 @@ class StreamingSpec extends SparkSpec {
     SpanStream.processBatch(spark, batches(1).toDF("doc_id", "text"), stateDir, 1L)
     assert(SpanStream.spans(spark, stateDir).count() == before)
     import scala.reflect.io.Directory
-    new Directory(new java.io.File(s"$stateDir/wins/batch=1")).deleteRecursively()
+    new Directory(new java.io.File(s"$stateDir/wins_hb/batch=1")).deleteRecursively()
+    new Directory(new java.io.File(s"$stateDir/wins_db/batch=1")).deleteRecursively()
     new Directory(new java.io.File(s"$stateDir/spans/batch=1")).deleteRecursively()
     SpanStream.processBatch(spark, batches(1).toDF("doc_id", "text"), stateDir, 1L)
     val afterReplay = SpanStream.spans(spark, stateDir).collect()
@@ -825,7 +826,7 @@ class StreamingSpec extends SparkSpec {
       val st = tmp("span-det")
       SpanStream.processBatch(spark,
         order.toDF("doc_id", "text").repartition(4), st, batchId = 0L)
-      spark.read.parquet(s"$st/wins").select("doc_id", "pos", "h").collect()
+      spark.read.parquet(s"$st/wins_hb").select("doc_id", "pos", "h").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
     val expWins = graft.operators.Dedup
