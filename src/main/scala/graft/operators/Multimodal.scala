@@ -283,6 +283,149 @@ object Multimodal {
     * honest), a DQT stub, a real SOF0 frame header carrying the
     * dimensions, EOI. All fields pure doc_id functions, same
     * ground-truth-oracle construction as [[mediaPayloads]]. */
+  // --- perceptual image near-dup (aHash over real BMP bytes) ---------------
+
+  /** Pixel ground truth for [[bmpPayloads]]: groups of four consecutive
+    * doc_ids share a base 8×8 pattern (md5 of "base_i" taken mod 107,
+    * into 28..134 — the EngineHash md5 discipline, byte-identical in
+    * both engines; an AFFINE formula here made every group a value-shift
+    * of one periodic pattern and cross-group fingerprints collided),
+    * and group member m = doc_id % 4 brightens pixels i < m by 120 —
+    * planted near-duplicates whose aHash fingerprints differ in ≤3 bits
+    * (inside the banding guarantee), while distinct groups differ in
+    * ~half their bits. Pure doc_id arithmetic, shared verbatim with the
+    * DuckDB twin. */
+  private def bmpPixel(d: org.apache.spark.sql.Column, i: Int) =
+    ((conv(substring(md5(concat(expr("CAST(doc_id div 4 AS STRING)"),
+        lit("_" + i))), 1, 4), 16, 10).cast("int") % 107) + 28 +
+      when(lit(i) < d % 4, lit(120)).otherwise(lit(0))).cast("int")
+
+  /** 8×8 24-bit BMPs synthesized from doc-derived pixels (the
+    * [[mediaPayloads]] real-format discipline applied to images): the
+    * canonical 54-byte BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up
+    * rows (8 px × 3 B = 24-byte rows are 4-aligned, so no padding),
+    * grayscale written as equal B=G=R bytes. Every byte is a pure
+    * function of doc_id so the oracle can pin GROUND-TRUTH pixel
+    * arithmetic against our parse — a construction bug and a parse bug
+    * cannot cancel. */
+  private[graft] def bmpPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val header = concat(
+      lit("424D"),            // "BM"
+      le32Hex(lit(246)),      // file size 54 + 192
+      lit("00000000"),        // reserved
+      le32Hex(lit(54)),       // pixel-array offset
+      le32Hex(lit(40)),       // BITMAPINFOHEADER size
+      le32Hex(lit(8)), le32Hex(lit(8)),   // width, height (positive = bottom-up)
+      le16Hex(lit(1)), le16Hex(lit(24)),  // planes, bits-per-pixel
+      le32Hex(lit(0)),        // BI_RGB (uncompressed)
+      le32Hex(lit(192)),      // image size 8*24
+      le32Hex(lit(2835)), le32Hex(lit(2835)), // 72 DPI in px/m
+      le32Hex(lit(0)), le32Hex(lit(0)))   // palette counts
+    // storage order: bottom row first; logical pixel i = r*8+c with r
+    // counted from the TOP (the aHash bit order)
+    val pixelHex = concat((0 until 8).flatMap { stor =>
+      val r = 7 - stor
+      (0 until 8).map { c =>
+        repeat(lpad(hex(bmpPixel(d, r * 8 + c)), 2, "0"), 3)
+      }
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(concat(header, pixelHex)).as("payload"))
+  }
+
+  /** aHash fingerprints parsed from REAL BMP bytes: validate the header
+    * at its fixed offsets (magic, 8×8, 24 bpp, BI_RGB, declared pixel
+    * offset 54, full length), read the 64 gray pixels from the
+    * bottom-up pixel array, take the integer mean, and set bit i when
+    * pixel i ≥ mean — the published average-hash scheme (the
+    * perceptual-dedup baseline: equal-size downsample + mean threshold).
+    * 60 of the 64 bits form the fingerprint (the [[Dedup.simhash]]
+    * signed-long discipline — both engines parse hex into a signed
+    * BIGINT, so the fingerprint stays in 60 bits). One codegen'd
+    * projection per image; malformed payloads parse as NO row (filtered
+    * on validity), never a wrong fingerprint. */
+  private[graft] def bmpAHash(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    val valid = length(p) >= lit(246) &&
+      hex(substring(p, 1, 2)) === lit("424D") &&
+      le32(p, 11) === lit(54) &&
+      le32(p, 19) === lit(8) && le32(p, 23) === lit(8) &&
+      le16(p, 29) === lit(24) && le32(p, 31) === lit(0)
+    // logical pixel i (top-down) lives at byte 54 + (7 - i/8)*24 + (i%8)*3
+    def px(i: Int) = u8(p, 54 + (7 - i / 8) * 24 + (i % 8) * 3 + 1)
+    val pxs = (0 until 64).map(px)
+    payloads.filter(valid)
+      .select(col("doc_id") +: pxs.reduce(_ + _).as("psum") +:
+        (0 until 64).map(i => pxs(i).as(s"p$i")): _*)
+      .withColumn("mean", floor(col("psum").cast("double") / lit(64.0)).cast("int"))
+      .select(col("doc_id"),
+        (0 until 60).map { b =>
+          when(col(s"p$b") >= col("mean"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("ahash"))
+  }
+
+  /** Perceptual image near-dup (VERDICT r12 ask #5): aHash fingerprints
+    * over the BMP corpus, candidate pairs from the [[Dedup.simhash]]
+    * 4×15-bit band machinery (any identical 15-bit chunk → candidate;
+    * recall total through Hamming distance 3 by pigeonhole, the planted
+    * near-dups' radius), exact popcount verification ≤ 8. Scale shape =
+    * dedup_simhash's: fingerprint build is a corpus-linear projection,
+    * the band join shuffles 4 rows per image keyed on 15-bit chunks,
+    * quadratic work confined to same-chunk buckets, far-pair candidates
+    * drop before the distinct shuffle. */
+  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = bmpAHash(bmpPayloads(spark, dir))
+    val chunks = sig.select(col("doc_id"), col("ahash"), explode(expr(
+      "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (ahash >> (c * 15)) & 32767))"))
+      .as("cc"))
+      .select(col("doc_id"), col("ahash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(1000)
+  }
+
+  /** DuckDB twin: recomputes the pixels from the SAME doc_id arithmetic
+    * (ground truth — it never sees the bytes, so build→parse must be the
+    * identity for the hash to match), then the identical aHash bits,
+    * banding, and popcount verify. (hamming, d1, d2) totally orders
+    * distinct pairs, so the LIMIT is deterministic when it binds. */
+  val mmPhashNeardupSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |         CAST(CAST(concat('0x', substr(md5(concat(
+      |                CAST(doc_id // 4 AS VARCHAR), '_', CAST(i AS VARCHAR))),
+      |                1, 4)) AS INT) % 107 + 28 +
+      |              (CASE WHEN i < doc_id % 4 THEN 120 ELSE 0 END) AS INT) AS p
+      |  FROM documents, LATERAL unnest(range(64)) AS t(i)
+      |), means AS (
+      |  SELECT doc_id, CAST(floor(sum(p) / 64.0) AS INT) AS mean FROM px GROUP BY doc_id
+      |), sig AS (
+      |  SELECT px.doc_id,
+      |         sum(CASE WHEN i < 60 AND p >= mean
+      |                  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS ahash
+      |  FROM px JOIN means ON px.doc_id = means.doc_id
+      |  GROUP BY px.doc_id
+      |), chunks AS (
+      |  SELECT doc_id, ahash, c, (ahash >> CAST(c * 15 AS INT)) & 32767 AS ck
+      |  FROM sig, LATERAL unnest(range(4)) AS t(c)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+      |)
+      |SELECT d1, d2, hamming FROM pairs
+      |ORDER BY hamming, d1, d2
+      |LIMIT 1000""".stripMargin
+
   private[graft] def jpegPayloads(spark: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val w = (d % 509 + 1).cast("int")

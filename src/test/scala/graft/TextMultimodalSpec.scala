@@ -77,6 +77,57 @@ class TextMultimodalSpec extends SparkSpec {
       None, None, Some(2), Some(44100), Some(10L)))
   }
 
+  test("BMP aHash parses golden bytes exactly; malformed input yields NO fingerprint") {
+    import spark.implicits._
+    // golden: a real 8x8 24-bit BMP written independently via ByteBuffer
+    // (LITTLE_ENDIAN), known pixel ramp, bottom-up rows like the spec says
+    val pix = Array.tabulate(64)(i => (i * 37 + 11) % 200)
+    def buildBmp(w: Int = 8, h: Int = 8, bpp: Short = 24, comp: Int = 0,
+                 off: Int = 54): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(246)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(246).putInt(0).putInt(off)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp)
+        .putInt(comp).putInt(192).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (stor <- 0 until 8; c <- 0 until 8) {
+        val v = pix((7 - stor) * 8 + c).toByte
+        bb.put(v).put(v).put(v)
+      }
+      bb.array()
+    }
+    val mean = pix.sum / 64
+    val expected = (0 until 60).map(b => if (pix(b) >= mean) 1L << b else 0L).sum
+    val out = Multimodal.bmpAHash(Seq((1L, buildBmp())).toDF("doc_id", "payload"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == expected,
+      s"golden aHash mismatch: got ${out.headOption.map(_.getLong(1))}, want $expected")
+
+    // adversarial: every malformed shape must yield ZERO rows — a
+    // fingerprint from garbage would poison the near-dup pair set
+    val malformed = Seq(
+      2L -> Array.empty[Byte],                          // empty
+      3L -> buildBmp().take(50),                        // truncated header
+      4L -> buildBmp().take(200),                       // truncated pixels
+      5L -> ("89504E470D0A1A0A" + "00" * 238).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray,   // PNG magic
+      6L -> buildBmp(w = 16),                           // wrong width
+      7L -> buildBmp(bpp = 8),                          // palette form
+      8L -> buildBmp(comp = 1),                         // RLE-compressed
+      9L -> buildBmp(off = 60))                         // nonstandard offset
+    val bad = Multimodal.bmpAHash(malformed.toDF("doc_id", "payload")).collect()
+    assert(bad.isEmpty, s"malformed BMPs produced fingerprints: ${bad.mkString(",")}")
+
+    // planted structure survives the whole query: every fixture group of
+    // four consecutive doc_ids yields its near-dup pairs, all intra-group
+    val pairs = Multimodal.mmPhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "no near-dup pairs found in the planted fixture")
+    assert(pairs.forall { case (d1, d2, ham) => ham <= 8 && d1 < d2 })
+    val intra = pairs.count { case (d1, d2, _) => d1 / 4 == d2 / 4 }
+    assert(intra * 10 >= pairs.length * 9,
+      s"expected ≥90% intra-group pairs, got $intra of ${pairs.length}")
+  }
+
   test("JPEG marker walk parses golden bytes; SOF past the unroll yields null, never wrong") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
