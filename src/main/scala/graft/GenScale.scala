@@ -41,12 +41,24 @@ object GenScale {
     val inDir  = args(0)
     val outDir = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
-    // `plain` = NO content perturbation: every copy is byte-identical in
-    // its non-key columns. Degenerate on purpose — this is the fixture
-    // that reproduces 10x exact-duplication pathologies (it found the
-    // rare-shingle blocking collapse fixed in Dedup.dedupGroups); the
-    // default perturbed mode is the honest soak for the oracle gate.
-    val plain = args.length > 3 && args(3) == "plain"
+    // mode (arg 3):
+    //   - default ("perturbed"): the honest soak for the oracle gate.
+    //   - "plain": NO content perturbation — every copy is byte-identical
+    //     in its non-key columns. Degenerate on purpose: reproduces 10x
+    //     exact-duplication pathologies (it found the rare-shingle
+    //     blocking collapse fixed in Dedup.dedupGroups).
+    //   - "extend" (r13, VERDICT r12 ask #7): perturbed content PLUS a
+    //     per-copy TIME-AXIS shift of events.ts by i * (span + 1 h) —
+    //     real corpus growth extends the time range instead of stacking
+    //     copies into the same window, so interval-join pair density
+    //     grows ~linearly with copies instead of ~quadratically. This is
+    //     the fixture that makes BASELINE.md's "time_pair_join's sf1
+    //     cost is overlay density" claim testable. BENCH-ONLY: shifted
+    //     timestamps change every event-family result, so the recorded
+    //     CORRECTNESS_sf1 oracle does not apply to an extend fixture.
+    val mode = if (args.length > 3) args(3) else "perturbed"
+    val plain = mode == "plain"
+    val extend = mode == "extend"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -100,9 +112,33 @@ object GenScale {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * sO))
       .withColumn("l_partkey", col("l_partkey") + lit(i * sP))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * sS))), "lineitem")
+    // extend mode: copy i's events shift by i * (span + 1 h), handling
+    // both fixture ts encodings (timestamp[us] and NANOS-as-long — the
+    // Tables.events contract)
+    val tsIsLong = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tsSpan: Long =
+      if (!extend) 0L
+      else if (tsIsLong) {
+        val r = events.agg(min(col("ts")), max(col("ts"))).first()
+        (r.getLong(1) - r.getLong(0)) + 3600L * 1000000000L
+      } else {
+        // TIMESTAMP and TIMESTAMP_NTZ both reduce through unix_micros
+        // after a cast (session tz is pinned UTC) — getTimestamp would
+        // ClassCastException on the NTZ java8 LocalDateTime
+        val r = events
+          .select(unix_micros(col("ts").cast("timestamp")).as("t"))
+          .agg(min(col("t")), max(col("t"))).first()
+        (r.getLong(1) - r.getLong(0)) + 3600L * 1000000L
+      }
+    def tsShift(i: Int) =
+      if (!extend || i == 0) col("ts")
+      else if (tsIsLong) col("ts") + lit(i * tsSpan)
+      else expr(s"timestampadd(MICROSECOND, CAST(${i * tsSpan} AS BIGINT), ts)")
     wr(rep(i => events
       .withColumn("event_id", col("event_id") + lit(i * sE))
-      .withColumn("user_id", col("user_id") + lit(i * sU))), "events")
+      .withColumn("user_id", col("user_id") + lit(i * sU))
+      .withColumn("ts", tsShift(i))), "events")
     wr(rep { i =>
       val txt =
         if (plain || i == 0) col("text")
