@@ -332,6 +332,15 @@ object Multimodal {
     }: _*)
     Tables.documents(spark, dir)
       .select(d.as("doc_id"), unhex(concat(header, pixelHex)).as("payload"))
+      // Materialization barrier, FIXTURE-ONLY: the payload here is a
+      // 64-md5 column expression, and every downstream reference (the
+      // validity conjuncts, the exploded byte reads, the band join's two
+      // sides) would re-evaluate it after optimizer substitution —
+      // measured 8-24 s at sf0.1 vs 0.3 s parsed from stored bytes. In
+      // production the payload IS stored bytes (a binary-column scan),
+      // so the barrier models the real input, it doesn't hide a cost:
+      // build once (246 B/doc), then every consumer reads bytes.
+      .localCheckpoint(true)
   }
 
   /** aHash fingerprints parsed from REAL BMP bytes: validate the header
@@ -342,9 +351,22 @@ object Multimodal {
     * perceptual-dedup baseline: equal-size downsample + mean threshold).
     * 60 of the 64 bits form the fingerprint (the [[Dedup.simhash]]
     * signed-long discipline — both engines parse hex into a signed
-    * BIGINT, so the fingerprint stays in 60 bits). One codegen'd
-    * projection per image; malformed payloads parse as NO row (filtered
-    * on validity), never a wrong fingerprint. */
+    * BIGINT, so the fingerprint stays in 60 bits).
+    *
+    * Shape: EXPLODED-ROW extraction + lane-packed aggregation, not a
+    * 64-wide projection. The first cut extracted all 64 pixels in one
+    * projection over the payload expression; with a fixture whose
+    * payload is itself a column expression the optimizer inlined that
+    * expression into every extraction (64× duplication — 19 s at sf0.1,
+    * the interpreted-lambda lesson in optimizer form). Here each
+    * payload row is referenced ONCE: explode 64 pixel indices, read one
+    * byte per row at the computed bottom-up offset, drop the payload,
+    * and lane-pack the 64 bytes into 8 longs with a map-side aggregate
+    * (8 pixels × 8 bits per lane — the [[Dedup.simhash]] lane
+    * discipline), so the only shuffle carries 8 longs per image.
+    * Mean/bits unpack from the lanes in a cheap post-aggregation
+    * projection. Malformed payloads parse as NO row (filtered on
+    * validity), never a wrong fingerprint. */
   private[graft] def bmpAHash(payloads: DataFrame): DataFrame = {
     val p = col("payload")
     val valid = length(p) >= lit(246) &&
@@ -353,15 +375,25 @@ object Multimodal {
       le32(p, 19) === lit(8) && le32(p, 23) === lit(8) &&
       le16(p, 29) === lit(24) && le32(p, 31) === lit(0)
     // logical pixel i (top-down) lives at byte 54 + (7 - i/8)*24 + (i%8)*3
-    def px(i: Int) = u8(p, 54 + (7 - i / 8) * 24 + (i % 8) * 3 + 1)
-    val pxs = (0 until 64).map(px)
-    payloads.filter(valid)
-      .select(col("doc_id") +: pxs.reduce(_ + _).as("psum") +:
-        (0 until 64).map(i => pxs(i).as(s"p$i")): _*)
-      .withColumn("mean", floor(col("psum").cast("double") / lit(64.0)).cast("int"))
+    val bytes = payloads.filter(valid)
+      .select(col("doc_id"), explode(expr("sequence(0, 63)")).as("i"), p.as("pl"))
+      .select(col("doc_id"), col("i"),
+        conv(hex(expr(
+          "substring(pl, 55 + (7 - i div 8) * 24 + (i % 8) * 3, 1)")), 16, 10)
+          .cast("long").as("p"))
+    val lanes = (0 until 8).map { k =>
+      sum(expr(s"IF(i div 8 = $k, shiftleft(p, 8 * (i % 8)), CAST(0 AS BIGINT))"))
+        .as(s"lane$k")
+    }
+    def pix(b: Int) =
+      shiftright(col(s"lane${b / 8}"), 8 * (b % 8)).bitwiseAND(lit(255L))
+    val psum = (0 until 64).map(pix).reduce(_ + _)
+    bytes.groupBy(col("doc_id"))
+      .agg(lanes.head, lanes.tail: _*)
+      .withColumn("mean", floor(psum.cast("double") / lit(64.0)).cast("long"))
       .select(col("doc_id"),
         (0 until 60).map { b =>
-          when(col(s"p$b") >= col("mean"), lit(1L << b)).otherwise(lit(0L))
+          when(pix(b) >= col("mean"), lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).as("ahash"))
   }
 
