@@ -56,8 +56,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeVocab private (
     units: Array[Array[Byte]],
-    val codepointFallback: Boolean)
+    val codepointFallback: Boolean,
+    /** When present, [[count]] runs TRUE merge-rank BPE instead of greedy
+      * longest-match: each word starts as raw bytes and the
+      * lowest-ranked applicable merge is applied repeatedly — the
+      * published GPT-2 algorithm (Sennrich et al. 2016's training
+      * order replayed at inference), which greedy maximal munch only
+      * approximates (e.g. merges (c,d)<(b,c)<(cd,e) tokenize "bcde" as
+      * [b, cde] = 2, where longest-match over the same unit inventory
+      * gives [bc, d, e] = 3 — BpeSpec pins the divergence). Built by
+      * [[BpeVocab.fromGpt2Merges]] with `ranked = true`. */
+    ranked: Option[BpeRankedTable])
     extends Serializable {
+
+  private def this(units: Array[Array[Byte]], codepointFallback: Boolean) =
+    this(units, codepointFallback, None)
 
   require(units.forall(_.length > 0), "BpeVocab units must be non-empty")
 
@@ -154,18 +167,21 @@ final class BpeVocab private (
     else 1
   }
 
-  private def countWord(b: Array[Byte], start: Int, end: Int): Long = {
-    var pos = start
-    var cnt = 0L
-    while (pos < end) {
-      val m = longestMatch(b, pos, end)
-      if (m > 0) pos += m
-      else if (codepointFallback) pos += math.min(cpWidth(b(pos)), end - pos)
-      else pos += 1
-      cnt += 1
+  private def countWord(b: Array[Byte], start: Int, end: Int): Long =
+    ranked match {
+      case Some(t) => t.countWord(b, start, end)
+      case None =>
+        var pos = start
+        var cnt = 0L
+        while (pos < end) {
+          val m = longestMatch(b, pos, end)
+          if (m > 0) pos += m
+          else if (codepointFallback) pos += math.min(cpWidth(b(pos)), end - pos)
+          else pos += 1
+          cnt += 1
+        }
+        cnt
     }
-    cnt
-  }
 
   def countBytes(b: Array[Byte]): Long = {
     var total = 0L
@@ -186,6 +202,49 @@ final class BpeVocab private (
 
   /** Zero-copy-ish entry for codegen: UTF8String's backing bytes. */
   def countUtf8(s: UTF8String): Long = countBytes(s.getBytes)
+}
+
+/** Merge-rank BPE state: token ids are bytes 0..255 plus one id per
+  * merge RESULT; `pairRank`/`mergedId` map a packed adjacent-id pair to
+  * the merge's rank and its result id. Per word, the lowest-ranked
+  * applicable pair merges until none applies — the token count is what
+  * remains. O(len²) pair scans per word upper-bounds the work; words
+  * are single-space-split runs, so len is sentence-word-sized, and the
+  * kernel stays a map-side projection like the trie path. */
+final class BpeRankedTable private[graft] (
+    pairRank: java.util.HashMap[java.lang.Long, java.lang.Integer],
+    mergedId: java.util.HashMap[java.lang.Long, java.lang.Integer])
+    extends Serializable {
+
+  private def pack(a: Int, b: Int): java.lang.Long =
+    java.lang.Long.valueOf((a.toLong << 32) | (b.toLong & 0xFFFFFFFFL))
+
+  private[graft] def countWord(b: Array[Byte], start: Int, end: Int): Long = {
+    var n = end - start
+    if (n <= 1) return n.toLong
+    val ids = new Array[Int](n)
+    var i = 0
+    while (i < n) { ids(i) = b(start + i) & 0xFF; i += 1 }
+    var done = false
+    while (!done && n > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      i = 0
+      while (i < n - 1) {
+        val r = pairRank.get(pack(ids(i), ids(i + 1)))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        ids(bi) = mergedId.get(pack(ids(bi), ids(bi + 1))).intValue()
+        i = bi + 1
+        while (i < n - 1) { ids(i) = ids(i + 1); i += 1 }
+        n -= 1
+      }
+    }
+    n.toLong
+  }
 }
 
 object BpeVocab {
@@ -238,25 +297,55 @@ object BpeVocab {
     * header, then one merge per line as two space-separated tokens in
     * the byte-to-unicode alphabet; each merge's RESULT (the
     * concatenation, decoded to raw bytes) becomes a vocabulary unit.
-    * Counting runs greedy longest-match over that inventory with
-    * byte fallback (every unmatched byte is a base token — GPT-2's
-    * 256-entry byte alphabet made implicit). */
-  def fromGpt2Merges(lines: Iterator[String]): BpeVocab = {
-    val units = lines
+    *
+    * `ranked = false` (default): counting runs greedy longest-match
+    * over that inventory with byte fallback (every unmatched byte is a
+    * base token — GPT-2's 256-entry byte alphabet made implicit).
+    * `ranked = true`: counting replays the merges IN FILE ORDER per
+    * word — the exact published BPE inference algorithm. The loader is
+    * loud about rank-order violations (a merge whose side was never
+    * produced by an earlier merge or a single byte cannot apply and
+    * indicates a corrupt table). */
+  def fromGpt2Merges(lines: Iterator[String], ranked: Boolean = false): BpeVocab = {
+    val pairs = lines
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val sp = l.split(" ")
         require(sp.length == 2, s"malformed merge line: '$l'")
-        decodeGpt2(sp(0) + sp(1))
+        (decodeGpt2(sp(0)), decodeGpt2(sp(1)))
       }
       .toSeq
-    fromUnits(units)
+    val units = pairs.map { case (a, b) => a ++ b }
+    if (!ranked) fromUnits(units)
+    else {
+      import scala.collection.immutable.ArraySeq
+      val idOf = scala.collection.mutable.HashMap.empty[ArraySeq[Byte], Int]
+      (0 until 256).foreach(b => idOf(ArraySeq(b.toByte)) = b)
+      val pairRank = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+      val mergedId = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+      pairs.zipWithIndex.foreach { case ((a, b), rank) =>
+        val ia = idOf.getOrElse(ArraySeq.unsafeWrapArray(a), throw new IllegalArgumentException(
+          s"merge $rank: left side is neither a byte nor an earlier merge result"))
+        val ib = idOf.getOrElse(ArraySeq.unsafeWrapArray(b), throw new IllegalArgumentException(
+          s"merge $rank: right side is neither a byte nor an earlier merge result"))
+        val key = java.lang.Long.valueOf((ia.toLong << 32) | (ib.toLong & 0xFFFFFFFFL))
+        // first-rank-wins like the reference table (duplicate pairs in a
+        // real merges file do not occur; tolerate them conservatively)
+        if (!pairRank.containsKey(key)) {
+          pairRank.put(key, rank)
+          val rid = idOf.getOrElseUpdate(ArraySeq.unsafeWrapArray(a ++ b), 256 + rank)
+          mergedId.put(key, rid)
+        }
+      }
+      new BpeVocab(units.toArray, false,
+        Some(new BpeRankedTable(pairRank, mergedId)))
+    }
   }
 
-  def fromGpt2MergesFile(path: String): BpeVocab = {
+  def fromGpt2MergesFile(path: String, ranked: Boolean = false): BpeVocab = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try fromGpt2Merges(src.getLines()) finally src.close()
+    try fromGpt2Merges(src.getLines(), ranked) finally src.close()
   }
 }
 

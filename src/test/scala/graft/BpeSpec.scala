@@ -170,6 +170,37 @@ class BpeSpec extends SparkSpec {
       BpeVocab.fromGpt2Merges(Seq("a b c").iterator))
   }
 
+  test("merge-rank BPE mode replays merges in file order (and diverges from greedy where it must)") {
+    import org.apache.spark.sql.graft.{BpeFunctions, BpeVocab}
+    import spark.implicits._
+    // merges: (c,d) rank0 -> cd, (b,c) rank1 -> bc, (cd,e) rank2 -> cde
+    val lines = Seq("#version: 0.2", "c d", "b c", "cd e")
+    val rankedV = BpeVocab.fromGpt2Merges(lines.iterator, ranked = true)
+    val greedyV = BpeVocab.fromGpt2Merges(lines.iterator)
+    // the canonical divergence: ranked merges (c,d) FIRST because its
+    // rank is lower, yielding [b, cde] = 2; greedy longest-match eats
+    // "bc" at position 0 and strands d,e -> 3
+    assert(rankedV.count("bcde") == 2L)
+    assert(greedyV.count("bcde") == 3L)
+    // where the orders agree, the counts agree
+    assert(rankedV.count("cde") == 1L && greedyV.count("cde") == 1L)
+    assert(rankedV.count("cd") == 1L && greedyV.count("cd") == 1L)
+    assert(rankedV.count("xyz") == 3L && greedyV.count("xyz") == 3L)
+    // word split + multi-byte fallback behave byte-level in both modes
+    assert(rankedV.count("cd cd") == 2L)
+    assert(rankedV.count("é") == 2L)
+    assert(rankedV.count("") == 0L)
+    // rank-order violation (a side never produced) is loud
+    intercept[IllegalArgumentException](
+      BpeVocab.fromGpt2Merges(Seq("cd e").iterator, ranked = true))
+    // the ranked table rides the native expression like any vocab
+    // (serialized into codegen as a reference object)
+    val viaExpr = Seq((1L, "bcde bcde zz")).toDF("doc_id", "text")
+      .select(BpeFunctions.bpe_count(col("text"), rankedV).as("n"))
+      .first().getLong(0)
+    assert(viaExpr == 2L + 2L + 2L, s"expression path gave $viaExpr")
+  }
+
   test("50k-entry real-format vocab: loads, counts, and stays a map-side projection") {
     import org.apache.spark.sql.graft.{BpeFunctions, BpeVocab}
     import spark.implicits._
