@@ -406,20 +406,35 @@ object Multimodal {
     * the band join shuffles 4 rows per image keyed on 15-bit chunks,
     * quadratic work confined to same-chunk buckets, far-pair candidates
     * drop before the distinct shuffle. */
-  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = bmpAHash(bmpPayloads(spark, dir))
-    val chunks = sig.select(col("doc_id"), col("ahash"), explode(expr(
+  /** The 4×15-bit band rows of a fingerprint frame — shared by the
+    * one-shot query and [[graft.streaming.PhashStream]], so online and
+    * offline candidates are provably the same banding. */
+  private[graft] def ahashChunks(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("ahash"), explode(expr(
       "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ck', (ahash >> (c * 15)) & 32767))"))
       .as("cc"))
       .select(col("doc_id"), col("ahash"), col("cc.chunk").as("chunk"), col("cc.ck").as("ck"))
-    chunks.as("a")
-      .join(chunks.as("b"),
+
+  /** Verified near-dup pairs from band candidates: `probe` side × `store`
+    * side on identical 15-bit chunks, exact popcount ≤ 8, deduped.
+    * One-shot passes the same frame twice; the stream passes (new,
+    * accumulated) so every pair needs ≥1 new member. `d1 =!= d2` plus
+    * least/greatest keeps the pair canonical regardless of which side a
+    * member sits on. */
+  private[graft] def phashPairs(probe: DataFrame, store: DataFrame): DataFrame =
+    probe.as("a")
+      .join(store.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
       .filter(col("hamming") <= 8)
       .distinct()
+
+  def mmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = ahashChunks(bmpAHash(bmpPayloads(spark, dir)))
+    phashPairs(chunks, chunks)
       .orderBy(col("hamming"), col("d1"), col("d2"))
       .limit(1000)
   }

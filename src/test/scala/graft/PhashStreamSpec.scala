@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.PhashStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming perceptual image near-dup ([[PhashStream]]): stream ==
+  * one-shot after every micro-batch (including cross-batch planted
+  * pairs), malformed images admitted as no-ops, replay idempotence. */
+class PhashStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("d1", "d2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def oneShot(payloads: DataFrame): Set[(Long, Long, Int)] = {
+    val chunks = Multimodal.ahashChunks(Multimodal.bmpAHash(payloads))
+    pairSet(Multimodal.phashPairs(chunks, chunks))
+  }
+
+  test("stream equals one-shot after every micro-batch; malformed and replay are no-ops") {
+    val st = tmp("phash-stream")
+    val all = Multimodal.bmpPayloads(spark, sf).localCheckpoint(true)
+    // split group members ACROSS batches (doc_id % 3) so near-dup pairs
+    // must be found cross-batch, not just within one
+    val batches = (0 until 3).map(k => all.filter(col("doc_id") % 3 === k))
+    val garbage = "not an image at all".getBytes("US-ASCII")
+
+    // batch 1 carries a malformed image; batch 2 re-sends the same
+    // doc_id (must be a seen no-op, not a re-admit)
+    val inputs = batches.zipWithIndex.map { case (b, i) =>
+      if (i >= 1) {
+        import spark.implicits._
+        b.unionByName(Seq((900001L, garbage)).toDF("doc_id", "payload"))
+      } else b
+    }
+    var seen = all.filter(lit(false))
+    inputs.zipWithIndex.foreach { case (withBad, i) =>
+      PhashStream.processBatch(spark, withBad, st, i.toLong)
+      seen = seen.unionByName(batches(i))
+      val streamed = pairSet(PhashStream.pairs(spark, st))
+      val expected = oneShot(seen)
+      assert(streamed == expected,
+        s"after batch $i: stream ${streamed.size} pairs vs one-shot ${expected.size}")
+    }
+    // the split really exercised cross-batch discovery: at least one
+    // final pair's members arrived in different batches
+    val finalPairs = pairSet(PhashStream.pairs(spark, st))
+    assert(finalPairs.nonEmpty)
+    assert(finalPairs.exists { case (d1, d2, _) => d1 % 3 != d2 % 3 },
+      "no cross-batch pair — the fixture split is degenerate")
+    // the malformed doc was admitted (seen-ness) but produced nothing
+    assert(spark.read.parquet(s"$st/docs").filter(col("doc_id") === 900001L).count() == 1)
+    assert(finalPairs.forall { case (d1, d2, _) => d1 != 900001L && d2 != 900001L })
+
+    // replay idempotence + partial-state convergence: drop two of the
+    // three stores' batch-1 partitions and replay batch 1
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$st/chunks/batch=1")).deleteRecursively()
+    new Directory(new java.io.File(s"$st/pairs/batch=1")).deleteRecursively()
+    PhashStream.processBatch(spark, inputs(1), st, 1L)
+    assert(pairSet(PhashStream.pairs(spark, st)) == finalPairs,
+      "replay after losing two of three batch partitions must converge")
+  }
+}
