@@ -270,6 +270,150 @@ object Similarity {
       |FROM ranked WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // --- semantic dedup (SemDeDup, Abbas et al. 2023) -------------------------
+  /** Embedding-space semantic dedup: assign every vector to its nearest
+    * centroid (the [[kmeansAssign]] E-step, shared arithmetic), find
+    * cosine-≥τ pairs WITHIN a cluster, and keep the member of each pair
+    * with the LOWER cosine to its centroid (the published SemDeDup keep
+    * rule — low-centroid-similarity examples carry the most marginal
+    * information), ties to the lower vec_id. τ defaults to 0.3, the
+    * [[embNearDup]] fixture threshold (the synthetic embeddings are
+    * near-orthogonal — max within-cell cosine ≈0.4; a real embedding
+    * corpus would run τ≈0.95, the published setting — τ is the
+    * caller's knob, the oracle pins the default). An item is `kept = false`
+    * iff it loses ANY ≥τ comparison — the one-pass dominance form (the
+    * dedup_keep_best stance, no iterative clustering).
+    *
+    * Scale shape: pairs are confined to (cluster × 8-sign-LSH-bucket)
+    * cells — the [[embNearDup]] sub-bucketing composed with the semantic
+    * clusters, so the quadratic work is per-cell, never per-cluster (at
+    * real scale the cluster count grows with the corpus, and the sign
+    * code bounds the cell regardless; cross-sign-bucket τ-pairs inside a
+    * cluster are the same documented recall trade embNearDup makes).
+    * The centroid table broadcasts; cells above `maxCell` are skipped
+    * wholesale (kept, the degenerate-bucket defense).
+    *
+    * Determinism: every float expression is a shared tree with the
+    * DuckDB twin (norms/dots via the FloatVecDot casts, distances via
+    * the kmeansAssign fold, centroid cosine from the algebraic identity
+    * (|v|²+|c|²−d)/(2|v||c|) over those SAME subterms), so the hash
+    * oracle pins it bit-for-bit. */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.3,
+               maxCell: Int = 5000): DataFrame =
+    semDedupFrom(Tables.embeddings(spark, dir),
+      centroidTable(spark, dir), tau, maxCell)
+
+  /** Core of [[semDedup]] over any (vec_id, embedding) frame and
+    * centroid table — split out so the keep-rule spec can plant an
+    * exact near-dup pair with known centroid geometry. */
+  private[graft] def semDedupFrom(embs: DataFrame, centroids: DataFrame,
+                                  tau: Double, maxCell: Int): DataFrame = {
+    val cent = centroids
+      .withColumn("cn2",
+        expr("aggregate(cl, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
+    val signCode = (0 until 8).map { i =>
+      when(element_at(col("embedding"), i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("c_label"))
+    val assigned = withNorm(embs)
+      .crossJoin(broadcast(cent))
+      .withColumn("d",
+        org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("embedding"), col("cl")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("c_label").cast("int").as("cluster"),
+        ((col("norm") * col("norm") + col("cn2") - col("d")) /
+          (lit(2.0) * col("norm") * sqrt(col("cn2")))).as("c_sim"),
+        signCode.as("sb"))
+    // Materialize the assignment stage ONCE: its output feeds the
+    // cell-size gate, both sides of the pair self-join, and the final
+    // merge, and declarative reuse would re-run the corpus×k centroid
+    // join for EACH consumer (measured: 5 BroadcastNestedLoopJoins for
+    // one logical assignment — self-join attribute deduplication gives
+    // the copies fresh expression ids, so ReuseExchange never fires).
+    // This is the production SemDeDup shape anyway: the E-step output
+    // is a persisted stage between the assignment scan and the
+    // within-cluster pair pass.
+    val cellBase = assigned.localCheckpoint(true)
+    val smallCells = cellBase.groupBy(col("cluster"), col("sb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxCell)
+      .select(col("cluster"), col("sb"))
+    // smallCells is ≤ k×256 rows by construction — broadcast, so gating
+    // the cells never reshuffles the corpus
+    val cell = cellBase.join(broadcast(smallCells), Seq("cluster", "sb"))
+    val pairs = cell.select(col("cluster"), col("sb"), col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("norm").as("n1"), col("c_sim").as("cs1"))
+      .join(cell.select(col("cluster"), col("sb"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("norm").as("n2"), col("c_sim").as("cs2")),
+        Seq("cluster", "sb"))
+      .filter(col("v1") < col("v2"))
+      .filter(dot("e1", "e2") / (col("n1") * col("n2")) >= lit(tau))
+    val losers = pairs
+      .select(when(col("cs2") > col("cs1"), col("v2"))
+        .when(col("cs2") < col("cs1"), col("v1"))
+        .otherwise(col("v2")).as("vec_id"))
+      .distinct()
+    cellBase
+      .join(losers.withColumn("lost", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("c_sim"),
+        coalesce(col("lost"), lit(false)).=!=(lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB twin: the kmeansAssign CTEs extended with the centroid
+    * norm, the same algebraic centroid cosine, the same (cluster,
+    * sign-bucket) cells, pair threshold, and keep rule. */
+  val semDedupSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+      |         list_sum(list_transform(range(0, 8),
+      |             i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << i) ELSE 0 END)) AS sb
+      |  FROM embeddings
+      |), x AS (
+      |  SELECT label, i AS dim, round(CAST(embedding[i+1] AS DOUBLE), 6) AS v
+      |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+      |), cmean AS (
+      |  SELECT label, dim, CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+      |  FROM x GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT label AS c_label, list(c ORDER BY dim) AS cl,
+      |         list_sum(list_transform(list(c ORDER BY dim), y -> y * y)) AS cn2
+      |  FROM cmean GROUP BY 1
+      |), scored AS (
+      |  SELECT e.vec_id, e.norm, e.sb, c.c_label, c.cn2,
+      |         list_sum(list_transform(range(len(e.embedding)),
+      |           i -> (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM emb e CROSS JOIN cent c
+      |), assigned AS (
+      |  SELECT vec_id, norm, sb, CAST(c_label AS INT) AS cluster,
+      |         (norm * norm + cn2 - d) / (2.0 * norm * sqrt(cn2)) AS c_sim
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1
+      |), cells AS (
+      |  SELECT cluster, sb FROM assigned GROUP BY 1, 2 HAVING count(*) <= 5000
+      |), cell AS (
+      |  SELECT a.* FROM assigned a JOIN cells USING (cluster, sb)
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, a.c_sim AS cs1, b.vec_id AS v2, b.c_sim AS cs2
+      |  FROM cell a JOIN cell b ON a.cluster = b.cluster AND a.sb = b.sb
+      |       AND a.vec_id < b.vec_id
+      |  JOIN emb ea ON ea.vec_id = a.vec_id
+      |  JOIN emb eb ON eb.vec_id = b.vec_id
+      |  WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / (ea.norm * eb.norm) >= 0.3
+      |), losers AS (
+      |  SELECT DISTINCT CASE WHEN cs2 > cs1 THEN v2
+      |                       WHEN cs2 < cs1 THEN v1
+      |                       ELSE v2 END AS vec_id
+      |  FROM pairs
+      |)
+      |SELECT a.vec_id, a.cluster, a.c_sim,
+      |       l.vec_id IS NULL AS kept
+      |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   // --- product quantization code assignment ---------------------------------
   /** PQ codes: the 64-dim vector is split into 4 subspaces of 16 dims and
     * each subvector is assigned to its nearest per-subspace codebook

@@ -97,6 +97,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.count() === 190L + 6L)
   }
 
+  test("semDedup keep rule: lower-centroid-cosine member of a near-dup pair wins; ties to lower id") {
+    import spark.implicits._
+    // Cluster 0's centroid points along dim0, cluster 1's along dim1.
+    // v1/v2 are near-dups in cluster 0 (cosine ≈ 0.9998 ≥ τ): v1 hugs the
+    // centroid tighter (HIGHER c_sim) so the published keep rule REMOVES
+    // v1 and keeps v2 (low-centroid-sim carries the most marginal
+    // information). v4/v5 are byte-identical in cluster 1 — equal c_sim,
+    // the tie removes the higher vec_id. v3 pairs with nobody.
+    val embs = Seq(
+      1L -> Array(1.0f, 0.10f, 0f, 0f, 0f, 0f, 0f, 0f),
+      2L -> Array(1.0f, 0.12f, 0f, 0f, 0f, 0f, 0f, 0f),
+      3L -> Array(0.05f, 0f, 1.0f, 0f, 0f, 0f, 0f, 0f),
+      4L -> Array(0f, 1.0f, 0.3f, 0f, 0f, 0f, 0f, 0f),
+      5L -> Array(0f, 1.0f, 0.3f, 0f, 0f, 0f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1, Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("c_label", "cl")
+    val out = operators.Similarity.semDedupFrom(embs, cents, tau = 0.9, maxCell = 5000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L)._1 == 0 && out(2L)._1 == 0, "v1/v2 must assign to cluster 0")
+    assert(out(4L)._1 == 1 && out(5L)._1 == 1)
+    assert(out(1L)._2 > out(2L)._2, "v1 must sit closer to its centroid")
+    assert(!out(1L)._3, "the HIGH-centroid-sim member of the pair must be removed")
+    assert(out(2L)._3, "the low-centroid-sim member must be kept")
+    assert(out(3L)._3, "an unpaired vector is always kept")
+    assert(out(4L)._3 && !out(5L)._3, "identical pair: tie keeps the lower vec_id")
+    // cell cap: force every cell oversize — nothing pairs, everything kept
+    val allKept = operators.Similarity.semDedupFrom(embs, cents, tau = 0.9, maxCell = 1)
+      .filter(!col("kept")).count()
+    assert(allKept == 0L, "over-cap cells must be skipped wholesale (kept)")
+  }
+
   test("pq codes: full coverage and per-subspace argmin beats any single centroid") {
     val pq = Similarity.pqCodes(spark, sf)
     val nVec = Tables.embeddings(spark, sf).count()
