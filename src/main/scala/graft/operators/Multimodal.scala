@@ -473,6 +473,147 @@ object Multimodal {
       |ORDER BY hamming, d1, d2
       |LIMIT 1000""".stripMargin
 
+  // --- perceptual audio near-dup (energy fingerprint over real WAV) --------
+
+  /** Samples per fixture clip: 60 energy chunks × 4 samples. */
+  private val WavToneChunks = 60
+  private val WavToneSamplesPerChunk = 4
+  private val WavToneSamples = WavToneChunks * WavToneSamplesPerChunk
+  private val WavToneDataBytes = WavToneSamples * 2
+
+  /** Sample ground truth for [[wavTonePayloads]]: groups of four
+    * consecutive doc_ids share a base waveform (md5 of "base_t" mod
+    * 1601, centered to −800..800 — the [[bmpPixel]] engine-reproducible
+    * discipline), and group member m = doc_id % 4 shifts every sample
+    * of chunks c < m by +500 — planted near-duplicate clips whose
+    * energy fingerprints differ in ≤3 of 60 bits, while distinct
+    * groups differ in ~half. Shared verbatim with the DuckDB twin. */
+  private def wavSample(d: org.apache.spark.sql.Column, t: Int) =
+    ((conv(substring(md5(concat(expr("CAST(doc_id div 4 AS STRING)"),
+        lit("_" + t))), 1, 5), 16, 10).cast("int") % 1601) - 800 +
+      when(lit(t / WavToneSamplesPerChunk) < d % 4, lit(500)).otherwise(lit(0)))
+      .cast("int")
+
+  /** Real WAV/PCM clips synthesized from doc-derived samples: the
+    * canonical 44-byte mono 16-bit header followed by [[WavToneSamples]]
+    * little-endian two's-complement samples, every byte a pure function
+    * of doc_id (the [[bmpPayloads]] discipline for audio). Same
+    * fixture-only materialization barrier. */
+  private[graft] def wavTonePayloads(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val header = concat(
+      lit("52494646"), le32Hex(lit(36 + WavToneDataBytes)),   // RIFF size
+      lit("57415645666D742010000000"),  // WAVE + fmt + size 16
+      lit("0100"), le16Hex(lit(1)),     // PCM, mono
+      le32Hex(lit(8000)), le32Hex(lit(16000)), // rate, byte rate
+      le16Hex(lit(2)), lit("1000"),     // block align, 16 bits
+      lit("64617461"), le32Hex(lit(WavToneDataBytes)))
+    val samplesHex = concat((0 until WavToneSamples).map { t =>
+      le16Hex(pmod(wavSample(d, t), lit(65536)))  // two's complement LE16
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(d.as("doc_id"), unhex(concat(header, samplesHex)).as("payload"))
+      .localCheckpoint(true)
+  }
+
+  /** Energy fingerprints parsed from REAL WAV bytes: validate the
+    * canonical header (RIFF/WAVE magics, PCM, mono, 16-bit, the exact
+    * declared sizes), decode the 240 little-endian two's-complement
+    * samples, sum |sample| per 4-sample chunk, and set bit c when chunk
+    * c's energy is ≥ the mean chunk energy — compared in exact integers
+    * (`chunk_sum * 60 >= total`, no division) so the two engines cannot
+    * drift. The published audio-fingerprint scheme in miniature
+    * (Haitsma-Kalker energy-band bits, one band): robust to small
+    * amplitude edits, bit-flips under chunk-level changes.
+    *
+    * Shape: the [[bmpAHash]] exploded-row lesson — one sample per
+    * exploded row (payload referenced once), 60 integer chunk-sum
+    * aggregates per clip, bits in a post-aggregation projection.
+    * Malformed payloads parse as NO row, never a wrong fingerprint. */
+  private[graft] def wavEnergyHash(payloads: DataFrame): DataFrame = {
+    val p = col("payload")
+    val valid = length(p) === lit(44 + WavToneDataBytes) &&
+      hex(substring(p, 1, 4)) === lit("52494646") &&
+      hex(substring(p, 9, 8)) === lit("57415645666D7420") &&
+      le16(p, 21) === lit(1) && le16(p, 23) === lit(1) &&
+      le16(p, 35) === lit(16) &&
+      hex(substring(p, 37, 4)) === lit("64617461") &&
+      le32(p, 41) === lit(WavToneDataBytes)
+    val samples = payloads.filter(valid)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${WavToneSamples - 1})")).as("t"), p.as("pl"))
+      .select(col("doc_id"), col("t"),
+        // LE16 two's complement at byte 44 + 2t (1-based 45 + 2t)
+        expr(s"""CAST(conv(concat(hex(substring(pl, 46 + 2 * t, 1)),
+                               hex(substring(pl, 45 + 2 * t, 1))), 16, 10) AS INT)""")
+          .as("u"))
+      .select(col("doc_id"), col("t"),
+        abs(col("u") - when(col("u") >= 32768, 65536).otherwise(0)).as("a"))
+    val chunkSums = (0 until WavToneChunks).map { c =>
+      sum(when(expr(s"t div $WavToneSamplesPerChunk") === c, col("a"))
+        .otherwise(lit(0))).as(s"e$c")
+    }
+    val total = (0 until WavToneChunks).map(c => col(s"e$c")).reduce(_ + _)
+    samples.groupBy(col("doc_id"))
+      .agg(chunkSums.head, chunkSums.tail: _*)
+      .withColumn("etot", total)
+      .select(col("doc_id"),
+        (0 until WavToneChunks).map { c =>
+          when(col(s"e$c") * lit(WavToneChunks.toLong) >= col("etot"),
+            lit(1L << c)).otherwise(lit(0L))
+        }.reduce(_ + _).as("ahash"))
+  }
+
+  /** Perceptual audio near-dup: energy fingerprints over the WAV corpus,
+    * candidates and verification through the SAME
+    * [[ahashChunks]]/[[phashPairs]] banding machinery as the image form
+    * (4×15-bit chunks, popcount ≤ 8) — one pair pipeline, three
+    * modalities (text simhash, image aHash, audio energy bits). */
+  def mmAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = ahashChunks(wavEnergyHash(wavTonePayloads(spark, dir)))
+    phashPairs(chunks, chunks)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(1000)
+  }
+
+  /** DuckDB twin: ground-truth sample arithmetic (never the bytes — the
+    * build→parse roundtrip must be the identity), the same exact-integer
+    * energy bits, banding, and popcount verify. */
+  val mmAudioNeardupSql: String =
+    s"""WITH sm AS (
+      |  SELECT doc_id, CAST(t AS INT) AS t,
+      |         CAST(CAST(concat('0x', substr(md5(concat(
+      |                CAST(doc_id // 4 AS VARCHAR), '_', CAST(t AS VARCHAR))),
+      |                1, 5)) AS INT) % 1601 - 800 +
+      |              (CASE WHEN t // $WavToneSamplesPerChunk < doc_id % 4
+      |                    THEN 500 ELSE 0 END) AS INT) AS s
+      |  FROM documents, LATERAL unnest(range($WavToneSamples)) AS tt(t)
+      |), ch AS (
+      |  SELECT doc_id, t // $WavToneSamplesPerChunk AS c, sum(abs(s)) AS e
+      |  FROM sm GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT doc_id, sum(e) AS etot FROM ch GROUP BY 1
+      |), sig AS (
+      |  SELECT ch.doc_id,
+      |         sum(CASE WHEN e * $WavToneChunks >= etot
+      |                  THEN (CAST(1 AS BIGINT) << CAST(c AS INT)) ELSE 0 END) AS ahash
+      |  FROM ch JOIN tot ON ch.doc_id = tot.doc_id
+      |  GROUP BY 1
+      |), chunks AS (
+      |  SELECT doc_id, ahash, k, (ahash >> CAST(k * 15 AS INT)) & 32767 AS ck
+      |  FROM sig, LATERAL unnest(range(4)) AS t(k)
+      |), pairs AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+      |         greatest(a.doc_id, b.doc_id) AS d2,
+      |         CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      |  FROM chunks a JOIN chunks b ON a.k = b.k AND a.ck = b.ck
+      |       AND a.doc_id <> b.doc_id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+      |)
+      |SELECT d1, d2, hamming FROM pairs
+      |ORDER BY hamming, d1, d2
+      |LIMIT 1000""".stripMargin
+
   private[graft] def jpegPayloads(spark: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val w = (d % 509 + 1).cast("int")

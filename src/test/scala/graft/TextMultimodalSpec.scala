@@ -128,6 +128,55 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected ≥90% intra-group pairs, got $intra of ${pairs.length}")
   }
 
+  test("WAV energy hash parses golden bytes exactly; malformed input yields NO fingerprint") {
+    import spark.implicits._
+    // golden: a real 240-sample mono 16-bit WAV written independently via
+    // ByteBuffer (LITTLE_ENDIAN), known sample ramp incl. negatives
+    val samples = Array.tabulate(240)(t => ((t * 131 + 77) % 1601 - 800).toShort)
+    def buildWav(fmt: Short = 1, ch: Short = 1, bits: Short = 16,
+                 dataSize: Int = 480, truncateTo: Int = 524): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(524)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 480)
+        .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmt).putShort(ch).putInt(8000).putInt(16000)
+        .putShort(2).putShort(bits)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(bb.putShort(_))
+      bb.array().take(truncateTo)
+    }
+    // independent reference: |s| per 4-sample chunk vs exact-integer mean
+    val chunkE = samples.grouped(4).map(_.map(s => math.abs(s.toInt)).sum).toArray
+    val total = chunkE.sum.toLong
+    val expected = (0 until 60)
+      .map(c => if (chunkE(c) * 60L >= total) 1L << c else 0L).sum
+    val out = Multimodal.wavEnergyHash(
+      Seq((1L, buildWav())).toDF("doc_id", "payload")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == expected,
+      s"golden energy hash mismatch: got ${out.headOption.map(_.getLong(1))}, want $expected")
+
+    val malformed = Seq(
+      2L -> Array.empty[Byte],
+      3L -> buildWav(truncateTo = 40),          // truncated header
+      4L -> buildWav(truncateTo = 500),         // truncated samples
+      5L -> buildWav(fmt = 3),                  // float PCM
+      6L -> buildWav(ch = 2),                   // stereo
+      7L -> buildWav(bits = 8),                 // 8-bit
+      8L -> buildWav(dataSize = 400))           // size lies
+    val bad = Multimodal.wavEnergyHash(malformed.toDF("doc_id", "payload")).collect()
+    assert(bad.isEmpty, s"malformed WAVs produced fingerprints: ${bad.mkString(",")}")
+
+    // planted structure end-to-end: near-dup pairs exist and are
+    // overwhelmingly intra-group
+    val pairs = Multimodal.mmAudioNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "no audio near-dup pairs in the planted fixture")
+    assert(pairs.forall { case (d1, d2, ham) => ham <= 8 && d1 < d2 })
+    val intra = pairs.count { case (d1, d2, _) => d1 / 4 == d2 / 4 }
+    assert(intra * 10 >= pairs.length * 9,
+      s"expected ≥90% intra-group pairs, got $intra of ${pairs.length}")
+  }
+
   test("JPEG marker walk parses golden bytes; SOF past the unroll yields null, never wrong") {
     import spark.implicits._
     def hx(s: String): Array[Byte] =
