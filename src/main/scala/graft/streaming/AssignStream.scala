@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Similarity
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -29,8 +29,9 @@ object AssignStream {
   def processBatch(spark: SparkSession, batch: DataFrame, fixtureDir: String,
                    outDir: String, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    Similarity.assignFrom(batch, Similarity.centroidTable(spark, fixtureDir))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+    BucketedState.overwriteBatch(
+      Similarity.assignFrom(batch, Similarity.centroidTable(spark, fixtureDir)),
+      outDir, batchId)
   }
 
   def assignStream(embStream: DataFrame, fixtureDir: String, outDir: String,
@@ -47,8 +48,7 @@ object AssignStream {
   /** All assignments so far (the batch result's shape). */
   def assignments(spark: SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
-    (try Some(spark.read.parquet(outDir))
-     catch { case _: org.apache.spark.sql.AnalysisException => None })
+    BucketedState.readStore(spark, outDir)
       .fold(Seq.empty[(Long, Int, Int, Boolean)]
         .toDF("vec_id", "orig_label", "assigned_label", "is_same"))(
         _.drop("batch"))

@@ -33,6 +33,37 @@ object BucketedState {
     * directory listing stays trivial at any corpus size. */
   val NumBuckets: Int = 256
 
+  // -- shared store layout (one home for the exactly-once conventions;
+  // -- LshStream/SpanStream/PhashStream/AssignStream all ride these) --
+
+  /** `<stateDir>/<table>` — the state-store path convention. */
+  def tablePath(stateDir: String, t: String): String = s"$stateDir/$t"
+
+  /** Overwrite this batch's (unbucketed) partition of a store —
+    * `SaveMode.Overwrite` on `<p>/batch=<id>` deletes a crashed
+    * attempt's partial output wholesale, so replay converges. */
+  def overwriteBatch(df: DataFrame, p: String, batchId: Long): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$p/batch=$batchId")
+
+  /** The accumulated store, or None if it was never written. ONLY
+    * AnalysisException (path missing) maps to None: any other failure —
+    * transient IO, corrupt footer — must propagate and fail the batch,
+    * because treating it as "no state yet" would silently re-admit
+    * every seen key. Keeps the `batch` column (latest-wins readers
+    * need it). */
+  def readStore(spark: SparkSession, p: String): Option[DataFrame] =
+    try Some(spark.read.parquet(p))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Unbucketed replay-safe read: state from batches STRICTLY BEFORE
+    * `batchId` (a replayed batch must see exactly what its first
+    * attempt saw, including none of its own partial writes), or
+    * `empty` for a store that was never written. */
+  def readBefore(spark: SparkSession, p: String, batchId: Long,
+                 empty: => DataFrame): DataFrame =
+    readStore(spark, p)
+      .fold(empty)(df => df.filter(col("batch") < batchId).drop("batch"))
+
   /** The bucket of a (long-valued) key column. For string keys pass
     * `xxhash64(c)` — pmod keeps negatives positive. */
   def bucketOf(c: Column): Column =
@@ -55,8 +86,7 @@ object BucketedState {
                   empty: => DataFrame): DataFrame =
     if (buckets.isEmpty) empty
     else
-      (try Some(spark.read.parquet(p))
-       catch { case _: org.apache.spark.sql.AnalysisException => None })
+      readStore(spark, p)
         .fold(empty)(df => df
           .filter(col("batch") < batchId && col(bucketCol).isInCollection(buckets))
           .drop("batch", bucketCol))

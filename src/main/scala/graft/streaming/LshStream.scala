@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -75,23 +75,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object LshStream {
 
-  private def path(stateDir: String, t: String) = s"$stateDir/$t"
-
-  /** State from batches STRICTLY BEFORE `batchId` — the replay-safe read
-    * (a replayed batch must see exactly what its first attempt saw,
-    * including none of its own partial writes). Only a missing store
-    * (first batch) maps to the empty frame; any OTHER failure — transient
-    * IO, corrupt footer — propagates and fails the batch, because
-    * treating it as "no state yet" would silently re-admit every seen doc
-    * and drop every cross-batch candidate. */
-  private def readBefore(spark: SparkSession, p: String, batchId: Long,
-                         empty: => DataFrame): DataFrame =
-    (try Some(spark.read.parquet(p))
-     catch { case _: org.apache.spark.sql.AnalysisException => None })
-      .fold(empty)(df => df.filter(col("batch") < batchId).drop("batch"))
-
-  private def overwriteBatch(df: DataFrame, p: String, batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$p/batch=$batchId")
+  // store layout + replay-safe reads live in ONE home: BucketedState
+  import BucketedState.{tablePath => path, overwriteBatch, readBefore}
 
   /** One micro-batch: detect pairs against everything seen, then admit
     * the batch into the stores. Batch-static, callable directly (the

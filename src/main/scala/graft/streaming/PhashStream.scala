@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Multimodal
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -39,10 +39,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object PhashStream {
 
-  private def path(stateDir: String, t: String) = s"$stateDir/$t"
-
-  private def overwriteBatch(df: DataFrame, p: String, batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$p/batch=$batchId")
+  // store layout + replay-safe reads live in ONE home: BucketedState
+  import BucketedState.{tablePath => path, overwriteBatch, readStore}
 
   /** One micro-batch: detect pairs against everything seen, then admit
     * the batch. `batchId` must be the stream's monotone micro-batch id
@@ -104,8 +102,7 @@ object PhashStream {
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
     val p = path(stateDir, "pairs")
-    (try Some(spark.read.parquet(p))
-     catch { case _: org.apache.spark.sql.AnalysisException => None })
+    readStore(spark, p)
       .fold(Seq.empty[(Long, Long, Int)].toDF("d1", "d2", "hamming"))(
         _.drop("batch"))
       .orderBy(col("hamming"), col("d1"), col("d2"))

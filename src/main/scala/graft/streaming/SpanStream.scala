@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -49,10 +49,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ever added), so no un-flagging path exists. */
 object SpanStream {
 
-  private def path(stateDir: String, t: String) = s"$stateDir/$t"
-
-  private def overwriteBatch(df: DataFrame, p: String, batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$p/batch=$batchId")
+  // store layout + replay-safe reads live in ONE home: BucketedState
+  import BucketedState.{tablePath => path, overwriteBatch, readStore}
 
   /** One micro-batch. `batchId` must be the stream's monotone
     * micro-batch id (replay key AND state partition, as in
@@ -147,11 +145,9 @@ object SpanStream {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val p = path(stateDir, "spans")
-    val raw =
-      (try Some(spark.read.parquet(p))
-       catch { case _: org.apache.spark.sql.AnalysisException => None })
-        .getOrElse(Seq.empty[(Long, Long, Long, Long, Int)]
-          .toDF("doc_id", "span_start", "span_end", "n_windows", "batch"))
+    val raw = readStore(spark, p)
+      .getOrElse(Seq.empty[(Long, Long, Long, Long, Int)]
+        .toDF("doc_id", "span_start", "span_end", "n_windows", "batch"))
     val latest = raw.withColumn("maxb",
       max(col("batch")).over(Window.partitionBy("doc_id")))
       .filter(col("batch") === col("maxb"))

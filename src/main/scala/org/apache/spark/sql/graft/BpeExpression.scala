@@ -92,9 +92,11 @@ final class BpeVocab private (
   }
 
   // ---- flat trie ----
-  // Node n: children are the sorted byte keys childKeys(n) with child
-  // node ids childVal(n); terminal(n) marks a complete unit. Root (node
-  // 0) additionally gets a direct 256-way dispatch table (the hottest
+  // Node n: children are the sorted UNSIGNED byte keys childKeys(n)
+  // (kept as 0..255 ints — a signed-byte array would not be sorted in
+  // binarySearch order once keys cross 0x80) with child node ids
+  // childVal(n); terminal(n) marks a complete unit. Root (node 0)
+  // additionally gets a direct 256-way dispatch table (the hottest
   // probe — most positions fail at the first byte).
   private val (childKeys, childVal, terminal) = {
     import scala.collection.mutable
@@ -116,7 +118,7 @@ final class BpeVocab private (
       }
       term(node) = true
     }
-    (keys.map(_.keysIterator.map(_.toByte).toArray).toArray,
+    (keys.map(_.keysIterator.toArray).toArray,
       keys.map(_.valuesIterator.toArray).toArray,
       term.toArray)
   }
@@ -125,7 +127,7 @@ final class BpeVocab private (
     val d = Array.fill(256)(-1)
     var i = 0
     while (i < childKeys(0).length) {
-      d(childKeys(0)(i) & 0xFF) = childVal(0)(i)
+      d(childKeys(0)(i)) = childVal(0)(i)
       i += 1
     }
     d
@@ -135,7 +137,7 @@ final class BpeVocab private (
   def trieSize: Int = terminal.length
 
   private def child(node: Int, b: Byte): Int = {
-    val k = java.util.Arrays.binarySearch(childKeys(node), b)
+    val k = java.util.Arrays.binarySearch(childKeys(node), b & 0xFF)
     if (k >= 0) childVal(node)(k) else -1
   }
 
@@ -157,13 +159,16 @@ final class BpeVocab private (
   }
 
   /** UTF-8 codepoint width from a lead byte (continuation/invalid → 1,
-    * matching java.codePoints' per-unit degradation on malformed data). */
+    * matching java.codePoints' per-unit degradation on malformed data).
+    * Invalid leads — continuations 0x80..0xBF, overlong 0xC0/0xC1, and
+    * out-of-range 0xF5..0xFF — degrade per BYTE so malformed input never
+    * swallows following bytes that could start a valid match. */
   private def cpWidth(lead: Byte): Int = {
     val b = lead & 0xFF
     if (b < 0x80) 1
-    else if (b >= 0xF0) 4
-    else if (b >= 0xE0) 3
-    else if (b >= 0xC0) 2
+    else if (b >= 0xC2 && b <= 0xDF) 2
+    else if (b >= 0xE0 && b <= 0xEF) 3
+    else if (b >= 0xF0 && b <= 0xF4) 4
     else 1
   }
 
@@ -307,9 +312,15 @@ object BpeVocab {
     * produced by an earlier merge or a single byte cannot apply and
     * indicates a corrupt table). */
   def fromGpt2Merges(lines: Iterator[String], ranked: Boolean = false): BpeVocab = {
-    val pairs = lines
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    // Only the FIRST line may be the '#version' header. '#' itself is a
+    // printable byte in the merge alphabet, and the published GPT-2
+    // table contains legitimate merges like "# #" (→ "##") — a blanket
+    // startsWith("#") filter would silently drop them.
+    val trimmed = lines.map(_.trim).filter(_.nonEmpty).toSeq
+    val body =
+      if (trimmed.nonEmpty && trimmed.head.startsWith("#version")) trimmed.tail
+      else trimmed
+    val pairs = body
       .map { l =>
         val sp = l.split(" ")
         require(sp.length == 2, s"malformed merge line: '$l'")
@@ -338,7 +349,9 @@ object BpeVocab {
           mergedId.put(key, rid)
         }
       }
-      new BpeVocab(units.toArray, false,
+      // Ranked counting never consults the greedy trie — ship only the
+      // rank tables, not a dead ~50k-node trie, in every task closure.
+      new BpeVocab(Array.empty[Array[Byte]], false,
         Some(new BpeRankedTable(pairRank, mergedId)))
     }
   }

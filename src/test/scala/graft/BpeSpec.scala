@@ -264,6 +264,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("high-byte trie children resolve at depth >= 2 (signed-binarySearch regression)") {
+    import org.apache.spark.sql.graft.BpeVocab
+    // 'a' node has children 'b' (0x62) and 0xC3 ('é' lead byte): stored
+    // as signed bytes they'd sort [0x62, -61] — NOT binarySearch order.
+    // The r13 bug made child(node, 0xC3) return -1 and "aé" never match.
+    val v = BpeVocab.fromUnits(Seq(
+      "ab".getBytes("UTF-8"), "aé".getBytes("UTF-8")))
+    assert(v.count("aé") == 1L, "high-byte sibling must match")
+    assert(v.count("ab") == 1L)
+    // ASCII keys must also survive a node crowded with high-byte
+    // siblings (binarySearch mid-probes land on negative bytes)
+    val crowd = Seq(0x01, 0x05, 0xFC, 0xFD, 0xFE).map(b =>
+      Array('x'.toByte, b.toByte))
+    val v2 = BpeVocab.fromUnits(crowd)
+    crowd.foreach { u =>
+      assert(v2.countBytes(u) == 1L,
+        s"unit x+0x${(u(1) & 0xFF).toHexString} must match")
+    }
+    // and a full 256-fanout node: every second byte resolves
+    val fan = (0 until 256).map(b => Array('z'.toByte, b.toByte))
+    val v3 = BpeVocab.fromUnits(fan)
+    fan.foreach(u => assert(v3.countBytes(u) == 1L))
+  }
+
+  test("'#'-leading merges load; only a first-line #version header is skipped") {
+    import org.apache.spark.sql.graft.BpeVocab
+    // the real GPT-2 table contains "# #" (-> "##"); a blanket '#' filter
+    // dropped it (r13 regression)
+    val v = BpeVocab.fromGpt2Merges(Seq("#version: 0.2", "# #", "## #").iterator)
+    assert(v.count("##") == 1L)
+    assert(v.count("###") == 1L)  // "###" built from the second merge
+    assert(v.count("#x") == 2L)
+    // ranked mode: later merges may reference the '#'-built results
+    val r = BpeVocab.fromGpt2Merges(Seq("#version: 0.2", "# #", "## #").iterator,
+      ranked = true)
+    assert(r.count("###") == 1L)
+    // no header at all also works
+    assert(BpeVocab.fromGpt2Merges(Seq("a b").iterator).count("ab") == 1L)
+  }
+
+  test("malformed UTF-8 leads degrade per byte under codepoint fallback") {
+    import org.apache.spark.sql.graft.BpeVocab
+    val v = BpeVocab.fromUnits(Seq("zz".getBytes("UTF-8")), byteFallback = false)
+    // 0xF8 is not a valid lead; it must consume ONE byte, leaving the
+    // following "zz" free to match (the r13 bug swallowed 3 extra bytes)
+    assert(v.countBytes(Array(0xF8.toByte, 'z'.toByte, 'z'.toByte)) == 2L)
+    // overlong lead 0xC0 likewise
+    assert(v.countBytes(Array(0xC0.toByte, 'z'.toByte, 'z'.toByte)) == 2L)
+    // bare continuation byte
+    assert(v.countBytes(Array(0x80.toByte, 'z'.toByte, 'z'.toByte)) == 2L)
+    // valid leads keep their widths: é (C3 A9) is one codepoint
+    assert(v.count("ézz") == 2L)
+  }
+
   test("bpe_count is callable from SQL text (extensions surface)") {
     import spark.implicits._
     org.apache.spark.sql.graft.BpeFunctions.registerSql(spark)
