@@ -481,18 +481,25 @@ object Multimodal {
   private val WavToneSamples = WavToneChunks * WavToneSamplesPerChunk
   private val WavToneDataBytes = WavToneSamples * 2
 
-  /** Sample ground truth for [[wavTonePayloads]]: groups of four
-    * consecutive doc_ids share a base waveform (md5 of "base_t" mod
-    * 1601, centered to −800..800 — the [[bmpPixel]] engine-reproducible
-    * discipline), and group member m = doc_id % 4 shifts every sample
-    * of chunks c < m by +500 — planted near-duplicate clips whose
-    * energy fingerprints differ in ≤3 of 60 bits, while distinct
-    * groups differ in ~half. Shared verbatim with the DuckDB twin. */
-  private def wavSample(d: org.apache.spark.sql.Column, t: Int) =
-    ((conv(substring(md5(concat(expr("CAST(doc_id div 4 AS STRING)"),
-        lit("_" + t))), 1, 5), 16, 10).cast("int") % 1601) - 800 +
-      when(lit(t / WavToneSamplesPerChunk) < d % 4, lit(500)).otherwise(lit(0)))
-      .cast("int")
+  /** Six 5-hex-digit sample draws per md5 — one digest feeds a block of
+    * six samples (30 of its 32 hex chars), so synthesizing a 240-sample
+    * clip costs 40 md5 evaluations, not 240. The six references to a
+    * block's digest are IDENTICAL expression subtrees, which Spark's
+    * codegen subexpression elimination evaluates once; the DuckDB twin
+    * materializes the digest once per block in its own CTE. (The
+    * per-sample md5 first cut made fixture synthesis — not the
+    * fingerprint parse — the dominant cost of `mm_audio_neardup`.) */
+  private val WavSamplesPerMd5 = 6
+
+  /** Sample ground truth for [[wavTonePayloads]] (the lambda body in
+    * `samplesHex` below): groups of four consecutive doc_ids share a
+    * base waveform (md5 of "group_block" sliced per [[WavSamplesPerMd5]],
+    * mod 1601, centered to −800..800 — the [[bmpPixel]]
+    * engine-reproducible discipline), and group member m = doc_id % 4
+    * shifts every sample of chunks c < m by +500 — planted
+    * near-duplicate clips whose energy fingerprints differ in ≤3 of 60
+    * bits, while distinct groups differ in ~half. Shared verbatim with
+    * the DuckDB twin. */
 
   /** Real WAV/PCM clips synthesized from doc-derived samples: the
     * canonical 44-byte mono 16-bit header followed by [[WavToneSamples]]
@@ -508,9 +515,28 @@ object Multimodal {
       le32Hex(lit(8000)), le32Hex(lit(16000)), // rate, byte rate
       le16Hex(lit(2)), lit("1000"),     // block align, 16 bits
       lit("64617461"), le32Hex(lit(WavToneDataBytes)))
-    val samplesHex = concat((0 until WavToneSamples).map { t =>
-      le16Hex(pmod(wavSample(d, t), lit(65536)))  // two's complement LE16
-    }: _*)
+    // HOF lambdas, NOT a 240-slot concat of inlined subtrees: the concat
+    // form cost 2.5-4 s of DRIVER planning/codegen per call (a ~5k-node
+    // expression tree through every optimizer rule) while executing in
+    // 0.1 s — these lambdas are a ~60-node tree planned once. The block
+    // digest is hoisted into its own transform so each md5 evaluates
+    // ONCE per 6-sample block (the interpreted-HOF analog of the codegen
+    // subexpression sharing the concat form relied on); the two-arg
+    // (h, tc) lambda then expands a digest to its 6 samples, and the
+    // final transform swaps each 4-hex value to LE byte order.
+    val samplesHex = expr(
+      s"""array_join(transform(
+         |  flatten(transform(
+         |    transform(sequence(0, ${WavToneSamples / WavSamplesPerMd5 - 1}), tc ->
+         |      md5(concat(CAST(doc_id div 4 AS STRING), '_', CAST(tc AS STRING)))),
+         |    (h, tc) -> transform(sequence(0, ${WavSamplesPerMd5 - 1}), i ->
+         |      lpad(hex(pmod(
+         |        CAST(conv(substring(h, 1 + 5 * i, 5), 16, 10) AS INT)
+         |          % 1601 - 800 +
+         |        IF((tc * $WavSamplesPerMd5 + i) div $WavToneSamplesPerChunk
+         |             < doc_id % 4, 500, 0),
+         |        65536)), 4, '0')))),
+         |  x -> concat(substring(x, 3, 2), substring(x, 1, 2))), '')""".stripMargin)
     Tables.documents(spark, dir)
       .select(d.as("doc_id"), unhex(concat(header, samplesHex)).as("payload"))
       .localCheckpoint(true)
@@ -526,9 +552,15 @@ object Multimodal {
     * (Haitsma-Kalker energy-band bits, one band): robust to small
     * amplitude edits, bit-flips under chunk-level changes.
     *
-    * Shape: the [[bmpAHash]] exploded-row lesson — one sample per
-    * exploded row (payload referenced once), 60 integer chunk-sum
-    * aggregates per clip, bits in a post-aggregation projection.
+    * Shape: the [[bmpAHash]] exploded-row lesson at CHUNK granularity —
+    * one exploded row per 4-sample chunk (60 per clip, the chunk's
+    * energy computed inline from the stored bytes), then the simhash
+    * lane discipline for the aggregation fan: a chunk energy is
+    * ≤ 4×1300 < 2^16, so 4 chunk energies pack per 64-bit lane and the
+    * per-clip aggregate is 15 packed-lane sums instead of 60
+    * conditional sums over 4× the rows (the first cut's per-SAMPLE
+    * explode × 60-way agg fan made this the most expensive query in
+    * the registry; same exact integers, ~5× cheaper).
     * Malformed payloads parse as NO row, never a wrong fingerprint. */
   private[graft] def wavEnergyHash(payloads: DataFrame): DataFrame = {
     val p = col("payload")
@@ -539,27 +571,35 @@ object Multimodal {
       le16(p, 35) === lit(16) &&
       hex(substring(p, 37, 4)) === lit("64617461") &&
       le32(p, 41) === lit(WavToneDataBytes)
-    val samples = payloads.filter(valid)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${WavToneSamples - 1})")).as("t"), p.as("pl"))
-      .select(col("doc_id"), col("t"),
-        // LE16 two's complement at byte 44 + 2t (1-based 45 + 2t)
-        expr(s"""CAST(conv(concat(hex(substring(pl, 46 + 2 * t, 1)),
-                               hex(substring(pl, 45 + 2 * t, 1))), 16, 10) AS INT)""")
-          .as("u"))
-      .select(col("doc_id"), col("t"),
-        abs(col("u") - when(col("u") >= 32768, 65536).otherwise(0)).as("a"))
-    val chunkSums = (0 until WavToneChunks).map { c =>
-      sum(when(expr(s"t div $WavToneSamplesPerChunk") === c, col("a"))
-        .otherwise(lit(0))).as(s"e$c")
+    // chunk c's sample s sits at 1-based byte 45 + 2*(4c+s), LE16
+    // two's complement
+    val sampleU = (0 until WavToneSamplesPerChunk).map { s =>
+      expr(s"""CAST(conv(concat(hex(substring(pl, ${46 + 2 * s} + 8 * c, 1)),
+                             hex(substring(pl, ${45 + 2 * s} + 8 * c, 1))), 16, 10) AS INT)""")
+        .as(s"u$s")
     }
-    val total = (0 until WavToneChunks).map(c => col(s"e$c")).reduce(_ + _)
-    samples.groupBy(col("doc_id"))
-      .agg(chunkSums.head, chunkSums.tail: _*)
+    val chunks = payloads.filter(valid)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${WavToneChunks - 1})")).as("c"), p.as("pl"))
+      .select(Seq(col("doc_id"), col("c")) ++ sampleU: _*)
+      .select(col("doc_id"), col("c"),
+        (0 until WavToneSamplesPerChunk).map { s =>
+          abs(col(s"u$s") - when(col(s"u$s") >= 32768, 65536).otherwise(0))
+            .cast("long")
+        }.reduce(_ + _).as("e"))
+    val lanes = (0 until WavToneChunks / 4).map { k =>
+      sum(expr(s"IF(c div 4 = $k, shiftleft(e, 16 * (c % 4)), CAST(0 AS BIGINT))"))
+        .as(s"lane$k")
+    }
+    def eOf(c: Int) =
+      shiftright(col(s"lane${c / 4}"), 16 * (c % 4)).bitwiseAND(lit(0xFFFFL))
+    val total = (0 until WavToneChunks).map(eOf).reduce(_ + _)
+    chunks.groupBy(col("doc_id"))
+      .agg(lanes.head, lanes.tail: _*)
       .withColumn("etot", total)
       .select(col("doc_id"),
         (0 until WavToneChunks).map { c =>
-          when(col(s"e$c") * lit(WavToneChunks.toLong) >= col("etot"),
+          when(eOf(c) * lit(WavToneChunks.toLong) >= col("etot"),
             lit(1L << c)).otherwise(lit(0L))
         }.reduce(_ + _).as("ahash"))
   }
@@ -580,14 +620,21 @@ object Multimodal {
     * build→parse roundtrip must be the identity), the same exact-integer
     * energy bits, banding, and popcount verify. */
   val mmAudioNeardupSql: String =
-    s"""WITH sm AS (
-      |  SELECT doc_id, CAST(t AS INT) AS t,
-      |         CAST(CAST(concat('0x', substr(md5(concat(
-      |                CAST(doc_id // 4 AS VARCHAR), '_', CAST(t AS VARCHAR))),
-      |                1, 5)) AS INT) % 1601 - 800 +
-      |              (CASE WHEN t // $WavToneSamplesPerChunk < doc_id % 4
+    s"""WITH md AS (
+      |  SELECT doc_id, CAST(tc AS INT) AS tc,
+      |         md5(concat(CAST(doc_id // 4 AS VARCHAR), '_',
+      |                    CAST(tc AS VARCHAR))) AS h
+      |  FROM documents,
+      |       LATERAL unnest(range(${WavToneSamples / WavSamplesPerMd5})) AS tt(tc)
+      |), sm AS (
+      |  SELECT doc_id, tc * $WavSamplesPerMd5 + CAST(i AS INT) AS t,
+      |         CAST(CAST(concat('0x',
+      |                substr(h, 1 + 5 * CAST(i AS INT), 5)) AS INT)
+      |                % 1601 - 800 +
+      |              (CASE WHEN (tc * $WavSamplesPerMd5 + CAST(i AS INT))
+      |                         // $WavToneSamplesPerChunk < doc_id % 4
       |                    THEN 500 ELSE 0 END) AS INT) AS s
-      |  FROM documents, LATERAL unnest(range($WavToneSamples)) AS tt(t)
+      |  FROM md, LATERAL unnest(range($WavSamplesPerMd5)) AS ii(i)
       |), ch AS (
       |  SELECT doc_id, t // $WavToneSamplesPerChunk AS c, sum(abs(s)) AS e
       |  FROM sm GROUP BY 1, 2
