@@ -295,10 +295,14 @@ object Multimodal {
     * (inside the banding guarantee), while distinct groups differ in
     * ~half their bits. Pure doc_id arithmetic, shared verbatim with the
     * DuckDB twin. */
-  private def bmpPixel(d: org.apache.spark.sql.Column, i: Int) =
-    ((conv(substring(md5(concat(expr("CAST(doc_id div 4 AS STRING)"),
-        lit("_" + i))), 1, 4), 16, 10).cast("int") % 107) + 28 +
-      when(lit(i) < d % 4, lit(120)).otherwise(lit(0))).cast("int")
+  /** Ground-truth gray value of logical pixel i (the lambda body in
+    * `pixelHex` below): md5 of "group_i" mod 107 + 28, member
+    * m = doc_id % 4 brightens pixels i < m by +120. Shared verbatim
+    * with the DuckDB twin. */
+  private def bmpPixelSql(i: String): String =
+    s"""CAST(conv(substring(md5(concat(CAST(doc_id div 4 AS STRING), '_',
+       |       CAST(($i) AS STRING))), 1, 4), 16, 10) AS INT) % 107 + 28 +
+       |IF(($i) < doc_id % 4, 120, 0)""".stripMargin
 
   /** 8×8 24-bit BMPs synthesized from doc-derived pixels (the
     * [[mediaPayloads]] real-format discipline applied to images): the
@@ -323,13 +327,16 @@ object Multimodal {
       le32Hex(lit(2835)), le32Hex(lit(2835)), // 72 DPI in px/m
       le32Hex(lit(0)), le32Hex(lit(0)))   // palette counts
     // storage order: bottom row first; logical pixel i = r*8+c with r
-    // counted from the TOP (the aHash bit order)
-    val pixelHex = concat((0 until 8).flatMap { stor =>
-      val r = 7 - stor
-      (0 until 8).map { c =>
-        repeat(lpad(hex(bmpPixel(d, r * 8 + c)), 2, "0"), 3)
-      }
-    }: _*)
+    // counted from the TOP (the aHash bit order). HOF lambda over the
+    // 64 storage slots, not a 64-slot concat of inlined md5 subtrees —
+    // the wavTonePayloads planning-cost lesson (a wide concat of deep
+    // subtrees costs seconds of driver planning per call; the lambda is
+    // one small tree).
+    val pixelHex = expr(
+      s"""array_join(transform(sequence(0, 63), s ->
+         |  repeat(lpad(hex(
+         |    ${bmpPixelSql("(7 - s div 8) * 8 + s % 8")}), 2, '0'), 3)), '')"""
+        .stripMargin)
     Tables.documents(spark, dir)
       .select(d.as("doc_id"), unhex(concat(header, pixelHex)).as("payload"))
       // Materialization barrier, FIXTURE-ONLY: the payload here is a
