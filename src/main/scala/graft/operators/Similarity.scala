@@ -29,7 +29,7 @@ object Similarity {
 
   /** Dot product of two float-array columns, accumulated in element order
     * as DOUBLE (codegen'd native expression). */
-  private def dot(a: String, b: String) =
+  private[graft] def dot(a: String, b: String) =
     org.apache.spark.sql.graft.VectorFunctions.vec_dot(col(a), col(b))
 
   /** Corpus with the L2 norm precomputed once (reused by every query). */
@@ -306,8 +306,13 @@ object Similarity {
   /** Core of [[semDedup]] over any (vec_id, embedding) frame and
     * centroid table — split out so the keep-rule spec can plant an
     * exact near-dup pair with known centroid geometry. */
-  private[graft] def semDedupFrom(embs: DataFrame, centroids: DataFrame,
-                                  tau: Double, maxCell: Int): DataFrame = {
+  /** SemDeDup E-step, shared by the one-shot query and the streaming
+    * form ([[graft.streaming.SemDedupStream]]) so online and offline
+    * assignments cannot disagree: nearest-centroid assignment plus the
+    * centroid-cosine (algebraic identity over the shared distance
+    * subterms) and the 8-dim sign-bucket code —
+    * (vec_id, embedding, norm, cluster, c_sim, sb). */
+  private[graft] def semAssign(embs: DataFrame, centroids: DataFrame): DataFrame = {
     val cent = centroids
       .withColumn("cn2",
         expr("aggregate(cl, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"))
@@ -315,7 +320,7 @@ object Similarity {
       when(element_at(col("embedding"), i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val w = Window.partitionBy("vec_id").orderBy(col("d"), col("c_label"))
-    val assigned = withNorm(embs)
+    withNorm(embs)
       .crossJoin(broadcast(cent))
       .withColumn("d",
         org.apache.spark.sql.graft.VectorFunctions.vec_sqdist(col("embedding"), col("cl")))
@@ -326,6 +331,11 @@ object Similarity {
         ((col("norm") * col("norm") + col("cn2") - col("d")) /
           (lit(2.0) * col("norm") * sqrt(col("cn2")))).as("c_sim"),
         signCode.as("sb"))
+  }
+
+  private[graft] def semDedupFrom(embs: DataFrame, centroids: DataFrame,
+                                  tau: Double, maxCell: Int): DataFrame = {
+    val assigned = semAssign(embs, centroids)
     // Materialize the assignment stage ONCE: its output feeds the
     // cell-size gate, both sides of the pair self-join, and the final
     // merge, and declarative reuse would re-run the corpus×k centroid
