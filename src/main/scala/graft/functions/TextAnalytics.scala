@@ -862,4 +862,77 @@ object TextAnalytics {
        |FROM terms GROUP BY doc_id
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
+
+  // --- hashing-trick linear classifier -------------------------------------
+
+  /** Hash dimension of the classifier's feature space (2^18 buckets —
+    * the published fastText default range). */
+  private val HashDim = 1 << 18
+
+  /** fastText-style hashing-trick linear classifier INFERENCE (Joulin et
+    * al. 2016 — the architecture CCNet and the LLaMA/RedPajama corpus
+    * filters run at scale): features are word unigrams plus adjacent
+    * bigrams, hashed into [[HashDim]] buckets by the shared
+    * [[EngineHash.md5Bits60]] primitive, and the document score is the
+    * SUM of per-bucket weights — a linear model over the hashing-trick
+    * bag of features. The model here is a deterministic synthetic one
+    * (weight(b) = md5-derived integer in [-1000, 1000]) standing in for
+    * a trained table: INTEGER weights sum exactly in any order, so the
+    * score carries no float-ordering hazard and the DuckDB twin pins it
+    * bit-for-bit. A production deployment swaps the inline weight
+    * formula for a broadcast join against a (bucket, weight) table —
+    * the plan shape (one explode, map-side partial aggregation, one
+    * doc-keyed shuffle) is unchanged, which is the point: fastText
+    * inference IS a broadcast-dot over hashed features.
+    * Zero-token documents have no features and are absent, like every
+    * per-feature aggregate in this family. */
+  def hashClassifier(spark: SparkSession, dir: String): DataFrame =
+    hashClassifierFrom(Tables.documents(spark, dir))
+
+  /** Core of [[hashClassifier]] over any (doc_id, text) frame — split
+    * out so the spec can drive planted documents through the exact
+    * registered pipeline. */
+  private[graft] def hashClassifierFrom(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      filter(toks, t => t =!= lit("")).as("tk"))
+    val feats = base.select(col("doc_id"),
+      explode(concat(col("tk"),
+        // sequence(1, 0) would DESCEND in Spark — guard the short docs
+        when(size(col("tk")) >= 2,
+          expr("transform(sequence(1, size(tk) - 1), i -> " +
+            "concat(element_at(tk, i), '_', element_at(tk, i + 1)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("feat"))
+    val bucket = pmod(EngineHash.md5Bits60(col("feat")), lit(HashDim.toLong))
+    val weight = EngineHash.md5Bits60(concat(lit("w_"), bucket.cast("string"))) %
+      lit(2001L) - lit(1000L)
+    feats.select(col("doc_id"), weight.as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_raw"))
+      .select(col("doc_id"), col("n_feats"), col("score_raw"),
+        (col("score_raw").cast("double") / col("n_feats")).as("score_mean"),
+        (col("score_raw") >= lit(0L)).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val hashClassifierSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, f AS feat
+       |  FROM tk, LATERAL unnest(list_concat(tk,
+       |    list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1])
+       |  )) AS u(f)
+       |), w AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(concat('w_', CAST(
+       |           CAST(concat('0x', substr(md5(feat), 1, 15)) AS BIGINT) % $HashDim
+       |         AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+       |  FROM feats
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(w) AS BIGINT) AS score_raw,
+       |       CAST(sum(w) AS DOUBLE) / count(*) AS score_mean,
+       |       sum(w) >= 0 AS label
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

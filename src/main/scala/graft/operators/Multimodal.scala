@@ -327,18 +327,22 @@ object Multimodal {
       le32Hex(lit(2835)), le32Hex(lit(2835)), // 72 DPI in px/m
       le32Hex(lit(0)), le32Hex(lit(0)))   // palette counts
     // storage order: bottom row first; logical pixel i = r*8+c with r
-    // counted from the TOP (the aHash bit order). HOF lambda over the
-    // 64 storage slots, not a 64-slot concat of inlined md5 subtrees —
-    // the wavTonePayloads planning-cost lesson (a wide concat of deep
-    // subtrees costs seconds of driver planning per call; the lambda is
-    // one small tree).
-    val pixelHex = expr(
-      s"""array_join(transform(sequence(0, 63), s ->
-         |  repeat(lpad(hex(
-         |    ${bmpPixelSql("(7 - s div 8) * 8 + s % 8")}), 2, '0'), 3)), '')"""
-        .stripMargin)
-    Tables.documents(spark, dir)
-      .select(d.as("doc_id"), unhex(concat(header, pixelHex)).as("payload"))
+    // counted from the TOP (the aHash bit order). Exploded per-pixel
+    // rows with a codegen'd md5 each, reassembled by a sorted
+    // collect_list — the wavTonePayloads synthesis lesson: a wide
+    // concat of inlined subtrees costs seconds of DRIVER planning per
+    // call, and a transform() lambda evaluates interpreted (md5 per
+    // element outside codegen); the exploded shape keeps both the plan
+    // small and the hashing codegen'd.
+    val px = Tables.documents(spark, dir)
+      .select(d.as("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
+      .select(col("doc_id"), col("s"),
+        repeat(lpad(hex(expr(bmpPixelSql("(7 - s div 8) * 8 + s % 8"))),
+          2, "0"), 3).as("ph"))
+    px.groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(s, ph)))," +
+        " x -> x.ph), '')").as("pixelHex"))
+      .select(col("doc_id"), unhex(concat(header, col("pixelHex"))).as("payload"))
       // Materialization barrier, FIXTURE-ONLY: the payload here is a
       // 64-md5 column expression, and every downstream reference (the
       // validity conjuncts, the exploded byte reads, the band join's two
@@ -522,30 +526,36 @@ object Multimodal {
       le32Hex(lit(8000)), le32Hex(lit(16000)), // rate, byte rate
       le16Hex(lit(2)), lit("1000"),     // block align, 16 bits
       lit("64617461"), le32Hex(lit(WavToneDataBytes)))
-    // HOF lambdas, NOT a 240-slot concat of inlined subtrees: the concat
-    // form cost 2.5-4 s of DRIVER planning/codegen per call (a ~5k-node
-    // expression tree through every optimizer rule) while executing in
-    // 0.1 s — these lambdas are a ~60-node tree planned once. The block
-    // digest is hoisted into its own transform so each md5 evaluates
-    // ONCE per 6-sample block (the interpreted-HOF analog of the codegen
-    // subexpression sharing the concat form relied on); the two-arg
-    // (h, tc) lambda then expands a digest to its 6 samples, and the
-    // final transform swaps each 4-hex value to LE byte order.
-    val samplesHex = expr(
-      s"""array_join(transform(
-         |  flatten(transform(
-         |    transform(sequence(0, ${WavToneSamples / WavSamplesPerMd5 - 1}), tc ->
-         |      md5(concat(CAST(doc_id div 4 AS STRING), '_', CAST(tc AS STRING)))),
-         |    (h, tc) -> transform(sequence(0, ${WavSamplesPerMd5 - 1}), i ->
-         |      lpad(hex(pmod(
-         |        CAST(conv(substring(h, 1 + 5 * i, 5), 16, 10) AS INT)
-         |          % 1601 - 800 +
-         |        IF((tc * $WavSamplesPerMd5 + i) div $WavToneSamplesPerChunk
-         |             < doc_id % 4, 500, 0),
-         |        65536)), 4, '0')))),
-         |  x -> concat(substring(x, 3, 2), substring(x, 1, 2))), '')""".stripMargin)
-    Tables.documents(spark, dir)
-      .select(d.as("doc_id"), unhex(concat(header, samplesHex)).as("payload"))
+    // Exploded per-BLOCK rows, not a 240-slot concat of inlined
+    // subtrees and not a transform() lambda over all 240 samples. The
+    // wide concat cost 2.5-4 s of DRIVER planning per call (a ~5k-node
+    // tree through every optimizer rule) while executing in 0.1 s; the
+    // all-samples lambda planned fast but EVALUATED interpreted (HOF
+    // lambdas never enter whole-stage codegen) — 12M element evals at
+    // sf1 made synthesis the query's dominant cost there. This shape
+    // gets both: one codegen'd md5 per 6-sample block in a small
+    // projection over doc×40 exploded rows, blocks reassembled in
+    // order by a sorted collect_list (map-side partial aggregation; the
+    // groupBy shuffles 40 short hex strings per doc).
+    val blocks = Tables.documents(spark, dir)
+      .select(d.as("doc_id"),
+        explode(expr(s"sequence(0, ${WavToneSamples / WavSamplesPerMd5 - 1})")).as("tc"))
+      .select(col("doc_id"), col("tc"),
+        md5(concat(expr("CAST(doc_id div 4 AS STRING)"), lit("_"),
+          col("tc").cast("string"))).as("h"))
+      .select(col("doc_id"), col("tc"),
+        concat((0 until WavSamplesPerMd5).map { s =>
+          val shift = expr(
+            s"IF((tc * $WavSamplesPerMd5 + $s) div $WavToneSamplesPerChunk" +
+              " < doc_id % 4, 500, 0)")
+          val v = (conv(substring(col("h"), 1 + 5 * s, 5), 16, 10)
+            .cast("int") % 1601) - 800 + shift
+          le16Hex(pmod(v, lit(65536)))
+        }: _*).as("bh"))
+    blocks.groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(tc, bh)))," +
+        " x -> x.bh), '')").as("samplesHex"))
+      .select(col("doc_id"), unhex(concat(header, col("samplesHex"))).as("payload"))
       .localCheckpoint(true)
   }
 

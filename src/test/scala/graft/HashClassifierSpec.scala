@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextAnalytics
+import org.apache.spark.sql.functions._
+
+/** Hashing-trick linear classifier ([[TextAnalytics.hashClassifier]]):
+  * an independent JVM reimplementation of the whole scoring path
+  * (tokenize → unigram+bigram features → md5 bucket → md5 weight →
+  * integer sum) pins the Spark pipeline value-exactly, plus structural
+  * contracts on the fixture corpus.
+  */
+class HashClassifierSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 60-bit md5 prefix as a positive long — EngineHash.md5Bits60's
+    * contract, recomputed independently via MessageDigest. */
+  private def md5bits60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private val D = 1 << 18
+
+  private def refScore(text: String): Option[(Long, Long)] = {
+    val tk = text.split(" ", -1).filter(_.nonEmpty)
+    val feats = tk.toSeq ++ tk.toSeq.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + "_" + p(1))
+    if (feats.isEmpty) None
+    else Some((feats.length.toLong, feats.map { f =>
+      md5bits60("w_" + (md5bits60(f) % D)) % 2001 - 1000
+    }.sum))
+  }
+
+  test("planted documents match an independent JVM reimplementation exactly") {
+    val docs = Seq(
+      1L -> "the quick brown fox",
+      2L -> "one",                      // single token: no bigrams
+      3L -> "",                         // zero tokens: absent from output
+      4L -> "a  b",                     // double space: empty token dropped
+      5L -> "répét itions répét itions" // non-ASCII + repeated features
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.hashClassifierFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!got.contains(3L), "zero-token doc must be absent")
+    Seq(1L -> "the quick brown fox", 2L -> "one", 4L -> "a  b",
+      5L -> "répét itions répét itions").foreach { case (id, text) =>
+      val Some((n, s)) = refScore(text)
+      val (gn, gs, gm, gl) = got(id)
+      assert(gn == n, s"doc $id n_feats: got $gn want $n")
+      assert(gs == s, s"doc $id score_raw: got $gs want $s")
+      assert(gm == s.toDouble / n)
+      assert(gl == (s >= 0))
+    }
+    // bigrams are position-sensitive: "a b" and "b a" score differently
+    // unless their hashed weights happen to collide — check the FEATURE
+    // SETS differ by construction
+    val ab = refScore("a b").get._2
+    val ba = refScore("b a").get._2
+    assert(md5bits60("a_b") != md5bits60("b_a"),
+      "distinct bigrams must hash apart")
+    // (scores MAY collide by weight coincidence; the hash inequality is
+    // the structural claim)
+    assert(ab == refScore("a b").get._2, "deterministic") // self-consistency
+    assert(ba == refScore("b a").get._2)
+  }
+
+  test("fixture corpus: n_feats = 2*n_tokens - 1 and the plan is one explode + one doc-keyed aggregation") {
+    val cls = TextAnalytics.hashClassifier(spark, sf)
+    val tokens = TextAnalytics.tokenCount(spark, sf)
+      .select(col("doc_id"), col("n_tokens"))
+    // fixture text is single-space separated with no leading/trailing
+    // spaces, so features = unigrams (n) + bigrams (n-1)
+    val bad = cls.join(tokens, "doc_id")
+      .filter(col("n_feats") =!= col("n_tokens") * 2 - 1).count()
+    assert(bad == 0, "n_feats must be 2n-1 on the fixture")
+    // docs with >= 1 token all appear
+    assert(cls.count() == tokens.filter(col("n_tokens") >= 1).count())
+    // plan: no joins, no window — a scan-side explode into a hash
+    // aggregate pair (the fastText inference shape)
+    val plan = cls.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"classifier must not join:\n$plan")
+    assert(plan.contains("Generate"), "explode must survive planning")
+  }
+}
