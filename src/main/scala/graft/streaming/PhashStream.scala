@@ -44,9 +44,15 @@ object PhashStream {
 
   /** One micro-batch: detect pairs against everything seen, then admit
     * the batch. `batchId` must be the stream's monotone micro-batch id
-    * (replay key AND state partition). */
+    * (replay key AND state partition). `fingerprint` is the
+    * payload→(doc_id, ahash) kernel — the image aHash by default; pass
+    * [[Multimodal.wavEnergyHash]] (via [[processAudioBatch]]) for the
+    * audio form. Everything downstream of the fingerprint is
+    * modality-blind: one banding pipeline, one state layout, any
+    * 60-bit perceptual hash. */
   def processBatch(spark: SparkSession, newDocsRaw: DataFrame, stateDir: String,
-                   batchId: Long): Unit = {
+                   batchId: Long,
+                   fingerprint: DataFrame => DataFrame = Multimodal.bmpAHash): Unit = {
     import spark.implicits._
     import BucketedState._
     val chunksP = path(stateDir, "chunks")
@@ -69,9 +75,9 @@ object PhashStream {
     if (newDocs.isEmpty) return
 
     // malformed payloads drop HERE (no fingerprint row) but their
-    // doc_ids still land in `docs` below — a corrupt image is seen,
+    // doc_ids still land in `docs` below — a corrupt payload is seen,
     // not retried forever
-    val newChunks = Multimodal.ahashChunks(Multimodal.bmpAHash(newDocs))
+    val newChunks = Multimodal.ahashChunks(fingerprint(newDocs))
       .localCheckpoint(true)
 
     val ckBuckets = bucketsOf(newChunks, col("ck"))
@@ -85,6 +91,15 @@ object PhashStream {
       "db", col("doc_id"))
   }
 
+  /** The audio form of [[processBatch]]: WAV energy fingerprints
+    * through the SAME state layout and banding — streaming perceptual
+    * near-dup is one pipeline across modalities, like its batch twin
+    * (`mm_phash_neardup`/`mm_audio_neardup` share
+    * [[Multimodal.ahashChunks]]/[[Multimodal.phashPairs]]). */
+  def processAudioBatch(spark: SparkSession, newDocsRaw: DataFrame,
+                        stateDir: String, batchId: Long): Unit =
+    processBatch(spark, newDocsRaw, stateDir, batchId, Multimodal.wavEnergyHash)
+
   /** The streaming query: `foreachBatch` over a (doc_id, payload)
     * binary stream. */
   def phashStream(docsStream: DataFrame, stateDir: String, checkpointDir: String,
@@ -92,6 +107,20 @@ object PhashStream {
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, stateDir, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The audio streaming query — [[processAudioBatch]] per micro-batch,
+    * state layout identical to the image form (separate `stateDir`s;
+    * the fingerprint spaces are incompatible by construction). */
+  def audioNeardupStream(docsStream: DataFrame, stateDir: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAudioBatch(batch.sparkSession, batch, stateDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -66,4 +66,34 @@ class PhashStreamSpec extends SparkSpec {
     assert(pairSet(PhashStream.pairs(spark, st)) == finalPairs,
       "replay after losing two of three batch partitions must converge")
   }
+
+  test("audio twin: WAV stream equals one-shot through the same machinery; malformed WAV is a seen no-op") {
+    val st = tmp("audio-stream")
+    val all = Multimodal.wavTonePayloads(spark, sf).localCheckpoint(true)
+    def oneShotAudio(payloads: DataFrame): Set[(Long, Long, Int)] = {
+      val ch = Multimodal.ahashChunks(Multimodal.wavEnergyHash(payloads))
+      pairSet(Multimodal.phashPairs(ch, ch))
+    }
+    val batches = (0 until 3).map(k => all.filter(col("doc_id") % 3 === k))
+    val garbage = "RIFFnot really a wav".getBytes("US-ASCII")
+    var seen = all.filter(lit(false))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val input = if (i == 1) {
+        import spark.implicits._
+        b.unionByName(Seq((900002L, garbage)).toDF("doc_id", "payload"))
+      } else b
+      PhashStream.processAudioBatch(spark, input, st, i.toLong)
+      seen = seen.unionByName(b)
+      val streamed = pairSet(PhashStream.pairs(spark, st))
+      val expected = oneShotAudio(seen)
+      assert(streamed == expected,
+        s"audio after batch $i: stream ${streamed.size} vs one-shot ${expected.size}")
+    }
+    val finalPairs = pairSet(PhashStream.pairs(spark, st))
+    assert(finalPairs.nonEmpty)
+    assert(finalPairs.exists { case (d1, d2, _) => d1 % 3 != d2 % 3 },
+      "no cross-batch audio pair — the fixture split is degenerate")
+    assert(spark.read.parquet(s"$st/docs").filter(col("doc_id") === 900002L).count() == 1)
+    assert(finalPairs.forall { case (d1, d2, _) => d1 != 900002L && d2 != 900002L })
+  }
 }
