@@ -889,30 +889,61 @@ object TextAnalytics {
   def hashClassifier(spark: SparkSession, dir: String): DataFrame =
     hashClassifierFrom(Tables.documents(spark, dir))
 
-  /** Core of [[hashClassifier]] over any (doc_id, text) frame — split
-    * out so the spec can drive planted documents through the exact
-    * registered pipeline. */
-  private[graft] def hashClassifierFrom(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      filter(toks, t => t =!= lit("")).as("tk"))
-    val feats = base.select(col("doc_id"),
-      explode(concat(col("tk"),
-        // sequence(1, 0) would DESCEND in Spark — guard the short docs
-        when(size(col("tk")) >= 2,
-          expr("transform(sequence(1, size(tk) - 1), i -> " +
-            "concat(element_at(tk, i), '_', element_at(tk, i + 1)))"))
-          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("feat"))
-    val bucket = pmod(EngineHash.md5Bits60(col("feat")), lit(HashDim.toLong))
-    val weight = EngineHash.md5Bits60(concat(lit("w_"), bucket.cast("string"))) %
-      lit(2001L) - lit(1000L)
-    feats.select(col("doc_id"), weight.as("w"))
+  /** The (doc_id, bucket) hashed-feature stream every classifier form
+    * shares: unigrams + adjacent bigrams, md5-hashed into [[HashDim]]. */
+  private def hashedFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(toks, t => t =!= lit("")).as("tk"))
+      .select(col("doc_id"),
+        explode(concat(col("tk"),
+          // sequence(1, 0) would DESCEND in Spark — guard the short docs
+          when(size(col("tk")) >= 2,
+            expr("transform(sequence(1, size(tk) - 1), i -> " +
+              "concat(element_at(tk, i), '_', element_at(tk, i + 1)))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("feat"))
+      .select(col("doc_id"),
+        pmod(EngineHash.md5Bits60(col("feat")), lit(HashDim.toLong)).as("bucket"))
+
+  /** The shared tail: per-doc integer sum → (n_feats, score_raw,
+    * score_mean, label). */
+  private def scoreTail(weighted: DataFrame): DataFrame =
+    weighted
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_raw"))
       .select(col("doc_id"), col("n_feats"), col("score_raw"),
         (col("score_raw").cast("double") / col("n_feats")).as("score_mean"),
         (col("score_raw") >= lit(0L)).as("label"))
       .orderBy(col("doc_id"))
+
+  /** Core of [[hashClassifier]] over any (doc_id, text) frame — split
+    * out so the spec can drive planted documents through the exact
+    * registered pipeline. */
+  private[graft] def hashClassifierFrom(docs: DataFrame): DataFrame = {
+    val weight = EngineHash.md5Bits60(concat(lit("w_"),
+      col("bucket").cast("string"))) % lit(2001L) - lit(1000L)
+    scoreTail(hashedFeatures(docs).select(col("doc_id"), weight.as("w")))
   }
+
+  /** PRODUCTION form: score against a caller-supplied (bucket, weight)
+    * MODEL TABLE, broadcast-joined into the hashed feature stream — the
+    * deployment surface for a trained fastText-style model (weights fit
+    * in one broadcast: ≤ [[HashDim]] longs). The registered query's
+    * inline md5 formula is exactly this with [[syntheticModel]]
+    * materialized — HashClassifierSpec pins value equality and the
+    * BroadcastHashJoin plan. Buckets absent from the model score 0
+    * (sparse models drop near-zero weights). */
+  private[graft] def hashClassifierWithModel(docs: DataFrame,
+                                             model: DataFrame): DataFrame =
+    scoreTail(hashedFeatures(docs)
+      .join(broadcast(model), Seq("bucket"), "left_outer")
+      .select(col("doc_id"), coalesce(col("weight"), lit(0L)).as("w")))
+
+  /** The registered query's synthetic model, materialized as the
+    * (bucket, weight) table [[hashClassifierWithModel]] consumes. */
+  private[graft] def syntheticModel(spark: SparkSession): DataFrame =
+    spark.range(HashDim.toLong).select(col("id").as("bucket"),
+      (EngineHash.md5Bits60(concat(lit("w_"), col("id").cast("string"))) %
+        lit(2001L) - lit(1000L)).as("weight"))
 
   val hashClassifierSql: String =
     s"""WITH tk AS (

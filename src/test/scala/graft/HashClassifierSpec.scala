@@ -67,6 +67,28 @@ class HashClassifierSpec extends SparkSpec {
     assert(ba == refScore("b a").get._2)
   }
 
+  test("broadcast model-table form equals the inline formula exactly, and the join broadcasts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val viaModel = TextAnalytics.hashClassifierWithModel(docs,
+      TextAnalytics.syntheticModel(spark))
+    val inline = TextAnalytics.hashClassifierFrom(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(rows(viaModel) == rows(inline),
+      "model-table scoring must equal the inline synthetic formula")
+    val plan = viaModel.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "model join must never SMJ")
+    // a SPARSE model (near-zero weights dropped) scores absent buckets 0
+    val sparse = TextAnalytics.syntheticModel(spark)
+      .filter(abs(col("weight")) > 900)
+    val sparseRows = TextAnalytics.hashClassifierWithModel(docs, sparse)
+    assert(sparseRows.count() == inline.count(),
+      "sparse model must still score every doc with >= 1 token")
+  }
+
   test("fixture corpus: n_feats = 2*n_tokens - 1 and the plan is one explode + one doc-keyed aggregation") {
     val cls = TextAnalytics.hashClassifier(spark, sf)
     val tokens = TextAnalytics.tokenCount(spark, sf)
