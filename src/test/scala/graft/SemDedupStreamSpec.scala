@@ -97,6 +97,22 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(oneShot(1L)._3, "one-shot drops the oversized cell retroactively")
   }
 
+  test("randomized batch splits: stream equals one-shot under arbitrary arrival partitions") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    val expect = key(Similarity.semDedup(spark, sf))
+    (1 to 3).foreach { seed =>
+      val dir = java.nio.file.Files.createTempDirectory(s"semdedup_rnd$seed").toString
+      val nb = 2 + seed % 3
+      (0 until nb).foreach { b =>
+        SemDedupStream.processBatch(spark,
+          embs.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(nb)) === b),
+          sf, dir, b.toLong)
+      }
+      assert(key(SemDedupStream.current(spark, dir)) == expect,
+        s"seed $seed ($nb batches) diverged from the one-shot run")
+    }
+  }
+
   test("fixture corpus through the public surface equals the registered one-shot query") {
     val dir = java.nio.file.Files.createTempDirectory("semdedup_sf").toString
     val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
