@@ -48,8 +48,32 @@ object Bench {
     val entryRe = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
     val sfRe = """"sf":"([^"]*)"""".r
     val sfBase = new java.io.File(sfDir).getName
+    // Artifact scan directory (advice r13): cwd only if it actually holds
+    // the repo's BENCH history — launched from any other cwd, fall back to
+    // SPARK_GRAFT_REPO_DIR (or this class's jar location being under the
+    // repo is NOT assumed; the env var is the explicit anchor). Without an
+    // anchor a silent round-1 inference could overwrite a prior round's
+    // artifact, the exact failure the round stamp exists to prevent — so
+    // a missing history is WARNED, never silent.
+    val scanDir: java.io.File = {
+      val cwd = new java.io.File(".")
+      def hasHist(d: java.io.File) =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (hasHist(cwd)) cwd
+      else sys.env.get("SPARK_GRAFT_REPO_DIR").map(new java.io.File(_))
+        .filter(hasHist)
+        .getOrElse {
+          System.err.println(
+            "[bench] WARNING: no BENCH_r*.json history under cwd or " +
+            "SPARK_GRAFT_REPO_DIR — round inference falls back to r1; " +
+            "set SPARK_GRAFT_BENCH_OUT to avoid overwriting a prior " +
+            "round's artifact")
+          cwd
+        }
+    }
     val hist: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      val files = Option(scanDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.matches("BENCH_(r\\d+(_full)?|[^/]+_full)\\.json") || f.getName == "bench_full.json")
       val vals = files.flatMap { f =>
         try {
@@ -124,12 +148,12 @@ object Bench {
     // .json — stable within a round (the driver writes its r{N} tail
     // only at round end), so re-runs inside one round overwrite their
     // own file but never a previous round's.
-    val round = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+    val round = Option(scanDir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => """BENCH_r(\d+)\.json""".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"BENCH_${sfBase}_r${round}_full.json")
+      new java.io.File(scanDir, s"BENCH_${sfBase}_r${round}_full.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"bench file write failed: $e") }

@@ -52,11 +52,16 @@ object BenchDispatch {
     val t1 = System.nanoTime()
     val done = Dispatch.run(spark, sfDir, requests, s"$base/csv", s"$base/ledger")
     val sec = (System.nanoTime() - t1) / 1e9
+    // try/finally on every session-conf override (advice r13): a throw
+    // mid-pass must not leak the override into later passes — a leaked
+    // parallelism=1 would silently serialize (and mis-measure) them.
     spark.conf.set("spark.graft.dispatch.parallelism", "1")
-    val t0 = System.nanoTime()
-    val serial = Dispatch.run(spark, sfDir, requests, s"$base/csv_serial", s"$base/ledger_serial")
-    val serialSec = (System.nanoTime() - t0) / 1e9
-    spark.conf.unset("spark.graft.dispatch.parallelism")
+    val (serial, serialSec) =
+      try {
+        val t0 = System.nanoTime()
+        val s = Dispatch.run(spark, sfDir, requests, s"$base/csv_serial", s"$base/ledger_serial")
+        (s, (System.nanoTime() - t0) / 1e9)
+      } finally spark.conf.unset("spark.graft.dispatch.parallelism")
     assert(done.map(_._1) == serial.map(_._1), "concurrent pass must fulfill the same requests in order")
 
     // OVERSIZED pass (judge ask r11 #6 / r12 #6): rerun a quarter of the
@@ -67,11 +72,13 @@ object BenchDispatch {
     // marker, which the driver-side writer never leaves.
     val nOver = math.max(1, n / 4)
     spark.conf.set("spark.graft.dispatch.driverCsvMaxRows", "1")
-    val t2 = System.nanoTime()
-    val over = Dispatch.run(spark, sfDir, requests.limit(nOver),
-      s"$base/csv_over", s"$base/ledger_over")
-    val overSec = (System.nanoTime() - t2) / 1e9
-    spark.conf.unset("spark.graft.dispatch.driverCsvMaxRows")
+    val (over, overSec) =
+      try {
+        val t2 = System.nanoTime()
+        val o = Dispatch.run(spark, sfDir, requests.limit(nOver),
+          s"$base/csv_over", s"$base/ledger_over")
+        (o, (System.nanoTime() - t2) / 1e9)
+      } finally spark.conf.unset("spark.graft.dispatch.driverCsvMaxRows")
     val fellBack = over.count { case (_, p) =>
       new java.io.File(p, "_SUCCESS").exists()
     }

@@ -19,11 +19,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Vacuity guard (r13 judge ask #3): a 0-row dump makes the oracle
+    // compare meaningless (empty == empty always hash-matches), so any
+    // zero-row result not in SparkEntry.allowEmpty is flagged loudly on
+    // stderr AND recorded in vacuity.json next to oracle_sql.json —
+    // visible in the round artifact, not just the local log.
+    val zeroRows = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        if (n == 0 && !SparkEntry.allowEmpty.contains(name)) {
+          zeroRows += name
+          System.err.println(s"[verify] VACUOUS: $name returned 0 rows at " +
+            s"$sfDir and is not in SparkEntry.allowEmpty — its oracle " +
+            "pass proves nothing")
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -59,6 +74,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(inline(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val vac = s"""{"sf_dir":${q(sfDir)},""" +
+      s""""vacuous_not_allowlisted":${zeroRows.sorted.map(q).mkString("[", ",", "]")},""" +
+      s""""allow_empty":${SparkEntry.allowEmpty.keys.toSeq.sorted.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/vacuity.json"), vac)
     spark.stop()
   }
 }
