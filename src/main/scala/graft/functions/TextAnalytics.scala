@@ -938,6 +938,80 @@ object TextAnalytics {
       .join(broadcast(model), Seq("bucket"), "left_outer")
       .select(col("doc_id"), coalesce(col("weight"), lit(0L)).as("w")))
 
+  /** Logistic-regression TRAINER for the hashing-trick classifier — the
+    * missing fit path the r13 verdict named (#4): everything upstream of
+    * it (feature hashing, broadcast-model scoring) already ships; this
+    * produces the (bucket, weight) model table
+    * [[hashClassifierWithModel]] consumes, completing the CCNet-style
+    * quality-filter story (train on labeled good/bad docs, score the
+    * corpus). Plain batch gradient descent on log-loss — the convex
+    * objective fastText's supervised mode optimizes (Joulin et al. 2016)
+    * minus the hidden layer, which for hashed bag-of-features inference
+    * is exactly the linear model the scorer runs.
+    *
+    * Features are the SAME [[hashedFeatures]] stream inference uses
+    * (unigrams + adjacent bigrams → 2^18 buckets), L1-normalized per doc
+    * (x_b = count_b / n_feats — fastText's feature averaging), so a
+    * trained weight means the same thing at fit and at serve time.
+    *
+    * Iterative-dataflow discipline = [[graft.operators.Similarity]]'s
+    * kmeansFit: the corpus-sized feature frame is materialized ONCE and
+    * re-scanned per round; the weight table (≤ 2^18 rows — broadcastable
+    * BY CONSTRUCTION, the hashing trick's point) broadcasts into it; each
+    * round is one doc-keyed window (per-doc score) plus one bucket-keyed
+    * aggregation (gradient) — two shuffles of the feature frame, nothing
+    * quadratic; every per-round frame is lineage-truncated via the
+    * injectable [[graft.operators.Truncate]] (localCheckpoint single-JVM,
+    * reliable checkpoint under GRAFT_CC_CHECKPOINT_DIR).
+    *
+    * Determinism (the kmeansFit rule): per-doc scores sum
+    * DECIMAL(28,12)-quantized x·w terms and per-bucket gradients sum
+    * DECIMAL(28,12)-quantized per-doc contributions — exact,
+    * order-independent addition — and weights re-quantize to 1e-6 after
+    * each step, so the whole fit is bit-reproducible across
+    * partitionings and run-to-run (spec-asserted). The emitted model
+    * quantizes to micro-unit LONGs, keeping serving's integer-exact
+    * no-float-hazard contract (scores differ from the double model by
+    * < 1e-6·n_feats, sign-stable for any non-degenerate margin).
+    *
+    * `labels`: (doc_id, y) with y ∈ {0,1} (1 = keep/high-quality). Docs
+    * without labels don't train; docs with zero features contribute
+    * nothing (consistent with inference, which drops them). No intercept
+    * term: serving scores `Σ w_b` have no bias slot, and a hashed-BoW
+    * model absorbs class balance into the weights themselves. */
+  private[graft] def hashClassifierFit(docs: DataFrame, labels: DataFrame,
+      rounds: Int = 20, lr: Double = 10.0,
+      truncate: Option[graft.operators.Truncate] = None): DataFrame = {
+    val ck = graft.operators.Truncate.resolve(truncate)
+    val nDocs = labels.count().toDouble
+    val perDoc = hashedFeatures(docs)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val feats = ck(perDoc
+      .withColumn("x", col("cnt").cast("double") / sum(col("cnt")).over(wn))
+      .join(labels.select(col("doc_id"), col("y").cast("double").as("y")), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("x"), col("y")))
+    var weights = ck(feats.select(col("bucket")).distinct()
+      .withColumn("w", lit(0.0)))
+    for (_ <- 0 until rounds) {
+      val scored = feats.join(broadcast(weights), Seq("bucket"))
+        .withColumn("sterm",
+          expr("CAST(round(x * w, 12) AS DECIMAL(28,12))"))
+        .withColumn("s", sum(col("sterm")).over(wn).cast("double"))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("s"))))
+        .withColumn("gterm",
+          expr("CAST(round((p - y) * x, 12) AS DECIMAL(28,12))"))
+      val grad = scored.groupBy(col("bucket"))
+        .agg(expr("CAST(sum(gterm) AS DOUBLE)").as("g"))
+      weights = ck(weights.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)) / lit(nDocs), 6)
+            .as("w")))
+    }
+    weights.select(col("bucket"),
+      round(col("w") * lit(1e6)).cast("long").as("weight"))
+  }
+
   /** The registered query's synthetic model, materialized as the
     * (bucket, weight) table [[hashClassifierWithModel]] consumes. */
   private[graft] def syntheticModel(spark: SparkSession): DataFrame =
