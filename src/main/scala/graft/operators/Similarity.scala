@@ -424,6 +424,75 @@ object Similarity {
       |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
       |ORDER BY a.vec_id""".stripMargin
 
+  /** [[semDedup]] over Lloyd-TRAINED centroids instead of the fixture's
+    * label means (r13 verdict ask #6 — the semantic-dedup story must not
+    * depend on fixture labels): the cluster structure comes from
+    * [[Codebooks.ivf]], the same materialized-once full-vector trained
+    * coarse quantizer `ann_ivf_trained` uses (k=8, two fixed Lloyd
+    * rounds, DECIMAL-quantized means — deterministic), and everything
+    * downstream (sign-bucket cells, τ-pair cosine, keep-lowest-
+    * centroid-sim) is byte-identical to the one-shot form via the shared
+    * [[semDedupFrom]]. Scale shape unchanged: centroids broadcast, the
+    * corpus never shuffles for assignment, quadratic work confined to
+    * capped (cluster, sign-bucket) cells; training cost is paid once per
+    * corpus fingerprint by the codebook store. The oracle replays the
+    * trainer through the SAME [[ivfTrainerCtes]] text as
+    * `ann_ivf_trained`, then the semdedup tail — the unrolled-CTE
+    * discipline. */
+  def semDedupTrained(spark: SparkSession, dir: String, tau: Double = 0.3,
+                      maxCell: Int = 5000): DataFrame =
+    semDedupFrom(Tables.embeddings(spark, dir),
+      Codebooks.ivf(spark, dir).select(col("c_label"), col("cl")),
+      tau, maxCell)
+
+  /** DuckDB twin: [[ivfTrainerCtes]] (shared verbatim with
+    * ann_ivf_trained) supplies cb2, which replaces semDedupSql's
+    * label-mean `cent`; the tail is the same cell/pair/keep chain. */
+  val semDedupTrainedSql: String =
+    s"""WITH $ivfTrainerCtes, embn AS (""" +
+    """
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+      |         list_sum(list_transform(range(0, 8),
+      |             i -> CASE WHEN embedding[i + 1] >= 0 THEN (1 << i) ELSE 0 END)) AS sb
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT c_label, cl,
+      |         list_sum(list_transform(cl, y -> y * y)) AS cn2
+      |  FROM cb2
+      |), scored AS (
+      |  SELECT e.vec_id, e.norm, e.sb, c.c_label, c.cn2,
+      |         list_sum(list_transform(range(len(e.embedding)),
+      |           i -> (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]) * (CAST(e.embedding[i+1] AS DOUBLE) - cl[i+1]))) AS d
+      |  FROM embn e CROSS JOIN cent c
+      |), assigned AS (
+      |  SELECT vec_id, norm, sb, CAST(c_label AS INT) AS cluster,
+      |         (norm * norm + cn2 - d) / (2.0 * norm * sqrt(cn2)) AS c_sim
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1
+      |), cells AS (
+      |  SELECT cluster, sb FROM assigned GROUP BY 1, 2 HAVING count(*) <= 5000
+      |), cell AS (
+      |  SELECT a.* FROM assigned a JOIN cells USING (cluster, sb)
+      |), pairs AS (
+      |  SELECT a.vec_id AS v1, a.c_sim AS cs1, b.vec_id AS v2, b.c_sim AS cs2
+      |  FROM cell a JOIN cell b ON a.cluster = b.cluster AND a.sb = b.sb
+      |       AND a.vec_id < b.vec_id
+      |  JOIN embn ea ON ea.vec_id = a.vec_id
+      |  JOIN embn eb ON eb.vec_id = b.vec_id
+      |  WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / (ea.norm * eb.norm) >= 0.3
+      |), losers AS (
+      |  SELECT DISTINCT CASE WHEN cs2 > cs1 THEN v2
+      |                       WHEN cs2 < cs1 THEN v1
+      |                       ELSE v2 END AS vec_id
+      |  FROM pairs
+      |)
+      |SELECT a.vec_id, a.cluster, a.c_sim,
+      |       l.vec_id IS NULL AS kept
+      |FROM assigned a LEFT JOIN losers l ON a.vec_id = l.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
   // --- product quantization code assignment ---------------------------------
   /** PQ codes: the 64-dim vector is split into 4 subspaces of 16 dims and
     * each subvector is assigned to its nearest per-subspace codebook
@@ -1081,10 +1150,16 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** The trainer replayed full-vector (one subspace), then assignment,
-    * nprobe-2 probe ranking, and exact-cosine re-rank. */
-  val annIvfTrainedSql: String =
-    """WITH emb AS (
+  /** The unrolled full-vector Lloyd trainer (init on vec_id<8, two
+    * assign→update rounds — [[Codebooks.ivf]]'s exact recipe) as a CTE
+    * chain ending in `cb2(c_label, cl)`. ONE text shared by every oracle
+    * that replays the trained coarse quantizer ([[annIvfTrainedSql]],
+    * [[semDedupTrainedSql]]) so the replays cannot drift apart. A `def`,
+    * not a `val`: semDedupTrainedSql interpolates it from EARLIER in this
+    * object's initialization order, and a forward-referenced val is null
+    * at that point. */
+  private[graft] def ivfTrainerCtes: String =
+    """emb AS (
       |  SELECT vec_id, embedding FROM embeddings
       |), cb0 AS (
       |  SELECT vec_id AS c_label,
@@ -1134,7 +1209,13 @@ object Similarity {
       |), cb2 AS (
       |  SELECT cb1.c_label, COALESCE(cb2m.cl, cb1.cl) AS cl
       |  FROM cb1 LEFT JOIN cb2m ON cb1.c_label = cb2m.c_label
-      |), s3 AS (
+      |)""".stripMargin
+
+  /** The trainer replayed full-vector (one subspace), then assignment,
+    * nprobe-2 probe ranking, and exact-cosine re-rank. */
+  val annIvfTrainedSql: String =
+    s"""WITH $ivfTrainerCtes, s3 AS (""" +
+    """
       |  SELECT emb.vec_id, cb2.c_label,
       |         list_sum(list_transform(range(64),
       |           i -> (CAST(embedding[i+1] AS DOUBLE) - cl[i+1])

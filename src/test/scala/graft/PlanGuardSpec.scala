@@ -19,8 +19,9 @@ class PlanGuardSpec extends SparkSpec {
   // nested loop regressing in must still fail.
   private val bnljAllowed = Map("ann_brute_force" -> 1, "kmeans_assign" -> 1,
     // semdedup: the kmeans_assign centroid broadcast (corpus streams
-    // against the k-row centroid table; pairs/losers are equi-joins)
-    "semdedup" -> 1,
+    // against the k-row centroid table; pairs/losers are equi-joins);
+    // the trained form swaps only the centroid input (same one BNLJ)
+    "semdedup" -> 1, "semdedup_trained" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
     "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1,
