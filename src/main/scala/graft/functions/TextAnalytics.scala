@@ -978,10 +978,20 @@ object TextAnalytics {
     * without labels don't train; docs with zero features contribute
     * nothing (consistent with inference, which drops them). No intercept
     * term: serving scores `Σ w_b` have no bias slot, and a hashed-BoW
-    * model absorbs class balance into the weights themselves. */
+    * model absorbs class balance into the weights themselves.
+    *
+    * `link`: "logistic" (default — exact log-loss gradient) or
+    * "rational" (p = ½ + ½·s/(1+|s|), the fast-sigmoid link). The
+    * rational link is what the ORACLE-PINNED registered query
+    * (`txt_classifier_fit_score`) trains with: it is pure rational
+    * arithmetic, so DuckDB replays the whole fit bit-for-bit, whereas
+    * exp() bit-parity across engines is not a contract anyone offers.
+    * Both are smooth monotone sigmoids through (0, ½) with the same
+    * gradient structure; the production default stays logistic. */
   private[graft] def hashClassifierFit(docs: DataFrame, labels: DataFrame,
       rounds: Int = 20, lr: Double = 10.0,
-      truncate: Option[graft.operators.Truncate] = None): DataFrame = {
+      truncate: Option[graft.operators.Truncate] = None,
+      link: String = "logistic"): DataFrame = {
     val ck = graft.operators.Truncate.resolve(truncate)
     val nDocs = labels.count().toDouble
     val perDoc = hashedFeatures(docs)
@@ -998,7 +1008,10 @@ object TextAnalytics {
         .withColumn("sterm",
           expr("CAST(round(x * w, 12) AS DECIMAL(28,12))"))
         .withColumn("s", sum(col("sterm")).over(wn).cast("double"))
-        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("s"))))
+        .withColumn("p",
+          if (link == "rational")
+            lit(0.5) + lit(0.5) * col("s") / (lit(1.0) + abs(col("s")))
+          else lit(1.0) / (lit(1.0) + exp(-col("s"))))
         .withColumn("gterm",
           expr("CAST(round((p - y) * x, 12) AS DECIMAL(28,12))"))
       val grad = scored.groupBy(col("bucket"))
@@ -1011,6 +1024,87 @@ object TextAnalytics {
     weights.select(col("bucket"),
       round(col("w") * lit(1e6)).cast("long").as("weight"))
   }
+
+  /** REGISTERED fit-then-score: train the quality filter on the fixture's
+    * own language labels (y = lang=='en' — the CCNet shape verbatim:
+    * fastText lang-ID/quality scores gating a web corpus) for two fixed
+    * gradient rounds with the rational link, then score every document
+    * with the trained model through the production
+    * [[hashClassifierWithModel]] path. Two rounds is the trainer-replay
+    * oracle discipline ([[graft.operators.Similarity.ivfTrainerCtes]]
+    * precedent): enough to exercise init → gradient → update → re-score →
+    * second update end-to-end, small enough that DuckDB replays every
+    * step as unrolled CTEs. The converged production fit (default
+    * rounds/link) is spec-pinned in HashClassifierSpec instead. */
+  def classifierFitScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = docs.select(col("doc_id"),
+      (col("lang") === "en").cast("int").as("y"))
+    val model = hashClassifierFit(docs, labels, rounds = 2, lr = 10.0,
+      link = "rational")
+    hashClassifierWithModel(docs, model)
+  }
+
+  /** DuckDB twin of [[classifierFitScore]]: the whole two-round fit
+    * unrolled — hashed features, L1-normalized x, round-1 gradient at
+    * w=0 (s=0 ⇒ p=½ exactly, both links), update, round-2 score through
+    * the rational link, update, micro-unit quantization, then the scoring
+    * tail. Every float step is rational arithmetic in pinned evaluation
+    * order over DECIMAL-summed aggregates, so the replay is bit-exact. */
+  val classifierFitScoreSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents
+       |), lab AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |), nd AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+       |), fb AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % $HashDim AS bucket
+       |  FROM tk, LATERAL unnest(list_concat(tk,
+       |    list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1])
+       |  )) AS u(f)
+       |), cnt AS (
+       |  SELECT doc_id, bucket, count(*) AS c FROM fb GROUP BY 1, 2
+       |), xs AS (
+       |  SELECT c.doc_id, c.bucket,
+       |         CAST(c.c AS DOUBLE) / CAST(nf.nf AS DOUBLE) AS x,
+       |         lab.y AS y
+       |  FROM cnt c
+       |  JOIN (SELECT doc_id, sum(c) AS nf FROM cnt GROUP BY 1) nf ON nf.doc_id = c.doc_id
+       |  JOIN lab ON lab.doc_id = c.doc_id
+       |), g1 AS (
+       |  SELECT bucket,
+       |         CAST(sum(CAST(round((0.5 - y) * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g
+       |  FROM xs GROUP BY 1
+       |), w1 AS (
+       |  SELECT bucket, round(0.0 - 10.0 * g / n, 6) AS w FROM g1, nd
+       |), s2 AS (
+       |  SELECT xs.doc_id,
+       |         CAST(sum(CAST(round(xs.x * w1.w, 12) AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM xs JOIN w1 ON w1.bucket = xs.bucket GROUP BY 1
+       |), p2 AS (
+       |  SELECT doc_id, 0.5 + 0.5 * s / (1.0 + abs(s)) AS p FROM s2
+       |), g2 AS (
+       |  SELECT xs.bucket,
+       |         CAST(sum(CAST(round((p2.p - xs.y) * xs.x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS g
+       |  FROM xs JOIN p2 ON p2.doc_id = xs.doc_id GROUP BY 1
+       |), w2 AS (
+       |  SELECT w1.bucket, round(w1.w - 10.0 * g2.g / n, 6) AS w
+       |  FROM w1 JOIN g2 ON g2.bucket = w1.bucket, nd
+       |), model AS (
+       |  SELECT bucket, CAST(round(w * 1000000.0) AS BIGINT) AS weight FROM w2
+       |), sc AS (
+       |  SELECT fb.doc_id, COALESCE(m.weight, 0) AS w
+       |  FROM fb LEFT JOIN model m ON m.bucket = fb.bucket
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       CAST(sum(w) AS BIGINT) AS score_raw,
+       |       CAST(sum(w) AS DOUBLE) / count(*) AS score_mean,
+       |       sum(w) >= 0 AS label
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The registered query's synthetic model, materialized as the
     * (bucket, weight) table [[hashClassifierWithModel]] consumes. */
