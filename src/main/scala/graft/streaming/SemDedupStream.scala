@@ -75,6 +75,22 @@ object SemDedupStream {
     processBatchWith(spark, newVecsRaw,
       Similarity.centroidTable(spark, fixtureDir), stateDir, batchId, tau, maxCell)
 
+  /** [[processBatch]] over the Lloyd-TRAINED coarse quantizer — the
+    * streaming twin of [[Similarity.semDedupTrained]] (r14: online and
+    * offline semantic dedup stay label-free together). The codebook
+    * store materializes the trainer once per corpus fingerprint, so a
+    * long-lived stream re-reads a fixed table per batch — the
+    * fixed-centroids lifetime contract above holds by construction
+    * until a corpus refresh invalidates the fingerprint (which is the
+    * retrain-is-a-new-stream boundary made physical). */
+  def processBatchTrained(spark: SparkSession, newVecsRaw: DataFrame,
+                          fixtureDir: String, stateDir: String, batchId: Long,
+                          tau: Double = 0.3, maxCell: Int = 5000): Unit =
+    processBatchWith(spark, newVecsRaw,
+      graft.operators.Codebooks.ivf(spark, fixtureDir)
+        .select(col("c_label"), col("cl")),
+      stateDir, batchId, tau, maxCell)
+
   /** Core over an explicit centroid table (the spec's planted-geometry
     * entry; [[processBatch]] binds the fixture's label-mean table). */
   private[graft] def processBatchWith(spark: SparkSession, newVecsRaw: DataFrame,

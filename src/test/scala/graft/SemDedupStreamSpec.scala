@@ -125,4 +125,17 @@ class SemDedupStreamSpec extends SparkSpec {
     assert(got.size == expect.size && got == expect,
       s"stream/batch diverged on the fixture corpus (${got.size} vs ${expect.size})")
   }
+
+  test("trained-centroid stream equals the registered semdedup_trained one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_tr").toString
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    (0 until 3).foreach { b =>
+      SemDedupStream.processBatchTrained(spark,
+        embs.filter(pmod(col("vec_id"), lit(3)) === b), sf, dir, b.toLong)
+    }
+    val got = key(SemDedupStream.current(spark, dir))
+    val expect = key(Similarity.semDedupTrained(spark, sf))
+    assert(got.size == expect.size && got == expect,
+      s"trained stream/batch diverged (${got.size} vs ${expect.size})")
+  }
 }
