@@ -1,0 +1,303 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException}
+import java.util.UUID
+import scala.collection.mutable
+
+/** Optimistic-concurrency commit log: the multi-writer ACID table layer
+  * that upgrades the single-writer-per-table contract (docs/SCALE.md
+  * §Writers called this "an integration, not a redesign" — this is that
+  * integration, self-contained).
+  *
+  * Layout (the standard lakehouse shape — a transaction log of file-level
+  * actions beside immutable data files):
+  *
+  * {{{
+  *   <table>/_log/v000000000042.json   // one JSON-lines commit per version
+  *   <table>/data/<uuid>.parquet       // immutable data files
+  * }}}
+  *
+  * A commit file holds `add` / `remove` actions over data-file paths. The
+  * table AT version V is the replay of v0..vV: files added and not yet
+  * removed. Readers never lock anything — a snapshot is just the file
+  * list at the latest (or a requested) version, and since data files are
+  * immutable and commits are atomic, a pinned snapshot stays readable
+  * forever (until vacuumed).
+  *
+  * Writer protocol (optimistic, lock-free):
+  *   1. stage data files under `data/` (invisible until committed),
+  *   2. read the current latest version N,
+  *   3. try to publish the commit as version N+1 via an ATOMIC
+  *      put-if-absent,
+  *   4. lost the race → re-read the log, CHECK CONFLICTS against the
+  *      commits that beat us, rebase, retry at the new tip.
+  *
+  * Conflict rules (per action type, checked on rebase):
+  *   - append (adds only) commutes with everything → blind rebase;
+  *   - rewrite (compaction: removes + adds) conflicts iff a commit that
+  *     beat us REMOVED one of the files we are removing (it no longer
+  *     exists to remove — two racing compactions, or compaction racing a
+  *     delete); concurrent APPENDS commute with a rewrite (the rewrite
+  *     simply doesn't cover them).
+  *
+  * The atomic primitive is abstracted as [[LogStore]] (the same shape the
+  * public Delta Lake LogStore API takes): local filesystems get true
+  * put-if-absent from `Files.createLink` (POSIX link(2) — atomic, full
+  * content visible or nothing, fails EEXIST); HDFS would use
+  * create-no-overwrite, and an object store without atomic namespace
+  * operations needs an external arbiter for step 3 ONLY — everything
+  * else is plain immutable-file I/O.
+  *
+  * Driver-side work per commit is O(log length) small-file reads and one
+  * metadata write — independent of data volume, so the protocol is the
+  * same at 100 TB; production snapshots add log checkpoints (a rolled-up
+  * file list every K commits) to bound replay, noted in docs/SCALE.md.
+  */
+object CommitLog {
+
+  /** One file-level log action. `rows` is bookkeeping (commit audit /
+    * stats), not load-bearing for replay. */
+  final case class Action(op: String, path: String, rows: Long)
+
+  final case class Snapshot(version: Long, files: Seq[String]) {
+    def isEmpty: Boolean = files.isEmpty
+  }
+
+  /** Thrown when a rewrite's remove-set was invalidated by a commit that
+    * won the race — the caller's snapshot is stale in a way that does NOT
+    * commute; re-plan from a fresh snapshot (e.g. rerun the compaction). */
+  final class ConcurrentRewriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** The atomic-commit primitive. Exactly one concurrent
+    * `putIfAbsent(v, ..)` per version may succeed, and a successful put
+    * must be all-or-nothing visible to readers. */
+  trait LogStore {
+    /** True iff this call published `content` as version file `target`. */
+    def putIfAbsent(target: Path, content: String): Boolean
+    def read(p: Path): String
+    def list(dir: Path): Seq[Path]
+  }
+
+  /** Local-FS store: write the full content to a tmp file, then
+    * `Files.createLink(target, tmp)` — POSIX hard-link creation is atomic
+    * and fails `EEXIST` if the target exists, so a reader either sees the
+    * complete commit file or no file; there is no partial-content window
+    * (the content was durable in the tmp inode before the link). */
+  object LocalStore extends LogStore {
+    def putIfAbsent(target: Path, content: String): Boolean = {
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${UUID.randomUUID().toString}.tmp")
+      Files.write(tmp, content.getBytes("UTF-8"))
+      try { Files.createLink(target, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    }
+    def read(p: Path): String = new String(Files.readAllBytes(p), "UTF-8")
+    def list(dir: Path): Seq[Path] = {
+      if (!Files.isDirectory(dir)) return Nil
+      val s = Files.list(dir)
+      try {
+        val b = Seq.newBuilder[Path]
+        s.forEach(p => b += p)
+        b.result()
+      } finally s.close()
+    }
+  }
+
+  private val VersionRe = """v(\d{12})\.json""".r
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def dataDir(table: String): Path = Paths.get(table, "data")
+  private def versionFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"v$v%012d.json")
+
+  /** JSON-lines encode. Paths are always `data/<uuid>.parquet` strings this
+    * object generated (no quotes/escapes possible), so the symmetric
+    * regex decode below is exact, not a general JSON parser. */
+  private def encode(actions: Seq[Action]): String =
+    actions.map(a =>
+      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}}""").mkString("\n")
+
+  private val ActionRe =
+    """\{"op":"(add|remove)","path":"([^"]+)","rows":(\d+)\}""".r
+
+  private def decode(content: String): Seq[Action] =
+    content.linesIterator.filter(_.nonEmpty).map {
+      case ActionRe(op, path, rows) => Action(op, path, rows.toLong)
+      case bad => throw new IllegalStateException(s"corrupt commit line: $bad")
+    }.toSeq
+
+  /** Latest committed version, or -1 for an empty/absent log. Versions are
+    * dense by construction (a commit only lands at latest+1), so max of
+    * the listing is the tip. */
+  def latestVersion(table: String, store: LogStore = LocalStore): Long =
+    store.list(logDir(table)).flatMap(p => p.getFileName.toString match {
+      case VersionRe(v) => Some(v.toLong)
+      case _            => None
+    }).foldLeft(-1L)(math.max)
+
+  /** Replay the log through `asOf` (default: tip). Add-then-removed files
+    * drop out; order within one commit is irrelevant because a single
+    * commit never adds AND removes the same path. */
+  def snapshot(table: String, asOf: Option[Long] = None,
+               store: LogStore = LocalStore): Snapshot = {
+    val tip = latestVersion(table, store)
+    val v = asOf.getOrElse(tip)
+    require(v <= tip, s"version $v does not exist (tip is $tip)")
+    val live = mutable.LinkedHashSet.empty[String]
+    (0L to v).foreach { i =>
+      decode(store.read(versionFile(table, i))).foreach {
+        case Action("add", p, _)    => live += p
+        case Action("remove", p, _) => live -= p
+        case a => throw new IllegalStateException(s"unknown action $a")
+      }
+    }
+    Snapshot(v, live.toSeq)
+  }
+
+  /** Snapshot read, optionally time-traveled. The file list is explicit,
+    * so uncommitted (staged or orphaned) files under `data/` are invisible
+    * by construction — crash cleanup is a vacuum concern, never a
+    * correctness concern. */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
+           store: LogStore = LocalStore): DataFrame = {
+    val snap = snapshot(table, asOf, store)
+    require(!snap.isEmpty, s"$table has no live files at v${snap.version}")
+    spark.read.parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+  }
+
+  /** Stage `df` as immutable uuid-named files under `data/` and return the
+    * add-actions. Staged files are invisible until a commit references
+    * them. Spark writes a directory; each part file is moved to a flat
+    * uuid name so commits own files, not directories. */
+  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[Action] = {
+    Files.createDirectories(dataDir(table))
+    val staging = Paths.get(table, s".staging-${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val parts = LocalStore.list(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val acts = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir(table).resolve(name))
+      Action("add", s"data/$name", 0L)
+    }
+    // staging dir now holds only _SUCCESS etc.
+    LocalStore.list(staging).foreach(Files.delete)
+    Files.delete(staging)
+    acts
+  }
+
+  /** The optimistic commit loop. `readVersion` is the snapshot the caller
+    * planned against (-1 for blind appends). Returns the version the
+    * commit landed at. */
+  private def commit(table: String, actions: Seq[Action], readVersion: Long,
+                     store: LogStore, maxAttempts: Int = 50): Long = {
+    Files.createDirectories(logDir(table))
+    val removes = actions.collect { case Action("remove", p, _) => p }.toSet
+    var attempt = 0
+    var target = math.max(latestVersion(table, store), readVersion) + 1
+    while (attempt < maxAttempts) {
+      // Conflict check against every commit that landed after our read
+      // snapshot (they won earlier races): a rewrite only commutes if its
+      // remove-set is still fully live.
+      if (removes.nonEmpty) {
+        ((readVersion + 1) until target).foreach { v =>
+          val theirs = decode(store.read(versionFile(table, v)))
+          val theirRemoves = theirs.collect { case Action("remove", p, _) => p }.toSet
+          val clash = removes.intersect(theirRemoves)
+          if (clash.nonEmpty)
+            throw new ConcurrentRewriteException(
+              s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
+                s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
+        }
+      }
+      if (store.putIfAbsent(versionFile(table, target), encode(actions)))
+        return target
+      // Lost the race: someone owns `target` now. Rebase to the new tip
+      // (conflict window widens to include the commit(s) that beat us).
+      target = latestVersion(table, store) + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commit to $table failed $maxAttempts races in a row — livelock guard")
+  }
+
+  /** Multi-writer append: stage, then commit adds-only (commutes with
+    * every concurrent commit, so the rebase loop never conflicts — under
+    * contention every append lands, each at its own version). */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             store: LogStore = LocalStore): Long =
+    commit(table, stage(spark, table, df), readVersion = -1L, store)
+
+  /** OCC compaction: rewrite the current live set into ~`targetFiles`
+    * files and commit remove(old)+add(new). Concurrent APPENDS commute
+    * (they land before or after; either way no data is covered twice);
+    * a concurrent rewrite of the same files raises
+    * [[ConcurrentRewriteException]] on exactly one of the racers. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              store: LogStore = LocalStore): Long = {
+    val snap = snapshot(table, None, store)
+    require(!snap.isEmpty, s"nothing to compact in $table")
+    val df = spark.read.parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+      .repartition(math.max(1, targetFiles))
+    val adds = stage(spark, table, df)
+    val removes = snap.files.map(Action("remove", _, 0L))
+    commit(table, removes ++ adds, readVersion = snap.version, store)
+  }
+
+  /** Delete data files no commit references as LIVE: orphans from crashed
+    * writers (staged, never committed) and tombstones (removed by a
+    * rewrite). Correct for quiesced tables; production adds a retention
+    * window so pinned time-travel readers of recent versions don't lose
+    * files mid-scan (docs/SCALE.md). Returns deleted file names. */
+  def vacuum(table: String, store: LogStore = LocalStore): Seq[String] = {
+    val live = snapshot(table, None, store).files.toSet
+    LocalStore.list(dataDir(table))
+      .filter(p => Files.isRegularFile(p) && !live.contains(s"data/${p.getFileName}"))
+      .map { p => Files.delete(p); p.getFileName.toString }
+  }
+
+  // --- oracle-checked query forms (SparkEntry registry) ---------------------
+
+  /** Two concurrent appends of the nation projection through the full OCC
+    * protocol (real threads, real race on v0/v1), then a tip snapshot
+    * read. Oracle: nation UNION ALL nation — exactly-once append under
+    * contention is the assertion. */
+  def occAppendSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("occ_nation").toString
+    val src = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => { append(spark, table, src); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    read(spark, table).orderBy("n_nationkey", "n_name")
+  }
+
+  val occAppendSnapshotSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey, n_name""".stripMargin
+
+  /** Time travel: append nation at v0, append region-keyed rows at v1,
+    * compact at v2 — then read AS OF v0. Oracle: plain nation (later
+    * commits, including the rewrite, must be invisible to the pinned
+    * version). */
+  def occTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("occ_tt").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val v0 = append(spark, table, nation)
+    append(spark, table, nation.limit(5))
+    compact(spark, table, targetFiles = 1)
+    read(spark, table, asOf = Some(v0)).orderBy("n_nationkey")
+  }
+
+  val occTimeTravelSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+}
