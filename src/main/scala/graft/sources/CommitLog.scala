@@ -50,15 +50,20 @@ import scala.collection.mutable
   * operations needs an external arbiter for step 3 ONLY — everything
   * else is plain immutable-file I/O.
   *
-  * Driver-side work per commit is O(log length) small-file reads and one
-  * metadata write — independent of data volume, so the protocol is the
-  * same at 100 TB; production snapshots add log checkpoints (a rolled-up
-  * file list every K commits) to bound replay, noted in docs/SCALE.md.
+  * Driver-side work per commit is O(commits since the last checkpoint)
+  * small-file reads and one metadata write — independent of data volume,
+  * so the protocol is the same at 100 TB. [[checkpoint]] rolls the state
+  * up so replay stops scanning there, and [[appendOnce]] adds the
+  * (appId, batchId) txn-marker idempotence that makes a `foreachBatch`
+  * streaming sink exactly-once end-to-end.
   */
 object CommitLog {
 
-  /** One file-level log action. `rows` is bookkeeping (commit audit /
-    * stats), not load-bearing for replay. */
+  /** One log action. `op` is `add`/`remove` (file-level; `path` is a
+    * data-file path, `rows` bookkeeping) or `txn` (writer-level
+    * idempotence marker: `path` is the application id, `rows` its
+    * batch/epoch number — the mechanism behind exactly-once streaming
+    * sinks, see [[appendOnce]]). */
   final case class Action(op: String, path: String, rows: Long)
 
   final case class Snapshot(version: Long, files: Seq[String]) {
@@ -70,6 +75,14 @@ object CommitLog {
     * commute; re-plan from a fresh snapshot (e.g. rerun the compaction). */
   final class ConcurrentRewriteException(msg: String)
     extends RuntimeException(msg)
+
+  /** Internal signal: a txn-marked commit found its (app, batch) already
+    * committed by a racer — [[appendOnce]] turns this into a silent skip
+    * (the batch IS in the table; that's success, not failure). */
+  private final class TxnAlreadyApplied(val appId: String, val batchId: Long,
+                                        val byVersion: Long)
+    extends RuntimeException(
+      s"txn ($appId, $batchId) already applied by commit v$byVersion")
 
   /** The atomic-commit primitive. Exactly one concurrent
     * `putIfAbsent(v, ..)` per version may succeed, and a successful put
@@ -122,7 +135,7 @@ object CommitLog {
       s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}}""").mkString("\n")
 
   private val ActionRe =
-    """\{"op":"(add|remove)","path":"([^"]+)","rows":(\d+)\}""".r
+    """\{"op":"(add|remove|txn)","path":"([^"]+)","rows":(\d+)\}""".r
 
   private def decode(content: String): Seq[Action] =
     content.linesIterator.filter(_.nonEmpty).map {
@@ -139,23 +152,77 @@ object CommitLog {
       case _            => None
     }).foldLeft(-1L)(math.max)
 
-  /** Replay the log through `asOf` (default: tip). Add-then-removed files
-    * drop out; order within one commit is irrelevant because a single
-    * commit never adds AND removes the same path. */
+  private val CheckpointRe = """c(\d{12})\.json""".r
+  private def checkpointFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"c$v%012d.json")
+
+  /** Latest checkpoint version ≤ `v`, or -1 if none. */
+  private def latestCheckpointAtOrBefore(table: String, v: Long,
+                                         store: LogStore): Long =
+    store.list(logDir(table)).flatMap(p => p.getFileName.toString match {
+      case CheckpointRe(c) if c.toLong <= v => Some(c.toLong)
+      case _                                => None
+    }).foldLeft(-1L)(math.max)
+
+  /** Full table state at a version: live files (insertion-ordered) and
+    * the per-application txn high-water marks. */
+  private final case class State(live: mutable.LinkedHashSet[String],
+                                 txns: mutable.Map[String, Long]) {
+    def apply(a: Action): Unit = a match {
+      case Action("add", p, _)    => live += p
+      case Action("remove", p, _) => live -= p
+      case Action("txn", app, b)  => if (txns.getOrElse(app, -1L) < b) txns(app) = b
+      case bad => throw new IllegalStateException(s"unknown action $bad")
+    }
+  }
+
+  /** Replay through `v`, seeded from the latest checkpoint ≤ `v` when one
+    * exists — replay cost is then O(commits since checkpoint), not
+    * O(table lifetime); the pre-checkpoint commit files aren't even
+    * opened (CommitLogSpec proves this by corrupting them). */
+  private def replay(table: String, v: Long, store: LogStore): State = {
+    val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty)
+    val cp = latestCheckpointAtOrBefore(table, v, store)
+    if (cp >= 0)
+      decode(store.read(checkpointFile(table, cp))).foreach(st.apply)
+    ((cp + 1) to v).foreach { i =>
+      decode(store.read(versionFile(table, i))).foreach(st.apply)
+    }
+    st
+  }
+
+  /** Snapshot of the table through `asOf` (default: tip). Add-then-removed
+    * files drop out; order within one commit is irrelevant because a
+    * single commit never adds AND removes the same path. */
   def snapshot(table: String, asOf: Option[Long] = None,
                store: LogStore = LocalStore): Snapshot = {
     val tip = latestVersion(table, store)
     val v = asOf.getOrElse(tip)
     require(v <= tip, s"version $v does not exist (tip is $tip)")
-    val live = mutable.LinkedHashSet.empty[String]
-    (0L to v).foreach { i =>
-      decode(store.read(versionFile(table, i))).foreach {
-        case Action("add", p, _)    => live += p
-        case Action("remove", p, _) => live -= p
-        case a => throw new IllegalStateException(s"unknown action $a")
-      }
-    }
-    Snapshot(v, live.toSeq)
+    Snapshot(v, replay(table, v, store).live.toSeq)
+  }
+
+  /** Highest batch id committed for `appId` (-1 if none) — the idempotence
+    * cursor [[appendOnce]] checks. */
+  def txnHighWater(table: String, appId: String,
+                   store: LogStore = LocalStore): Long = {
+    val tip = latestVersion(table, store)
+    if (tip < 0) -1L else replay(table, tip, store).txns.getOrElse(appId, -1L)
+  }
+
+  /** Roll the state at the current tip into a checkpoint file so replay
+    * (and conflict checking) stops scanning at the checkpoint. Published
+    * with the same put-if-absent primitive — racing checkpointers are
+    * harmless (first wins; the state content for a version is a pure
+    * function of the log, so any winner wrote the same thing). */
+  def checkpoint(table: String, store: LogStore = LocalStore): Long = {
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table has no commits to checkpoint")
+    val st = replay(table, tip, store)
+    val acts = st.live.toSeq.map(Action("add", _, 0L)) ++
+      st.txns.toSeq.sortBy(_._1).map { case (app, b) => Action("txn", app, b) }
+    store.putIfAbsent(checkpointFile(table, tip), encode(acts))
+    tip
   }
 
   /** Snapshot read, optionally time-traveled. The file list is explicit,
@@ -197,13 +264,18 @@ object CommitLog {
                      store: LogStore, maxAttempts: Int = 50): Long = {
     Files.createDirectories(logDir(table))
     val removes = actions.collect { case Action("remove", p, _) => p }.toSet
+    val txns = actions.collect { case Action("txn", app, b) => (app, b) }
     var attempt = 0
     var target = math.max(latestVersion(table, store), readVersion) + 1
     while (attempt < maxAttempts) {
       // Conflict check against every commit that landed after our read
       // snapshot (they won earlier races): a rewrite only commutes if its
-      // remove-set is still fully live.
-      if (removes.nonEmpty) {
+      // remove-set is still fully live, and a txn-marked append must not
+      // land twice for the same (app, batch) — the rule that makes
+      // retried streaming batches exactly-once even when the retry RACES
+      // the original (both stage, both reach here; the loser of the
+      // version race sees the winner's txn marker and aborts).
+      if (removes.nonEmpty || txns.nonEmpty) {
         ((readVersion + 1) until target).foreach { v =>
           val theirs = decode(store.read(versionFile(table, v)))
           val theirRemoves = theirs.collect { case Action("remove", p, _) => p }.toSet
@@ -212,6 +284,11 @@ object CommitLog {
             throw new ConcurrentRewriteException(
               s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
                 s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
+          val theirTxns = theirs.collect { case Action("txn", app, b) => (app, b) }.toMap
+          txns.foreach { case (app, b) =>
+            if (theirTxns.getOrElse(app, -1L) >= b)
+              throw new TxnAlreadyApplied(app, b, v)
+          }
         }
       }
       if (store.putIfAbsent(versionFile(table, target), encode(actions)))
@@ -231,6 +308,33 @@ object CommitLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
              store: LogStore = LocalStore): Long =
     commit(table, stage(spark, table, df), readVersion = -1L, store)
+
+  /** Idempotent append keyed by (appId, batchId) — the exactly-once
+    * primitive for streaming sinks (use from `foreachBatch`): the commit
+    * carries a `txn` marker, replay tracks the per-app high-water mark,
+    * and a batch at or below it is skipped WITHOUT staging. A retry that
+    * races the original is also safe: both may stage, but the version
+    * race serializes them and the loser's conflict check finds the
+    * winner's marker (the loser's staged files stay invisible and are
+    * vacuumed later). Returns the commit version, or -1 if skipped.
+    *
+    * `appId` names the writing pipeline (quote-free token; it is embedded
+    * in the commit JSON), `batchId` must be monotone per app — exactly
+    * what Structured Streaming's `foreachBatch` hands its function. */
+  def appendOnce(spark: SparkSession, table: String, df: DataFrame,
+                 appId: String, batchId: Long,
+                 store: LogStore = LocalStore): Long = {
+    require(appId.matches("[A-Za-z0-9_.-]+"), s"appId must be a plain token: $appId")
+    // The high-water check covers every commit ≤ tip, so the commit's
+    // conflict scan starts AFTER tip — it only ever reads the commits
+    // that raced this one, never the table's history.
+    val tip = latestVersion(table, store)
+    if (tip >= 0 && replay(table, tip, store).txns.getOrElse(appId, -1L) >= batchId)
+      return -1L
+    val acts = stage(spark, table, df) :+ Action("txn", appId, batchId)
+    try commit(table, acts, readVersion = tip, store)
+    catch { case _: TxnAlreadyApplied => -1L }
+  }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
     * files and commit remove(old)+add(new). Concurrent APPENDS commute

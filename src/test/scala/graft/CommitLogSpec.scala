@@ -148,6 +148,86 @@ class CommitLogSpec extends SparkSpec {
       === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("checkpoint bounds replay: pre-checkpoint commit files are never opened") {
+    val t = freshTable()
+    (0 until 5).foreach(i => CommitLog.append(spark, t, Seq(i.toLong).toDF("id")))
+    val cp = CommitLog.checkpoint(t)
+    assert(cp === 4L)
+    CommitLog.append(spark, t, Seq(5L).toDF("id"))
+    // prove post-checkpoint reads don't touch the pre-checkpoint log:
+    // corrupt v0..v4 outright — a replay that still opened them would throw
+    (0L to 4L).foreach { v =>
+      Files.write(Paths.get(t, "_log", f"v$v%012d.json"), "GARBAGE".getBytes)
+    }
+    assert(CommitLog.read(spark, t).as[Long].collect().sorted.toSeq
+      === (0L to 5L), "checkpointed replay must not re-read old commits")
+    // ...and time travel to the checkpoint version itself also works
+    assert(CommitLog.read(spark, t, asOf = Some(4L)).as[Long].collect().sorted.toSeq
+      === (0L to 4L))
+  }
+
+  test("appendOnce: a replayed batch is skipped, a new batch lands") {
+    val t = freshTable()
+    assert(CommitLog.appendOnce(spark, t, Seq(1L, 2L).toDF("id"), "app", 0L) === 0L)
+    // the retry of batch 0 (crash-after-commit replay) is a no-op
+    assert(CommitLog.appendOnce(spark, t, Seq(1L, 2L).toDF("id"), "app", 0L) === -1L)
+    assert(CommitLog.appendOnce(spark, t, Seq(3L).toDF("id"), "app", 1L) >= 0L)
+    // a DIFFERENT app's batch 0 is independent
+    assert(CommitLog.appendOnce(spark, t, Seq(9L).toDF("id"), "other", 0L) >= 0L)
+    assert(CommitLog.read(spark, t).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 9L))
+    assert(CommitLog.txnHighWater(t, "app") === 1L)
+    // txn high-water survives a checkpoint (it is part of the rolled state)
+    CommitLog.checkpoint(t)
+    assert(CommitLog.appendOnce(spark, t, Seq(1L, 2L).toDF("id"), "app", 1L) === -1L)
+  }
+
+  test("appendOnce: a retry RACING the original still lands exactly once") {
+    val t = freshTable()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val racers = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          gate.await()
+          if (CommitLog.appendOnce(spark, t, Seq(7L).toDF("id"), "app", 0L) >= 0L)
+            landed.incrementAndGet()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    racers.foreach(_.start()); gate.countDown(); racers.foreach(_.join())
+    assert(errs.isEmpty, s"racer failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(landed.get() === 1, "exactly one of the racing duplicates may commit")
+    assert(CommitLog.read(spark, t).as[Long].collect().toSeq === Seq(7L))
+    // the loser's staged-but-uncommitted file is an orphan vacuum removes
+    CommitLog.vacuum(t)
+    assert(CommitLog.read(spark, t).as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("exactly-once streaming sink: foreachBatch + appendOnce under batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        CommitLog.appendOnce(spark, t, batch, "sink", id)
+        // simulate the crash-and-retry path every batch: foreachBatch
+        // re-invokes with the SAME batch id after a restart
+        CommitLog.appendOnce(spark, t, batch, "sink", id)
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      input.addData(1L, 2L); q.processAllAvailable()
+      input.addData(3L); q.processAllAvailable()
+      assert(CommitLog.read(spark, t).as[Long].collect().sorted.toSeq
+        === Seq(1L, 2L, 3L), "each micro-batch must land exactly once")
+    } finally q.stop()
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
