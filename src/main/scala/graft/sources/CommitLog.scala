@@ -352,15 +352,48 @@ object CommitLog {
     commit(table, removes ++ adds, readVersion = snap.version, store)
   }
 
-  /** Delete data files no commit references as LIVE: orphans from crashed
-    * writers (staged, never committed) and tombstones (removed by a
-    * rewrite). Correct for quiesced tables; production adds a retention
-    * window so pinned time-travel readers of recent versions don't lose
-    * files mid-scan (docs/SCALE.md). Returns deleted file names. */
-  def vacuum(table: String, store: LogStore = LocalStore): Seq[String] = {
-    val live = snapshot(table, None, store).files.toSet
+  /** Delete data files no retained snapshot references: orphans from
+    * crashed writers (staged, never committed) and tombstones (removed by
+    * a rewrite) older than the retention window.
+    *
+    * Two independent guards make this safe to run against a LIVE table —
+    * the production posture docs/SCALE.md §Writers used to list as the
+    * one remaining delta:
+    *
+    *   - `retainVersions`: every file live in ANY version in
+    *     `[tip - retainVersions, tip]` is protected, so a reader pinned
+    *     (time-traveled) at a version inside the window never loses files
+    *     mid-scan. The protected set is `live(floor) ∪ adds(floor..tip]`
+    *     — a file added then removed inside the window was live at the
+    *     version right after its add, so the union form is exact. Cost is
+    *     one checkpoint-seeded replay to the window floor plus the window's
+    *     commit files — never the table's full history.
+    *   - `minAgeMs`: a data file younger than this is never deleted, even
+    *     if unreferenced — it may be a racing writer's staged-but-not-yet-
+    *     committed file (stage happens BEFORE the commit publishes, so an
+    *     age-blind vacuum could delete a commit's files in the gap).
+    *     Retention can't cover this case: an in-flight file is in no
+    *     version at all.
+    *
+    * Defaults (0, 0) give the aggressive quiesced-table semantics the
+    * early specs pin: only the tip survives. Returns deleted file names. */
+  def vacuum(table: String, retainVersions: Int = 0, minAgeMs: Long = 0L,
+             store: LogStore = LocalStore): Seq[String] = {
+    val tip = latestVersion(table, store)
+    if (tip < 0) return Nil // no commits: every data file may be an in-flight stage
+    val floor = math.max(0L, tip - retainVersions.toLong)
+    val kept = mutable.Set.empty[String] ++ replay(table, floor, store).live
+    ((floor + 1) to tip).foreach { v =>
+      decode(store.read(versionFile(table, v))).foreach {
+        case Action("add", p, _) => kept += p
+        case _                   => ()
+      }
+    }
+    val cutoff = System.currentTimeMillis() - minAgeMs
     LocalStore.list(dataDir(table))
-      .filter(p => Files.isRegularFile(p) && !live.contains(s"data/${p.getFileName}"))
+      .filter(p => Files.isRegularFile(p) &&
+        !kept.contains(s"data/${p.getFileName}") &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map { p => Files.delete(p); p.getFileName.toString }
   }
 

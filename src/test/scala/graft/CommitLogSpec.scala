@@ -228,6 +228,51 @@ class CommitLogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retention vacuum: versions inside the window stay readable, older tombstones go") {
+    val t = freshTable()
+    val v0 = CommitLog.append(spark, t, Seq(1L, 2L).toDF("id"))   // v0
+    val v1 = CommitLog.compact(spark, t, targetFiles = 1)         // v1 rewrites v0's files
+    val v2 = CommitLog.compact(spark, t, targetFiles = 1)         // v2 rewrites v1's files
+    assert((v0, v1, v2) === (0L, 1L, 2L))
+    val v1Files = CommitLog.snapshot(t, asOf = Some(v1)).files.toSet
+    val v0Files = CommitLog.snapshot(t, asOf = Some(v0)).files.toSet
+
+    // retainVersions = 1 protects [v1, v2]: v1's files survive even though
+    // v2 tombstoned them; v0's files (outside the window) are deleted.
+    val deleted = CommitLog.vacuum(t, retainVersions = 1).map(f => s"data/$f").toSet
+    assert(v0Files.subsetOf(deleted), "pre-window tombstones must be vacuumed")
+    assert(deleted.intersect(v1Files).isEmpty, "in-window files must survive")
+
+    // a reader pinned inside the window completes its scan...
+    assert(CommitLog.read(spark, t, asOf = Some(v1)).as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    // ...and the tip is of course intact
+    assert(CommitLog.read(spark, t).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("age guard: a fresh unreferenced file (racing writer's stage) is never vacuumed") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq(1L).toDF("id"))
+    // an orphan staged moments ago — indistinguishable from a commit in
+    // the stage→publish gap, so an aged vacuum must leave it alone
+    val orphan = Paths.get(t, "data", "inflight-stage.parquet")
+    val scratch = Files.createTempDirectory("stage").resolve("w")
+    Seq(99L).toDF("id").coalesce(1).write.parquet(scratch.toString)
+    val part = Files.list(scratch).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, orphan)
+
+    assert(!CommitLog.vacuum(t, minAgeMs = 3600000L).contains("inflight-stage.parquet"),
+      "young orphan must survive an aged vacuum")
+    assert(Files.exists(orphan))
+
+    // age it past the window: now it is a crashed writer's leak, delete it
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    assert(CommitLog.vacuum(t, minAgeMs = 3600000L).contains("inflight-stage.parquet"))
+    assert(!Files.exists(orphan))
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
