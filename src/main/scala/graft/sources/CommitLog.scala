@@ -63,8 +63,16 @@ object CommitLog {
     * data-file path, `rows` bookkeeping) or `txn` (writer-level
     * idempotence marker: `path` is the application id, `rows` its
     * batch/epoch number — the mechanism behind exactly-once streaming
-    * sinks, see [[appendOnce]]). */
-  final case class Action(op: String, path: String, rows: Long)
+    * sinks, see [[appendOnce]]).
+    *
+    * `lo`/`hi` are OPTIONAL per-file min/max bounds of the table's index
+    * column (NaN = not recorded) — the data-skipping metadata
+    * [[readWhere]] prunes by. Absent bounds are conservative: the file is
+    * always read. */
+  final case class Action(op: String, path: String, rows: Long,
+                          lo: Double = Double.NaN, hi: Double = Double.NaN) {
+    def hasBounds: Boolean = !lo.isNaN && !hi.isNaN
+  }
 
   final case class Snapshot(version: Long, files: Seq[String]) {
     def isEmpty: Boolean = files.isEmpty
@@ -129,17 +137,24 @@ object CommitLog {
 
   /** JSON-lines encode. Paths are always `data/<uuid>.parquet` strings this
     * object generated (no quotes/escapes possible), so the symmetric
-    * regex decode below is exact, not a general JSON parser. */
+    * regex decode below is exact, not a general JSON parser. Bounds are
+    * emitted only when recorded, so stat-free logs are byte-identical to
+    * the pre-stats format (old logs decode unchanged). */
   private def encode(actions: Seq[Action]): String =
-    actions.map(a =>
-      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}}""").mkString("\n")
+    actions.map { a =>
+      val stats = if (a.hasBounds) s""","lo":${a.lo},"hi":${a.hi}""" else ""
+      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$stats}"""
+    }.mkString("\n")
 
   private val ActionRe =
-    """\{"op":"(add|remove|txn)","path":"([^"]+)","rows":(\d+)\}""".r
+    ("""\{"op":"(add|remove|txn)","path":"([^"]+)","rows":(\d+)""" +
+      """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?\}""").r
 
   private def decode(content: String): Seq[Action] =
     content.linesIterator.filter(_.nonEmpty).map {
-      case ActionRe(op, path, rows) => Action(op, path, rows.toLong)
+      case ActionRe(op, path, rows, null, null) => Action(op, path, rows.toLong)
+      case ActionRe(op, path, rows, lo, hi) =>
+        Action(op, path, rows.toLong, lo.toDouble, hi.toDouble)
       case bad => throw new IllegalStateException(s"corrupt commit line: $bad")
     }.toSeq
 
@@ -164,15 +179,26 @@ object CommitLog {
       case _                                => None
     }).foldLeft(-1L)(math.max)
 
-  /** Full table state at a version: live files (insertion-ordered) and
-    * the per-application txn high-water marks. */
+  /** Full table state at a version: live files (insertion-ordered), their
+    * recorded index-column bounds, and the per-application txn high-water
+    * marks. */
   private final case class State(live: mutable.LinkedHashSet[String],
+                                 bounds: mutable.Map[String, (Double, Double)],
                                  txns: mutable.Map[String, Long]) {
     def apply(a: Action): Unit = a match {
-      case Action("add", p, _)    => live += p
-      case Action("remove", p, _) => live -= p
-      case Action("txn", app, b)  => if (txns.getOrElse(app, -1L) < b) txns(app) = b
+      case add @ Action("add", p, _, _, _) =>
+        live += p
+        if (add.hasBounds) bounds(p) = (add.lo, add.hi)
+      case Action("remove", p, _, _, _) => live -= p; bounds -= p
+      case Action("txn", app, b, _, _) =>
+        if (txns.getOrElse(app, -1L) < b) txns(app) = b
       case bad => throw new IllegalStateException(s"unknown action $bad")
+    }
+    def liveActions: Seq[Action] = live.toSeq.map { p =>
+      bounds.get(p) match {
+        case Some((lo, hi)) => Action("add", p, 0L, lo, hi)
+        case None           => Action("add", p, 0L)
+      }
     }
   }
 
@@ -181,7 +207,7 @@ object CommitLog {
     * O(table lifetime); the pre-checkpoint commit files aren't even
     * opened (CommitLogSpec proves this by corrupting them). */
   private def replay(table: String, v: Long, store: LogStore): State = {
-    val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty)
+    val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty, mutable.Map.empty)
     val cp = latestCheckpointAtOrBefore(table, v, store)
     if (cp >= 0)
       decode(store.read(checkpointFile(table, cp))).foreach(st.apply)
@@ -219,7 +245,7 @@ object CommitLog {
     val tip = latestVersion(table, store)
     require(tip >= 0, s"$table has no commits to checkpoint")
     val st = replay(table, tip, store)
-    val acts = st.live.toSeq.map(Action("add", _, 0L)) ++
+    val acts = st.liveActions ++
       st.txns.toSeq.sortBy(_._1).map { case (app, b) => Action("txn", app, b) }
     store.putIfAbsent(checkpointFile(table, tip), encode(acts))
     tip
@@ -240,16 +266,38 @@ object CommitLog {
     * add-actions. Staged files are invisible until a commit references
     * them. Spark writes a directory; each part file is moved to a flat
     * uuid name so commits own files, not directories. */
-  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[Action] = {
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+                    indexCol: Option[String] = None): Seq[Action] = {
     Files.createDirectories(dataDir(table))
     val staging = Paths.get(table, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
     val parts = LocalStore.list(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    // Per-file index bounds in ONE job over the staged output, keyed by
+    // input_file_name — the stats parquet already computed into its own
+    // footers, read back here because commits must own them (a pruning
+    // read may never open a file, footer included; that is the point).
+    val bounds: Map[String, (Double, Double)] = indexCol match {
+      case None => Map.empty
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        spark.read.parquet(staging.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("double").as("lo"),
+               max(col(c)).cast("double").as("hi"))
+          .collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null file: no bounds, never pruned
+          .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString, (r.getDouble(1), r.getDouble(2))))
+          .toMap
+    }
     val acts = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir(table).resolve(name))
-      Action("add", s"data/$name", 0L)
+      bounds.get(p.getFileName.toString) match {
+        case Some((lo, hi)) => Action("add", s"data/$name", 0L, lo, hi)
+        case None           => Action("add", s"data/$name", 0L)
+      }
     }
     // staging dir now holds only _SUCCESS etc.
     LocalStore.list(staging).foreach(Files.delete)
@@ -263,8 +311,8 @@ object CommitLog {
   private def commit(table: String, actions: Seq[Action], readVersion: Long,
                      store: LogStore, maxAttempts: Int = 50): Long = {
     Files.createDirectories(logDir(table))
-    val removes = actions.collect { case Action("remove", p, _) => p }.toSet
-    val txns = actions.collect { case Action("txn", app, b) => (app, b) }
+    val removes = actions.collect { case Action("remove", p, _, _, _) => p }.toSet
+    val txns = actions.collect { case Action("txn", app, b, _, _) => (app, b) }
     var attempt = 0
     var target = math.max(latestVersion(table, store), readVersion) + 1
     while (attempt < maxAttempts) {
@@ -278,13 +326,13 @@ object CommitLog {
       if (removes.nonEmpty || txns.nonEmpty) {
         ((readVersion + 1) until target).foreach { v =>
           val theirs = decode(store.read(versionFile(table, v)))
-          val theirRemoves = theirs.collect { case Action("remove", p, _) => p }.toSet
+          val theirRemoves = theirs.collect { case Action("remove", p, _, _, _) => p }.toSet
           val clash = removes.intersect(theirRemoves)
           if (clash.nonEmpty)
             throw new ConcurrentRewriteException(
               s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
                 s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
-          val theirTxns = theirs.collect { case Action("txn", app, b) => (app, b) }.toMap
+          val theirTxns = theirs.collect { case Action("txn", app, b, _, _) => (app, b) }.toMap
           txns.foreach { case (app, b) =>
             if (theirTxns.getOrElse(app, -1L) >= b)
               throw new TxnAlreadyApplied(app, b, v)
@@ -308,6 +356,50 @@ object CommitLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
              store: LogStore = LocalStore): Long =
     commit(table, stage(spark, table, df), readVersion = -1L, store)
+
+  /** Append with data-skipping stats: each staged file's add-action
+    * carries the min/max of `indexCol`, so [[readWhere]] on that column
+    * prunes non-overlapping files at file-LISTING time — no footer read,
+    * no task launched. Cluster the frame first
+    * (`df.repartitionByRange(n, col(indexCol))`) so files cover disjoint
+    * ranges and a selective predicate keeps O(1) of them; unclustered
+    * appends still work, they just prune less (every file's range spans
+    * the domain). This is the commit-log analog of the engine's bucket
+    * partitioning everywhere else: metadata, not data, bounds the scan. */
+  def appendIndexed(spark: SparkSession, table: String, df: DataFrame,
+                    indexCol: String, store: LogStore = LocalStore): Long =
+    commit(table, stage(spark, table, df, Some(indexCol)), readVersion = -1L, store)
+
+  /** Live files whose recorded index bounds overlap `[lo, hi]`, plus any
+    * file with no recorded bounds (conservative: unknown = read it).
+    * Exposed so specs assert pruning on the deterministic FILE COUNT, not
+    * on byte metrics. */
+  def prunedFiles(table: String, lo: Double, hi: Double,
+                  store: LogStore = LocalStore): Seq[String] = {
+    val tip = latestVersion(table, store)
+    val st = replay(table, tip, store)
+    st.live.toSeq.filter { p =>
+      st.bounds.get(p).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+  }
+
+  /** Range read with file skipping: open only the files [[prunedFiles]]
+    * keeps, then apply the EXACT predicate — bounds select files, the
+    * filter selects rows, so the result is identical to a full scan with
+    * the same predicate regardless of how (or whether) the table was
+    * clustered. */
+  def readWhere(spark: SparkSession, table: String, indexCol: String,
+                lo: Double, hi: Double,
+                store: LogStore = LocalStore): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(table, lo, hi, store)
+    if (files.isEmpty) {
+      // schema-stable empty result: read the live set's schema, keep no rows
+      read(spark, table, None, store).where(org.apache.spark.sql.functions.lit(false))
+    } else
+      spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+        .where(col(indexCol) >= lo && col(indexCol) <= hi)
+  }
 
   /** Idempotent append keyed by (appId, batchId) — the exactly-once
     * primitive for streaming sinks (use from `foreachBatch`): the commit
@@ -385,7 +477,7 @@ object CommitLog {
     val kept = mutable.Set.empty[String] ++ replay(table, floor, store).live
     ((floor + 1) to tip).foreach { v =>
       decode(store.read(versionFile(table, v))).foreach {
-        case Action("add", p, _) => kept += p
+        case Action("add", p, _, _, _) => kept += p
         case _                   => ()
       }
     }
@@ -437,4 +529,26 @@ object CommitLog {
   val occTimeTravelSql: String =
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
+
+  /** Data skipping through the log: cluster lineitem by orderkey into
+    * range-disjoint files via [[appendIndexed]], then [[readWhere]] a
+    * selective key range — the scan opens only the files whose recorded
+    * bounds overlap (CommitLogSpec asserts the pruned file count; here
+    * the oracle asserts the pruning lost no rows). Oracle: the same
+    * predicate as a plain filter over the source table. */
+  def occReadWhere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_skip").toString
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    appendIndexed(spark, table, li.repartitionByRange(8, col("l_orderkey")),
+      "l_orderkey")
+    readWhere(spark, table, "l_orderkey", 1000d, 2000d)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val occReadWhereSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

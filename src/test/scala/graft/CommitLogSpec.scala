@@ -273,10 +273,41 @@ class CommitLogSpec extends SparkSpec {
     assert(!Files.exists(orphan))
   }
 
+  test("data skipping: readWhere opens only range-overlapping files, result = full-scan filter") {
+    val t = freshTable()
+    // 1000 keys range-clustered into 10 files → each file covers ~1/10 of
+    // the key domain; a 5%-wide predicate must keep 1-2 files, never 10.
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    CommitLog.appendIndexed(spark, t,
+      df.repartitionByRange(10, col("k")), "k")
+    val total = CommitLog.snapshot(t).files.size
+    assert(total === 10)
+    val kept = CommitLog.prunedFiles(t, 400d, 449d)
+    assert(kept.size <= 2, s"5% range must prune to <=2 of 10 files, kept ${kept.size}")
+    val got = CommitLog.readWhere(spark, t, "k", 400d, 449d)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (400L to 449L))
+
+    // bounds survive a checkpoint: replay seeds from c{v}.json, and the
+    // pruning decision must be identical to the commit-file replay
+    CommitLog.checkpoint(t)
+    assert(CommitLog.prunedFiles(t, 400d, 449d).toSet === kept.toSet)
+
+    // a later UNINDEXED append has no bounds → conservative: always read
+    CommitLog.append(spark, t, Seq((5000L, "x")).toDF("k", "s"))
+    val keptAfter = CommitLog.prunedFiles(t, 400d, 449d)
+    assert(keptAfter.size === kept.size + 1, "bound-less file must never be pruned")
+    assert(CommitLog.readWhere(spark, t, "k", 400d, 449d).count() === 50L)
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
     val tt = CommitLog.occTimeTravel(spark, sf)
     assert(tt.count() === Tables.nation(spark, sf).count())
+    val rw = CommitLog.occReadWhere(spark, sf)
+    val expect = Tables.lineitem(spark, sf)
+      .where(col("l_orderkey").between(1000, 2000)).count()
+    assert(rw.count() === expect && expect > 0)
   }
 }
