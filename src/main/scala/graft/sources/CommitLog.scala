@@ -428,6 +428,38 @@ object CommitLog {
     catch { case _: TxnAlreadyApplied => -1L }
   }
 
+  /** Data files carrying NEW rows in versions `(fromVersion, toVersion]` —
+    * the change-data feed a downstream incremental consumer tails. A
+    * commit containing any `remove` is a REORGANIZATION (compaction
+    * rewrites rows that already flowed), so its adds are excluded — the
+    * feed sees each row exactly once however often the table is
+    * compacted behind it. Files are returned even if a LATER rewrite
+    * tombstoned them (immutability keeps them readable; vacuum retention
+    * must cover the consumer's lag, docs/SCALE.md). */
+  def changedFiles(table: String, fromVersion: Long, toVersion: Long,
+                   store: LogStore = LocalStore): Seq[String] =
+    ((fromVersion + 1) to toVersion).flatMap { v =>
+      val acts = decode(store.read(versionFile(table, v)))
+      if (acts.exists(_.op == "remove")) Nil
+      else acts.collect { case Action("add", p, _, _, _) => p }
+    }
+
+  /** Incremental read of the rows appended in `(fromVersion, toVersion]`
+    * (default `toVersion` = tip). Returns the version the read covers
+    * through and the new rows — `None` when the window holds no new data.
+    * The returned version is the consumer's next cursor; feeding it to
+    * [[appendOnce]] as the batch id makes a log-to-log pipeline
+    * exactly-once end-to-end (spec'd in CommitLogSpec). */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+                  toVersion: Option[Long] = None,
+                  store: LogStore = LocalStore): (Long, Option[DataFrame]) = {
+    val to = toVersion.getOrElse(latestVersion(table, store))
+    val files = changedFiles(table, fromVersion, to, store)
+    if (files.isEmpty) (to, None)
+    else (to, Some(spark.read.parquet(
+      files.map(f => Paths.get(table, f).toString): _*)))
+  }
+
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
     * files and commit remove(old)+add(new). Concurrent APPENDS commute
     * (they land before or after; either way no data is covered twice);

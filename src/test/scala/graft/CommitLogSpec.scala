@@ -300,6 +300,60 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.readWhere(spark, t, "k", 400d, 449d).count() === 50L)
   }
 
+  test("change feed: appends flow exactly once, compaction rewrites are invisible") {
+    val t = freshTable()
+    val v0 = CommitLog.append(spark, t, Seq(1L).toDF("id"))
+    val v1 = CommitLog.append(spark, t, Seq(2L, 3L).toDF("id"))
+    val v2 = CommitLog.compact(spark, t, targetFiles = 1)
+    val v3 = CommitLog.append(spark, t, Seq(4L).toDF("id"))
+    assert((v0, v1, v2, v3) === (0L, 1L, 2L, 3L))
+
+    // full-history feed = every appended row exactly once (compaction's
+    // rewritten copies of 1,2,3 must NOT reappear)
+    val (cursor, all) = CommitLog.readChanges(spark, t, fromVersion = -1L)
+    assert(cursor === v3)
+    assert(all.get.as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+
+    // windowed feed: (v0, v3] sees only the rows committed after v0
+    val (_, tail) = CommitLog.readChanges(spark, t, fromVersion = v0)
+    assert(tail.get.as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L))
+
+    // a window holding only the compaction has no new data
+    val (c2, none) = CommitLog.readChanges(spark, t, fromVersion = v1, toVersion = Some(v2))
+    assert(c2 === v2 && none.isEmpty)
+  }
+
+  test("log-to-log incremental pipeline: crash-replay of the whole feed lands exactly once") {
+    val src = freshTable()
+    val dst = freshTable()
+    // the consumer: advance over the source's new versions, transform,
+    // land in the destination keyed by the SOURCE VERSION — appendOnce's
+    // txn marker makes any replay idempotent
+    def drain(): Unit = {
+      val from = CommitLog.txnHighWater(dst, "pipe")
+      val tip = CommitLog.latestVersion(src)
+      ((from + 1) to tip).foreach { v =>
+        val (_, batch) = CommitLog.readChanges(spark, src, v - 1, Some(v))
+        batch.foreach { df =>
+          CommitLog.appendOnce(spark, dst, df.withColumn("x10", col("id") * 10),
+            "pipe", v)
+        }
+      }
+    }
+    CommitLog.append(spark, src, Seq(1L).toDF("id"))
+    CommitLog.append(spark, src, Seq(2L).toDF("id"))
+    drain()
+    CommitLog.append(spark, src, Seq(3L).toDF("id"))
+    // crash-recovery shape: the consumer lost its in-memory cursor and
+    // replays THE WHOLE FEED from scratch — versions 0..1 are skipped by
+    // the destination's txn high-water, version 2 lands once
+    drain()
+    drain() // and an extra full replay is still a no-op
+    val out = CommitLog.read(spark, dst).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
