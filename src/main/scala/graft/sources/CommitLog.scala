@@ -428,6 +428,45 @@ object CommitLog {
     catch { case _: TxnAlreadyApplied => -1L }
   }
 
+  /** Copy-on-write row deletion (the right-to-be-forgotten primitive a
+    * training corpus needs): rewrite ONLY the files that contain matching
+    * rows, dropping them; untouched files are not rewritten, not even
+    * read twice. One job finds the affected files (live scan keyed by
+    * `input_file_name`), one rewrite job per delete covers them, and the
+    * commit is remove(affected)+add(rewritten) — so a racing delete or
+    * compaction of the same files surfaces as the typed
+    * [[ConcurrentRewriteException]], and time travel still shows the
+    * pre-delete rows (physical erasure completes when vacuum retention
+    * passes the delete version).
+    *
+    * SQL DELETE semantics: rows where the predicate is NULL survive
+    * (the keep-filter is `NOT coalesce(pred, false)`). Pass `indexCol`
+    * to re-record data-skipping bounds on the rewritten files.
+    * Returns the commit version, or -1 if nothing matched (no commit). */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  indexCol: Option[String] = None,
+                  store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val snap = snapshot(table, None, store)
+    require(!snap.isEmpty, s"nothing to delete from in $table")
+    val paths = snap.files.map(f => Paths.get(table, f).toString)
+    val affectedNames = spark.read.parquet(paths: _*)
+      .where(coalesce(predicate, lit(false)))
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString).toSet
+    if (affectedNames.isEmpty) return -1L
+    val affected = snap.files.filter(f =>
+      affectedNames.contains(Paths.get(f).getFileName.toString))
+    val survivors = spark.read.parquet(
+        affected.map(f => Paths.get(table, f).toString): _*)
+      .where(not(coalesce(predicate, lit(false))))
+    val adds = stage(spark, table, survivors, indexCol)
+    val removes = affected.map(Action("remove", _, 0L))
+    commit(table, removes ++ adds, readVersion = snap.version, store)
+  }
+
   /** Data files carrying NEW rows in versions `(fromVersion, toVersion]` —
     * the change-data feed a downstream incremental consumer tails. A
     * commit containing any `remove` is a REORGANIZATION (compaction
@@ -435,7 +474,12 @@ object CommitLog {
     * feed sees each row exactly once however often the table is
     * compacted behind it. Files are returned even if a LATER rewrite
     * tombstoned them (immutability keeps them readable; vacuum retention
-    * must cover the consumer's lag, docs/SCALE.md). */
+    * must cover the consumer's lag, docs/SCALE.md).
+    *
+    * This is an APPEND feed: [[deleteWhere]] commits are also
+    * remove-carrying rewrites, so downstream consumers are not told to
+    * retract rows they already saw (full CDC with delete/update events
+    * needs per-row change files — out of scope; stated, not hidden). */
   def changedFiles(table: String, fromVersion: Long, toVersion: Long,
                    store: LogStore = LocalStore): Seq[String] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
@@ -583,4 +627,25 @@ object CommitLog {
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |WHERE l_orderkey BETWEEN 1000 AND 2000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Copy-on-write delete through the log: range-cluster orders, delete a
+    * key range (touches only the overlapping files — CommitLogSpec
+    * asserts the untouched files keep their identity), read the tip.
+    * Oracle: the complement filter over the source table. */
+  def occDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_del").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    deleteWhere(spark, table, col("o_orderkey").between(1000, 3000),
+      Some("o_orderkey"))
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occDeleteWhereSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -354,6 +354,44 @@ class CommitLogSpec extends SparkSpec {
     assert(out === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("deleteWhere is copy-on-write: only matching files rewritten, time travel keeps history") {
+    val t = freshTable()
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    CommitLog.appendIndexed(spark, t, df.repartitionByRange(10, col("k")), "k")
+    val before = CommitLog.snapshot(t)
+    assert(before.files.size === 10)
+
+    val v = CommitLog.deleteWhere(spark, t, col("k").between(100, 149), Some("k"))
+    assert(v > before.version)
+    val after = CommitLog.snapshot(t).files.toSet
+    // range-clustered: the 5% key range lives in at most 2 of 10 files —
+    // every other file must survive the delete UNTOUCHED (same identity)
+    val untouched = before.files.toSet.intersect(after)
+    assert(untouched.size >= 8,
+      s"copy-on-write must keep non-matching files; only ${untouched.size} survived")
+
+    assert(CommitLog.read(spark, t).count() === 950)
+    assert(CommitLog.read(spark, t).where(col("k").between(100, 149)).count() === 0)
+    // the deleted rows are still one time-travel away (physical erasure
+    // is vacuum's job, after retention passes the delete version)
+    assert(CommitLog.read(spark, t, asOf = Some(before.version)).count() === 1000)
+    // rewritten files re-recorded their bounds: skipping still prunes
+    assert(CommitLog.prunedFiles(t, 900d, 949d).size <= 2)
+  }
+
+  test("deleteWhere has SQL NULL semantics: rows where the predicate is NULL survive") {
+    val t = freshTable()
+    val df = Seq((1L, "x"), (2L, "y"), (3L, null)).toDF("k", "v")
+    CommitLog.append(spark, t, df.coalesce(1))
+    CommitLog.deleteWhere(spark, t, col("v") === "x")
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L), "NULL-predicate rows must survive a DELETE")
+    // nothing matches → no-op, no commit published
+    val tip = CommitLog.latestVersion(t)
+    assert(CommitLog.deleteWhere(spark, t, col("v") === "zzz") === -1L)
+    assert(CommitLog.latestVersion(t) === tip)
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
@@ -363,5 +401,9 @@ class CommitLogSpec extends SparkSpec {
     val expect = Tables.lineitem(spark, sf)
       .where(col("l_orderkey").between(1000, 2000)).count()
     assert(rw.count() === expect && expect > 0)
+    val dw = CommitLog.occDeleteWhere(spark, sf)
+    val expectDel = Tables.orders(spark, sf)
+      .where(!col("o_orderkey").between(1000, 3000)).count()
+    assert(dw.count() === expectDel && expectDel > 0)
   }
 }
