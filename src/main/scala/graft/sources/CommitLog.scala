@@ -84,6 +84,14 @@ object CommitLog {
   final class ConcurrentRewriteException(msg: String)
     extends RuntimeException(msg)
 
+  /** Thrown BEFORE any data is staged when an append's schema is
+    * incompatible with the table's (same column name, different type) —
+    * evolution is additive-only, so the table is never poisoned by a
+    * committed-but-unreadable schema. Also raised from the conflict scan
+    * when a RACING commit introduced the conflicting column. */
+  final class SchemaConflictException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Internal signal: a txn-marked commit found its (app, batch) already
     * committed by a racer — [[appendOnce]] turns this into a silent skip
     * (the batch IS in the table; that's success, not failure). */
@@ -147,8 +155,17 @@ object CommitLog {
     }.mkString("\n")
 
   private val ActionRe =
-    ("""\{"op":"(add|remove|txn)","path":"([^"]+)","rows":(\d+)""" +
+    ("""\{"op":"(add|remove|txn|meta)","path":"([^"]+)","rows":(\d+)""" +
       """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?\}""").r
+
+  // `meta` actions carry a schema: StructType JSON, base64-encoded so the
+  // payload is a quote-free token the line codec handles unchanged.
+  private def schemaToken(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+  private def tokenToSchema(t: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(t), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   private def decode(content: String): Seq[Action] =
     content.linesIterator.filter(_.nonEmpty).map {
@@ -180,11 +197,16 @@ object CommitLog {
     }).foldLeft(-1L)(math.max)
 
   /** Full table state at a version: live files (insertion-ordered), their
-    * recorded index-column bounds, and the per-application txn high-water
-    * marks. */
+    * recorded index-column bounds, the per-application txn high-water
+    * marks, and the UNION of every committed schema (first-appearance
+    * column order). Union — not last-wins — so two racing appends that
+    * each add a different column commute: neither's column is lost from
+    * the read schema. Same-name-different-type is the one thing that
+    * cannot union; it throws the typed conflict. */
   private final case class State(live: mutable.LinkedHashSet[String],
                                  bounds: mutable.Map[String, (Double, Double)],
-                                 txns: mutable.Map[String, Long]) {
+                                 txns: mutable.Map[String, Long],
+                                 schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]) {
     def apply(a: Action): Unit = a match {
       case add @ Action("add", p, _, _, _) =>
         live += p
@@ -192,13 +214,31 @@ object CommitLog {
       case Action("remove", p, _, _, _) => live -= p; bounds -= p
       case Action("txn", app, b, _, _) =>
         if (txns.getOrElse(app, -1L) < b) txns(app) = b
+      case Action("meta", token, _, _, _) => mergeSchema(tokenToSchema(token))
       case bad => throw new IllegalStateException(s"unknown action $bad")
     }
-    def liveActions: Seq[Action] = live.toSeq.map { p =>
-      bounds.get(p) match {
-        case Some((lo, hi)) => Action("add", p, 0L, lo, hi)
-        case None           => Action("add", p, 0L)
+    def mergeSchema(s: org.apache.spark.sql.types.StructType): Unit =
+      s.fields.foreach { f =>
+        schema.get(f.name) match {
+          case Some(prev) if prev.dataType != f.dataType =>
+            throw new SchemaConflictException(
+              s"column ${f.name}: ${prev.dataType.simpleString} vs " +
+                s"${f.dataType.simpleString} — evolution is additive-only")
+          case Some(_) => ()
+          case None    => schema(f.name) = f.copy(nullable = true)
+        }
       }
+    def schemaStruct: Option[org.apache.spark.sql.types.StructType] =
+      if (schema.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType(schema.values.toSeq))
+    def liveActions: Seq[Action] = {
+      val files = live.toSeq.map { p =>
+        bounds.get(p) match {
+          case Some((lo, hi)) => Action("add", p, 0L, lo, hi)
+          case None           => Action("add", p, 0L)
+        }
+      }
+      schemaStruct.map(s => Action("meta", schemaToken(s), 0L)).toSeq ++ files
     }
   }
 
@@ -207,7 +247,8 @@ object CommitLog {
     * O(table lifetime); the pre-checkpoint commit files aren't even
     * opened (CommitLogSpec proves this by corrupting them). */
   private def replay(table: String, v: Long, store: LogStore): State = {
-    val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty, mutable.Map.empty)
+    val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty,
+      mutable.Map.empty, mutable.LinkedHashMap.empty)
     val cp = latestCheckpointAtOrBefore(table, v, store)
     if (cp >= 0)
       decode(store.read(checkpointFile(table, cp))).foreach(st.apply)
@@ -257,9 +298,32 @@ object CommitLog {
     * correctness concern. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
            store: LogStore = LocalStore): DataFrame = {
-    val snap = snapshot(table, asOf, store)
-    require(!snap.isEmpty, s"$table has no live files at v${snap.version}")
-    spark.read.parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+    val tip = latestVersion(table, store)
+    val v = asOf.getOrElse(tip)
+    require(v <= tip, s"version $v does not exist (tip is $tip)")
+    val st = replay(table, v, store)
+    require(st.live.nonEmpty, s"$table has no live files at v$v")
+    // The log's schema (as of v — time travel reads the columns that
+    // existed THEN) is authoritative: files written before a column was
+    // added read it as NULL; no footer-merging pass is ever needed.
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    reader.parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+  }
+
+  /** Pre-flight schema check + the meta action an append-shaped commit
+    * carries: merging the frame's schema into the CURRENT table schema
+    * throws the typed conflict BEFORE anything is staged. Returns the
+    * tip the check covered — the commit's conflict scan starts AFTER it
+    * (only the commits that RACE this one are re-read; an append never
+    * scans table history). */
+  private def metaFor(table: String, df: DataFrame,
+                      store: LogStore): (Long, Action) = {
+    val tip = latestVersion(table, store)
+    if (tip >= 0) replay(table, tip, store).mergeSchema(df.schema)
+    (tip, Action("meta", schemaToken(df.schema), 0L))
   }
 
   /** Stage `df` as immutable uuid-named files under `data/` and return the
@@ -313,6 +377,9 @@ object CommitLog {
     Files.createDirectories(logDir(table))
     val removes = actions.collect { case Action("remove", p, _, _, _) => p }.toSet
     val txns = actions.collect { case Action("txn", app, b, _, _) => (app, b) }
+    val ourMetaFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      actions.collect { case Action("meta", tok, _, _, _) => tok }
+        .flatMap(tok => tokenToSchema(tok).fields.map(f => f.name -> f.dataType))
     var attempt = 0
     var target = math.max(latestVersion(table, store), readVersion) + 1
     while (attempt < maxAttempts) {
@@ -323,7 +390,7 @@ object CommitLog {
       // retried streaming batches exactly-once even when the retry RACES
       // the original (both stage, both reach here; the loser of the
       // version race sees the winner's txn marker and aborts).
-      if (removes.nonEmpty || txns.nonEmpty) {
+      if (removes.nonEmpty || txns.nonEmpty || ourMetaFields.nonEmpty) {
         ((readVersion + 1) until target).foreach { v =>
           val theirs = decode(store.read(versionFile(table, v)))
           val theirRemoves = theirs.collect { case Action("remove", p, _, _, _) => p }.toSet
@@ -337,6 +404,20 @@ object CommitLog {
             if (theirTxns.getOrElse(app, -1L) >= b)
               throw new TxnAlreadyApplied(app, b, v)
           }
+          // schema races: a racer introducing the SAME column with a
+          // DIFFERENT type can't union — surface the typed conflict on
+          // the loser instead of poisoning replay for every reader
+          theirs.collect { case Action("meta", tok, _, _, _) => tok }
+            .foreach { tok =>
+              val theirFields = tokenToSchema(tok).fields.map(f => f.name -> f.dataType).toMap
+              ourMetaFields.foreach { case (name, dt) =>
+                theirFields.get(name).filter(_ != dt).foreach { theirDt =>
+                  throw new SchemaConflictException(
+                    s"commit v$v added column $name: ${theirDt.simpleString} vs " +
+                      s"our ${dt.simpleString} — evolution is additive-only")
+                }
+              }
+            }
         }
       }
       if (store.putIfAbsent(versionFile(table, target), encode(actions)))
@@ -354,8 +435,10 @@ object CommitLog {
     * every concurrent commit, so the rebase loop never conflicts — under
     * contention every append lands, each at its own version). */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             store: LogStore = LocalStore): Long =
-    commit(table, stage(spark, table, df), readVersion = -1L, store)
+             store: LogStore = LocalStore): Long = {
+    val (tip, meta) = metaFor(table, df, store)
+    commit(table, meta +: stage(spark, table, df), readVersion = tip, store)
+  }
 
   /** Append with data-skipping stats: each staged file's add-action
     * carries the min/max of `indexCol`, so [[readWhere]] on that column
@@ -367,8 +450,11 @@ object CommitLog {
     * the domain). This is the commit-log analog of the engine's bucket
     * partitioning everywhere else: metadata, not data, bounds the scan. */
   def appendIndexed(spark: SparkSession, table: String, df: DataFrame,
-                    indexCol: String, store: LogStore = LocalStore): Long =
-    commit(table, stage(spark, table, df, Some(indexCol)), readVersion = -1L, store)
+                    indexCol: String, store: LogStore = LocalStore): Long = {
+    val (tip, meta) = metaFor(table, df, store)
+    commit(table, meta +: stage(spark, table, df, Some(indexCol)),
+      readVersion = tip, store)
+  }
 
   /** Live files whose recorded index bounds overlap `[lo, hi]`, plus any
     * file with no recorded bounds (conservative: unknown = read it).
@@ -392,13 +478,21 @@ object CommitLog {
                 lo: Double, hi: Double,
                 store: LogStore = LocalStore): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val files = prunedFiles(table, lo, hi, store)
+    val st = replay(table, latestVersion(table, store), store)
+    val files = st.live.toSeq.filter { p =>
+      st.bounds.get(p).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
     if (files.isEmpty) {
       // schema-stable empty result: read the live set's schema, keep no rows
       read(spark, table, None, store).where(org.apache.spark.sql.functions.lit(false))
-    } else
-      spark.read.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    } else {
+      val reader = st.schemaStruct match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read
+      }
+      reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
         .where(col(indexCol) >= lo && col(indexCol) <= hi)
+    }
   }
 
   /** Idempotent append keyed by (appId, batchId) — the exactly-once
@@ -421,9 +515,13 @@ object CommitLog {
     // conflict scan starts AFTER tip — it only ever reads the commits
     // that raced this one, never the table's history.
     val tip = latestVersion(table, store)
-    if (tip >= 0 && replay(table, tip, store).txns.getOrElse(appId, -1L) >= batchId)
-      return -1L
-    val acts = stage(spark, table, df) :+ Action("txn", appId, batchId)
+    if (tip >= 0) {
+      val st = replay(table, tip, store)
+      if (st.txns.getOrElse(appId, -1L) >= batchId) return -1L
+      st.mergeSchema(df.schema) // typed conflict BEFORE staging
+    }
+    val acts = (Action("meta", schemaToken(df.schema), 0L) +:
+      stage(spark, table, df)) :+ Action("txn", appId, batchId)
     try commit(table, acts, readVersion = tip, store)
     catch { case _: TxnAlreadyApplied => -1L }
   }
@@ -448,23 +546,31 @@ object CommitLog {
                   indexCol: Option[String] = None,
                   store: LogStore = LocalStore): Long = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
-    val snap = snapshot(table, None, store)
-    require(!snap.isEmpty, s"nothing to delete from in $table")
-    val paths = snap.files.map(f => Paths.get(table, f).toString)
-    val affectedNames = spark.read.parquet(paths: _*)
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to delete from in $table")
+    // the log schema applies here too: the predicate may reference a
+    // column added AFTER some live files were written (NULL there)
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val files = st.live.toSeq
+    val paths = files.map(f => Paths.get(table, f).toString)
+    val affectedNames = reader.parquet(paths: _*)
       .where(coalesce(predicate, lit(false)))
       .select(input_file_name().as("f")).distinct().collect()
       .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
         .getFileName.toString).toSet
     if (affectedNames.isEmpty) return -1L
-    val affected = snap.files.filter(f =>
+    val affected = files.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
-    val survivors = spark.read.parquet(
+    val survivors = reader.parquet(
         affected.map(f => Paths.get(table, f).toString): _*)
       .where(not(coalesce(predicate, lit(false))))
     val adds = stage(spark, table, survivors, indexCol)
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds, readVersion = snap.version, store)
+    commit(table, removes ++ adds, readVersion = version, store)
   }
 
   /** Data files carrying NEW rows in versions `(fromVersion, toVersion]` —
@@ -500,8 +606,16 @@ object CommitLog {
     val to = toVersion.getOrElse(latestVersion(table, store))
     val files = changedFiles(table, fromVersion, to, store)
     if (files.isEmpty) (to, None)
-    else (to, Some(spark.read.parquet(
-      files.map(f => Paths.get(table, f).toString): _*)))
+    else {
+      // schema as of `to`: a window may span an evolution boundary, so the
+      // union schema (missing columns = NULL) keeps the batch well-typed
+      val reader = replay(table, to, store).schemaStruct match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read
+      }
+      (to, Some(reader.parquet(
+        files.map(f => Paths.get(table, f).toString): _*)))
+    }
   }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
@@ -511,13 +625,18 @@ object CommitLog {
     * [[ConcurrentRewriteException]] on exactly one of the racers. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
               store: LogStore = LocalStore): Long = {
-    val snap = snapshot(table, None, store)
-    require(!snap.isEmpty, s"nothing to compact in $table")
-    val df = spark.read.parquet(snap.files.map(f => Paths.get(table, f).toString): _*)
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to compact in $table")
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s) // rewrite under the UNION schema
+      case None    => spark.read
+    }
+    val df = reader.parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
       .repartition(math.max(1, targetFiles))
     val adds = stage(spark, table, df)
-    val removes = snap.files.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds, readVersion = snap.version, store)
+    val removes = st.live.toSeq.map(Action("remove", _, 0L))
+    commit(table, removes ++ adds, readVersion = version, store)
   }
 
   /** Delete data files no retained snapshot references: orphans from
@@ -648,4 +767,29 @@ object CommitLog {
     """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
       |WHERE o_orderkey NOT BETWEEN 1000 AND 3000
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Schema evolution through the log: append nation, then append a
+    * 5-row slice carrying a NEW column — the tip read returns the union
+    * schema, with the pre-evolution rows reading the new column as NULL
+    * straight off the log's meta actions (no footer merging). Oracle:
+    * NULL-padded UNION ALL of the two appends. */
+  def occSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_evo").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, table, nation)
+    append(spark, table, nation.where(col("n_nationkey") < 5)
+      .withColumn("extra", (col("n_nationkey") * 2).cast("long")))
+    read(spark, table).orderBy("n_nationkey", "extra")
+  }
+
+  val occSchemaEvolveSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS BIGINT) AS extra
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |       CAST(n_nationkey * 2 AS BIGINT) AS extra
+      |FROM nation WHERE n_nationkey < 5
+      |ORDER BY n_nationkey, extra""".stripMargin
 }

@@ -392,6 +392,47 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.latestVersion(t) === tip)
   }
 
+  test("schema evolution: added columns read as NULL on old files, time travel reads old schema") {
+    val t = freshTable()
+    val v0 = CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    CommitLog.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "s", "extra"))
+
+    val tip = CommitLog.read(spark, t)
+    assert(tip.columns.toSeq === Seq("k", "s", "extra"))
+    val rows = tip.orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+      === Seq((1L, true), (2L, true), (3L, false)))
+
+    // time travel reads the columns that existed THEN
+    assert(CommitLog.read(spark, t, asOf = Some(v0)).columns.toSeq === Seq("k", "s"))
+
+    // the union schema survives a checkpoint (meta rolled into c{v}.json)
+    // and a compaction (rewritten under the union schema)
+    CommitLog.checkpoint(t)
+    assert(CommitLog.read(spark, t).columns.toSeq === Seq("k", "s", "extra"))
+    CommitLog.compact(spark, t, targetFiles = 1)
+    assert(CommitLog.read(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2))).toSeq
+      === Seq((1L, true), (2L, true), (3L, false)))
+
+    // a change feed spanning the evolution boundary is well-typed too
+    val (_, feed) = CommitLog.readChanges(spark, t, fromVersion = -1L, toVersion = Some(1L))
+    assert(feed.get.columns.toSeq === Seq("k", "s", "extra"))
+    assert(feed.get.count() === 3)
+  }
+
+  test("schema evolution is additive-only: a type conflict is typed and never poisons the table") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    val tip = CommitLog.latestVersion(t)
+    intercept[CommitLog.SchemaConflictException] {
+      CommitLog.append(spark, t, Seq(("oops", "b")).toDF("k", "s")) // k: string vs long
+    }
+    // rejected BEFORE publication: no new version, table fully readable
+    assert(CommitLog.latestVersion(t) === tip)
+    assert(CommitLog.read(spark, t).count() === 1)
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
@@ -405,5 +446,10 @@ class CommitLogSpec extends SparkSpec {
     val expectDel = Tables.orders(spark, sf)
       .where(!col("o_orderkey").between(1000, 3000)).count()
     assert(dw.count() === expectDel && expectDel > 0)
+    val se = CommitLog.occSchemaEvolve(spark, sf)
+    val n = Tables.nation(spark, sf).count()
+    assert(se.count() === n + Tables.nation(spark, sf)
+      .where(col("n_nationkey") < 5).count())
+    assert(se.columns.contains("extra"))
   }
 }
