@@ -573,6 +573,92 @@ object CommitLog {
     commit(table, removes ++ adds, readVersion = version, store)
   }
 
+  /** Copy-on-write MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *` /
+    * `WHEN NOT MATCHED THEN INSERT *` keyed on `keyCols`. The standard
+    * CDC-apply primitive a training-data table needs (reference anchor:
+    * the reference's UPDATE dispatch at process.py:339-366 is the
+    * single-row special case of this).
+    *
+    * Shape (all distributed; only FILE NAMES ever reach the driver):
+    *   1. the source is pinned once (`localCheckpoint`) — it is consumed
+    *      by three plans and must not recompute differently per consumer;
+    *   2. ambiguous-match guard: a source with duplicate keys makes
+    *      MATCHED undefined — rejected up front (the same rule ANSI MERGE
+    *      and every lakehouse implementation enforces);
+    *   3. affected files = live files holding at least one matching key
+    *      (semi-join keyed by `input_file_name`). When the table is
+    *      range-clustered on the single key column (caller passes
+    *      `indexCol == keyCols.head`), the candidate set is FIRST pruned
+    *      to files whose recorded bounds overlap the source's key range —
+    *      a CDC batch touching a narrow key range scans O(batch) files,
+    *      not O(table);
+    *   4. rewrite = affected rows anti-joined against source keys (the
+    *      survivors), unioned with ALL source rows (updates + inserts);
+    *      untouched files are not rewritten, not even read twice;
+    *   5. commit remove(affected)+add(rewritten): a racing delete or
+    *      compaction of the same files surfaces as the typed
+    *      [[ConcurrentRewriteException]]; racing appends commute (their
+    *      rows are not covered by the remove-set — same caveat as every
+    *      write-serializable lakehouse: a racing append may introduce a
+    *      key this merge also inserts).
+    *
+    * NULL keys follow SQL equality: a NULL key never matches, so
+    * NULL-key source rows insert and NULL-key target rows survive.
+    * Additive schema evolution applies: a source carrying a NEW column
+    * evolves the table (old files read it as NULL); a same-name
+    * different-type column throws [[SchemaConflictException]] before
+    * anything is staged. Returns the commit version. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+                keyCols: Seq[String], indexCol: Option[String] = None,
+                store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val version = latestVersion(table, store)
+    require(version >= 0, s"$table does not exist — append first")
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to merge into in $table")
+    st.mergeSchema(source.schema) // typed conflict BEFORE staging or checkpointing
+    val src = source.localCheckpoint()
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"source has duplicate keys on (${keyCols.mkString(", ")}) — MERGE match is ambiguous")
+    val keys = src.select(keyCols.map(col): _*)
+    // candidate files: bounds-pruned iff the table is clustered on the key
+    val candidates: Seq[String] =
+      if (keyCols.size == 1 && indexCol.contains(keyCols.head)) {
+        val r = keys.agg(min(col(keyCols.head).cast("double")).as("lo"),
+                         max(col(keyCols.head).cast("double")).as("hi")).head()
+        if (r.isNullAt(0)) Seq.empty // all-NULL keys: nothing can match
+        else st.live.toSeq.filter { p =>
+          st.bounds.get(p).forall { case (flo, fhi) =>
+            fhi >= r.getDouble(0) && flo <= r.getDouble(1) }
+        }
+      } else st.live.toSeq
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val affectedNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)
+        .join(keys, keyCols, "left_semi")
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString).toSet
+    val affected = candidates.filter(f =>
+      affectedNames.contains(Paths.get(f).getFileName.toString))
+    val rewritten =
+      if (affected.isEmpty) src // pure insert: no file holds a matching key
+      else reader.parquet(affected.map(f => Paths.get(table, f).toString): _*)
+        .join(keys, keyCols, "left_anti")
+        .unionByName(src, allowMissingColumns = true)
+    val meta = Action("meta", schemaToken(rewritten.schema), 0L)
+    val adds = stage(spark, table, rewritten, indexCol)
+    val removes = affected.map(Action("remove", _, 0L))
+    commit(table, (meta +: removes) ++ adds, readVersion = version, store)
+  }
+
   /** Data files carrying NEW rows in versions `(fromVersion, toVersion]` —
     * the change-data feed a downstream incremental consumer tails. A
     * commit containing any `remove` is a REORGANIZATION (compaction
@@ -792,4 +878,63 @@ object CommitLog {
       |       CAST(n_nationkey * 2 AS BIGINT) AS extra
       |FROM nation WHERE n_nationkey < 5
       |ORDER BY n_nationkey, extra""".stripMargin
+
+  /** MERGE (upsert) through the log: range-cluster orders on the key,
+    * merge a CDC-shaped source — doubled prices for a key range (updates)
+    * plus negated-key copies of a low range (inserts) — and read the tip.
+    * The key range is clustered AND passed as indexCol, so the merge's
+    * affected-file scan is bounds-pruned (CommitLogSpec asserts the file
+    * counts; here the oracle asserts the upsert arithmetic). Oracle: the
+    * three-way complement / updated / inserted UNION ALL. */
+  def occMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_merge").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    val updates = o.where(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = o.where(col("o_orderkey").between(1, 100))
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    mergeInto(spark, table, updates.unionByName(inserts),
+      Seq("o_orderkey"), Some("o_orderkey"))
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occMergeUpsertSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      |UNION ALL
+      |SELECT -o_orderkey AS o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 100
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Append-feed window read: three appends with a compaction in between —
+    * [[readChanges]] from the first version must return the post-v0 rows
+    * exactly once, with the compaction's rewritten files excluded (those
+    * rows already flowed at v0/v1). Oracle: the two later appends. */
+  def occChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_cdf").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val v0 = append(spark, table, nation)
+    append(spark, table, nation.where(col("n_nationkey") < 5))
+    compact(spark, table, targetFiles = 1)
+    append(spark, table, nation.where(col("n_nationkey") >= 20))
+    val (_, batch) = readChanges(spark, table, fromVersion = v0)
+    batch.get.orderBy("n_nationkey")
+  }
+
+  val occChangeFeedSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey < 5
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey >= 20
+      |ORDER BY n_nationkey""".stripMargin
 }

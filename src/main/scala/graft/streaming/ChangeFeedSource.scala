@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.sources.CommitLog
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamingShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Paths
+
+/** Structured Streaming source over a [[CommitLog]] table's append feed:
+  * `spark.readStream.format("graft-changefeed").option("table", path)` —
+  * the table layer's change-data feed as a FIRST-CLASS stream, not a
+  * hand-rolled poll loop. Each micro-batch is the rows appended in a
+  * window of commit versions.
+  *
+  * Offsets ARE log versions (a `LongOffset` of the commit version the
+  * batch covers through), so the streaming checkpoint and the commit log
+  * agree about progress by construction: recovery replans exactly the
+  * `(lastCommitted, tip]` window, and the batch for a replayed window is
+  * IDENTICAL because commits are immutable — the property that makes a
+  * downstream [[CommitLog.appendOnce]] sink exactly-once end-to-end with
+  * zero coordination beyond the two logs themselves.
+  *
+  * Feed semantics are [[CommitLog.changedFiles]]'s: appends flow,
+  * remove-carrying reorganizations (compaction, copy-on-write delete)
+  * are excluded — each appended row is delivered exactly once however
+  * often the table is reorganized behind the stream. Vacuum retention
+  * must cover the consumer's lag (docs/SCALE.md); the declared schema is
+  * pinned at stream start (restart to pick up an additive evolution).
+  *
+  * At 100 TB this is metadata-bounded the same way the batch layer is:
+  * `getOffset` is one directory listing, `getBatch` reads only the
+  * window's commit files (driver-side, O(new commits)) and plans a scan
+  * over exactly the new data files — no per-batch full-table listing,
+  * which is the failure mode of directory-polling file streams over
+  * large tables. */
+class ChangeFeedSource(sqlContext: SQLContext, table: String,
+                       startingVersion: Long) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType = ChangeFeedProvider.tableSchema(spark, table)
+
+  override def getOffset: Option[Offset] = {
+    val tip = CommitLog.latestVersion(table)
+    if (tip < 0) None else Some(LongOffset(tip))
+  }
+
+  /** Start/end arrive as `LongOffset` live and as `SerializedOffset` on
+    * checkpoint recovery — both carry the version as their `json`. */
+  private def version(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(version).getOrElse(startingVersion)
+    val files = CommitLog.changedFiles(table, from, version(end))
+      .map(f => Paths.get(table, f).toString)
+    StreamingShim.streamingParquetBatch(spark, schema, files)
+  }
+
+  /** Nothing to release: data files are immutable and GC is vacuum's
+    * job, gated by its retention window — not the consumer's. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** `DataSourceRegister` provider for [[ChangeFeedSource]] (registered in
+  * `META-INF/services`, so `.format("graft-changefeed")` resolves).
+  * Options: `table` (required — the commit-log table root) and
+  * `startingVersion` (optional exclusive floor; default -1 streams the
+  * table from genesis, i.e. v0's rows are the first batch). */
+class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-changefeed needs .option(\"table\", <commit-log table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        ChangeFeedProvider.tableSchema(sqlContext.sparkSession, tableOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sqlContext, tableOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+}
+
+object ChangeFeedProvider {
+  /** The table's current log schema — streams must start on an existing
+    * table (an empty log has no schema to declare). */
+  private[streaming] def tableSchema(
+      spark: org.apache.spark.sql.SparkSession, table: String): StructType = {
+    require(CommitLog.latestVersion(table) >= 0,
+      s"$table has no commits yet — append before streaming from it")
+    CommitLog.read(spark, table).schema
+  }
+}

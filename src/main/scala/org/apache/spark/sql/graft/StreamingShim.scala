@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Bridge to the `private[sql]` streaming-batch constructor (same hosting
+  * rationale as [[SessionUtils]]): a V1 `Source.getBatch` result must
+  * carry `isStreaming = true` — `MicroBatchExecution` asserts it — and
+  * the only way to stamp that flag on an arbitrary plan is the classic
+  * session's `internalCreateDataFrame`, which is exactly how Spark's own
+  * V1 sources (socket, rate) build their batches. */
+object StreamingShim {
+
+  /** A streaming-flagged DataFrame over `files`, read with the FIXED
+    * `schema` the stream declared at start (files written after an
+    * additive schema evolution simply project the declared columns; a
+    * restart picks up the widened schema). Empty `files` → an empty
+    * streaming batch of the same schema. The parquet scan keeps its
+    * normal whole-stage-codegen physical plan — only the plan ROOT is
+    * re-wrapped to carry the streaming flag. */
+  def streamingParquetBatch(spark: SparkSession, schema: StructType,
+                            files: Seq[String]): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd =
+      if (files.isEmpty)
+        classic.sparkContext
+          .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
+      else
+        classic.read.schema(schema).parquet(files: _*).queryExecution.toRdd
+    classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.sources.CommitLog
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The commit-log table layer as a FIRST-CLASS Structured Streaming
+  * source (`.format("graft-changefeed")`): offsets are commit versions,
+  * so the streaming checkpoint and the log agree about progress by
+  * construction, and a downstream `appendOnce` sink is exactly-once
+  * end-to-end — across query restarts, batch replays, and compactions
+  * running behind the stream. */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def readIds(table: String): Seq[Long] =
+    CommitLog.read(spark, table).select("id").as[Long].collect().sorted.toSeq
+
+  test("log-to-log stream is exactly-once across restarts and compactions") {
+    val src = freshDir("cdf_src")
+    val dst = freshDir("cdf_dst")
+    val ckpt = freshDir("cdf_ckpt")
+    CommitLog.append(spark, src, Seq(1L).toDF("id"))
+    CommitLog.append(spark, src, Seq(2L).toDF("id"))
+
+    def startQuery() = spark.readStream
+      .format("graft-changefeed").option("table", src).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        CommitLog.appendOnce(spark, dst, df, "cdc", batchId); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(readIds(dst) === Seq(1L, 2L), "genesis rows flow in the first batch")
+
+    // appends flow; a compaction behind the stream must NOT re-deliver
+    CommitLog.append(spark, src, Seq(3L).toDF("id"))
+    CommitLog.compact(spark, src, targetFiles = 1)
+    CommitLog.append(spark, src, Seq(4L).toDF("id"))
+    q1.processAllAvailable()
+    assert(readIds(dst) === Seq(1L, 2L, 3L, 4L))
+    q1.stop()
+
+    // restart from the same checkpoint: only the new commits flow, and a
+    // replayed trailing batch is absorbed by the sink's txn marker
+    CommitLog.append(spark, src, Seq(5L, 6L).toDF("id"))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readIds(dst) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // exactly-once, not at-least-once: every id landed exactly once
+    val counted = CommitLog.read(spark, dst).groupBy("id").count()
+      .where(col("count") > 1).count()
+    assert(counted === 0L, "a batch was applied twice")
+  }
+
+  test("startingVersion floors the feed; the declared schema is the log schema") {
+    val src = freshDir("cdf_floor")
+    val v0 = CommitLog.append(spark, src,
+      Seq((1L, "old")).toDF("id", "s"))
+    CommitLog.append(spark, src, Seq((2L, "new")).toDF("id", "s"))
+
+    val stream = spark.readStream.format("graft-changefeed")
+      .option("table", src).option("startingVersion", v0.toString).load()
+    assert(stream.isStreaming, "the source must produce a streaming frame")
+    assert(stream.schema.fieldNames.toSeq === Seq("id", "s"))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = stream.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+      got.synchronized { got ++= df.collect() }; ()
+    }.option("checkpointLocation", freshDir("cdf_floor_ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === Seq((2L, "new")), "rows at or before the floor version must not flow")
+  }
+
+  test("the stream keeps up with a writer appending between micro-batches") {
+    val src = freshDir("cdf_live")
+    val dst = freshDir("cdf_live_dst")
+    CommitLog.append(spark, src, Seq(0L).toDF("id"))
+    val q = spark.readStream.format("graft-changefeed")
+      .option("table", src).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        CommitLog.appendOnce(spark, dst, df, "live", batchId); ()
+      }
+      .option("checkpointLocation", freshDir("cdf_live_ckpt"))
+      .start()
+    (1 to 5).foreach { i =>
+      CommitLog.append(spark, src, Seq(i.toLong).toDF("id"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(readIds(dst) === (0L to 5L),
+      "every commit version the writer published must flow exactly once")
+  }
+}

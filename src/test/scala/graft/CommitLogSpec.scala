@@ -433,6 +433,86 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() === 1)
   }
 
+  test("mergeInto is copy-on-write upsert: updates land, inserts land, untouched files keep identity") {
+    val t = freshTable()
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    CommitLog.appendIndexed(spark, t, df.repartitionByRange(10, col("k")), "k")
+    val before = CommitLog.snapshot(t)
+
+    val source = (100 until 150).map(i => (i.toLong, "UPDATED")).toDF("k", "s")
+      .unionByName((2000 until 2010).map(i => (i.toLong, "NEW")).toDF("k", "s"))
+    val v = CommitLog.mergeInto(spark, t, source, Seq("k"), Some("k"))
+    assert(v > before.version)
+
+    val after = CommitLog.read(spark, t)
+    assert(after.count() === 1010)
+    assert(after.where(col("s") === "UPDATED").count() === 50)
+    assert(after.where(col("s") === "NEW").count() === 10)
+    // a non-matching row is byte-identical to before
+    assert(after.where(col("k") === 500L).select("s").as[String].head() === "v500")
+    // copy-on-write + bounds-pruned candidates: the key range [100,150)
+    // lives in at most 2 of 10 range-clustered files — everything else
+    // must survive with the SAME file identity
+    val untouched = before.files.toSet.intersect(CommitLog.snapshot(t).files.toSet)
+    assert(untouched.size >= 8,
+      s"merge must not rewrite non-matching files; only ${untouched.size} survived")
+    // time travel still shows the pre-merge table
+    assert(CommitLog.read(spark, t, asOf = Some(before.version)).count() === 1000)
+    assert(CommitLog.read(spark, t, asOf = Some(before.version))
+      .where(col("s") === "UPDATED").count() === 0)
+  }
+
+  test("mergeInto: pure-insert sources rewrite nothing; duplicate keys are rejected; NULL keys never match") {
+    val t = freshTable()
+    CommitLog.appendIndexed(spark, t,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), "k")
+    val before = CommitLog.snapshot(t).files.toSet
+
+    // no key overlaps: append-shaped commit, every existing file untouched
+    CommitLog.mergeInto(spark, t,
+      Seq((500L, "NEW")).toDF("k", "s"), Seq("k"), Some("k"))
+    assert(before.subsetOf(CommitLog.snapshot(t).files.toSet))
+    assert(CommitLog.read(spark, t).count() === 101)
+
+    // ambiguous source: two rows share a key
+    intercept[IllegalArgumentException] {
+      CommitLog.mergeInto(spark, t,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "s"), Seq("k"))
+    }
+
+    // SQL equality: a NULL source key matches nothing → inserts; the
+    // NULL-key target row survives a later merge on a real key
+    val withNull = Seq((java.lang.Long.valueOf(7L), "seven"), (null.asInstanceOf[java.lang.Long], "nokey"))
+      .toDF("k", "s")
+    CommitLog.mergeInto(spark, t, withNull, Seq("k"))
+    val read = CommitLog.read(spark, t)
+    assert(read.count() === 102) // 7 updated in place, NULL inserted
+    assert(read.where(col("k").isNull).count() === 1)
+    assert(read.where(col("k") === 7L).select("s").as[String].head() === "seven")
+    CommitLog.mergeInto(spark, t, Seq((8L, "eight")).toDF("k", "s"), Seq("k"))
+    assert(CommitLog.read(spark, t).where(col("k").isNull).count() === 1,
+      "a NULL-key target row must survive merges it cannot match")
+  }
+
+  test("mergeInto evolves the schema additively and respects the type-conflict guard") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // source carries a NEW column: matched row updated with it, old rows NULL
+    CommitLog.mergeInto(spark, t,
+      Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("k", "s", "extra"), Seq("k"))
+    val out = CommitLog.read(spark, t).orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+      === Seq((1L, "a", true), (2L, "b2", false), (3L, "c", false)))
+    // same column, different type: typed rejection BEFORE staging
+    val tip = CommitLog.latestVersion(t)
+    intercept[CommitLog.SchemaConflictException] {
+      CommitLog.mergeInto(spark, t,
+        Seq((1L, "x", "not-a-long")).toDF("k", "s", "extra"), Seq("k"))
+    }
+    assert(CommitLog.latestVersion(t) === tip)
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
@@ -451,5 +531,14 @@ class CommitLogSpec extends SparkSpec {
     assert(se.count() === n + Tables.nation(spark, sf)
       .where(col("n_nationkey") < 5).count())
     assert(se.columns.contains("extra"))
+    val mu = CommitLog.occMergeUpsert(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    assert(mu.count() === orders.count() +
+      orders.where(col("o_orderkey").between(1, 100)).count())
+    assert(mu.where(col("o_orderkey") < 0).count() ===
+      orders.where(col("o_orderkey").between(1, 100)).count())
+    val cf = CommitLog.occChangeFeed(spark, sf)
+    assert(cf.count() === Tables.nation(spark, sf)
+      .where(col("n_nationkey") < 5 || col("n_nationkey") >= 20).count())
   }
 }
