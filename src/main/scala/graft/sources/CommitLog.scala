@@ -509,6 +509,7 @@ object CommitLog {
     * what Structured Streaming's `foreachBatch` hands its function. */
   def appendOnce(spark: SparkSession, table: String, df: DataFrame,
                  appId: String, batchId: Long,
+                 indexCol: Option[String] = None,
                  store: LogStore = LocalStore): Long = {
     require(appId.matches("[A-Za-z0-9_.-]+"), s"appId must be a plain token: $appId")
     // The high-water check covers every commit ≤ tip, so the commit's
@@ -521,7 +522,7 @@ object CommitLog {
       st.mergeSchema(df.schema) // typed conflict BEFORE staging
     }
     val acts = (Action("meta", schemaToken(df.schema), 0L) +:
-      stage(spark, table, df)) :+ Action("txn", appId, batchId)
+      stage(spark, table, df, indexCol)) :+ Action("txn", appId, batchId)
     try commit(table, acts, readVersion = tip, store)
     catch { case _: TxnAlreadyApplied => -1L }
   }

@@ -104,3 +104,52 @@ object ChangeFeedProvider {
     CommitLog.read(spark, table).schema
   }
 }
+
+/** Streaming SINK into a [[CommitLog]] table:
+  * `.writeStream.format("graft-commitlog").option("table", path)
+  * .option("appId", name)` — each micro-batch lands via
+  * [[CommitLog.appendOnce]] keyed by (appId, batchId), so a replayed
+  * batch after a crash is a silent no-op and the sink is exactly-once
+  * WITHOUT any coordination with the streaming checkpoint (the log's txn
+  * markers are the idempotence ledger; the checkpoint merely avoids
+  * redundant replans). Combined with [[ChangeFeedSource]] both ends of a
+  * table-to-table pipeline are one `.format(...)` each.
+  *
+  * Options: `table` (required), `appId` (default `stream` — give each
+  * pipeline its own so two writers' batch ids don't collide), `indexCol`
+  * (optional: record per-file min/max data-skipping bounds on the
+  * appended files, so downstream [[CommitLog.readWhere]] prunes
+  * stream-written data the same as batch-written). */
+class CommitLogSink(sqlContext: SQLContext, table: String, appId: String,
+                    indexCol: Option[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    CommitLog.appendOnce(sqlContext.sparkSession, table,
+      StreamingShim.batchify(data), appId, batchId, indexCol)
+    ()
+  }
+
+  override def toString: String = s"CommitLogSink[$table, app=$appId]"
+}
+
+/** `DataSourceRegister` provider for [[CommitLogSink]]. */
+class CommitLogSinkProvider
+  extends org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-commitlog"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-commitlog does not take partitionBy — pass indexCol for data skipping")
+    new CommitLogSink(sqlContext,
+      parameters.getOrElse("table", throw new IllegalArgumentException(
+        "graft-commitlog needs .option(\"table\", <commit-log table root>)")),
+      parameters.getOrElse("appId", "stream"),
+      parameters.get("indexCol"))
+  }
+}

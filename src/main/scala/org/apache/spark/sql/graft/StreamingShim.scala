@@ -29,4 +29,16 @@ object StreamingShim {
         classic.read.schema(schema).parquet(files: _*).queryExecution.toRdd
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
+
+  /** The inverse stamp, for V1 `Sink.addBatch`: the DataFrame a sink
+    * receives still carries streaming leaves, so batch writers reject it —
+    * re-root its physical RDD as a plain batch frame (the same move
+    * Spark's own ForeachBatchSink makes before handing the user their
+    * batch). */
+  def batchify(df: DataFrame): DataFrame = {
+    val classic =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -82,6 +82,39 @@ class ChangeFeedStreamSpec extends SparkSpec {
       === Seq((2L, "new")), "rows at or before the floor version must not flow")
   }
 
+  test("declarative both ends: format(changefeed) -> format(commitlog) is exactly-once with skipping bounds") {
+    val src = freshDir("sink_src")
+    val dst = freshDir("sink_dst")
+    val ckpt = freshDir("sink_ckpt")
+    CommitLog.append(spark, src, Seq((1L, 10L), (2L, 20L)).toDF("id", "k"))
+
+    def startQuery() = spark.readStream
+      .format("graft-changefeed").option("table", src).load()
+      .writeStream
+      .format("graft-commitlog")
+      .option("table", dst).option("appId", "pipe").option("indexCol", "k")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(readIds(dst) === Seq(1L, 2L))
+
+    CommitLog.append(spark, src, Seq((3L, 30L)).toDF("id", "k"))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readIds(dst) === Seq(1L, 2L, 3L))
+    assert(CommitLog.read(spark, dst).groupBy("id").count()
+      .where(col("count") > 1).count() === 0L, "a replayed batch landed twice")
+    // the sink recorded per-file bounds on k: a disjoint range prunes to 0
+    assert(CommitLog.prunedFiles(dst, 1000d, 2000d).isEmpty,
+      "stream-appended files must carry data-skipping bounds")
+    assert(CommitLog.readWhere(spark, dst, "k", 25d, 35d)
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
