@@ -67,10 +67,13 @@ object CommitLog {
     *
     * `lo`/`hi` are OPTIONAL per-file min/max bounds of the table's index
     * column (NaN = not recorded) — the data-skipping metadata
-    * [[readWhere]] prunes by. Absent bounds are conservative: the file is
-    * always read. */
+    * [[readWhere]] prunes by. `stats` generalizes them to a per-COLUMN
+    * min/max zonemap ([[appendClustered]] records one, [[readWhereBox]]
+    * prunes on every queried dimension at once). Absent bounds are
+    * conservative: the file is always read. */
   final case class Action(op: String, path: String, rows: Long,
-                          lo: Double = Double.NaN, hi: Double = Double.NaN) {
+                          lo: Double = Double.NaN, hi: Double = Double.NaN,
+                          stats: Map[String, (Double, Double)] = Map.empty) {
     def hasBounds: Boolean = !lo.isNaN && !hi.isNaN
   }
 
@@ -150,13 +153,28 @@ object CommitLog {
     * the pre-stats format (old logs decode unchanged). */
   private def encode(actions: Seq[Action]): String =
     actions.map { a =>
-      val stats = if (a.hasBounds) s""","lo":${a.lo},"hi":${a.hi}""" else ""
-      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$stats}"""
+      val bounds = if (a.hasBounds) s""","lo":${a.lo},"hi":${a.hi}""" else ""
+      // column names are required to be plain identifiers at record time,
+      // so the zonemap nests without any escaping; sorted for determinism
+      val zone =
+        if (a.stats.isEmpty) ""
+        else a.stats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
+          .mkString(""","stats":{""", ",", "}")
+      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$bounds$zone}"""
     }.mkString("\n")
 
   private val ActionRe =
     ("""\{"op":"(add|remove|txn|meta)","path":"([^"]+)","rows":(\d+)""" +
-      """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?\}""").r
+      """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?""" +
+      """(?:,"stats":\{([^}]*)\})?\}""").r
+
+  private val StatRe = """"([A-Za-z0-9_]+)":\[(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)\]""".r
+
+  private def decodeStats(s: String): Map[String, (Double, Double)] =
+    StatRe.findAllMatchIn(s)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
 
   // `meta` actions carry a schema: StructType JSON, base64-encoded so the
   // payload is a quote-free token the line codec handles unchanged.
@@ -169,9 +187,14 @@ object CommitLog {
 
   private def decode(content: String): Seq[Action] =
     content.linesIterator.filter(_.nonEmpty).map {
-      case ActionRe(op, path, rows, null, null) => Action(op, path, rows.toLong)
-      case ActionRe(op, path, rows, lo, hi) =>
+      case ActionRe(op, path, rows, null, null, null) =>
+        Action(op, path, rows.toLong)
+      case ActionRe(op, path, rows, null, null, stats) =>
+        Action(op, path, rows.toLong, stats = decodeStats(stats))
+      case ActionRe(op, path, rows, lo, hi, null) =>
         Action(op, path, rows.toLong, lo.toDouble, hi.toDouble)
+      case ActionRe(op, path, rows, lo, hi, stats) =>
+        Action(op, path, rows.toLong, lo.toDouble, hi.toDouble, decodeStats(stats))
       case bad => throw new IllegalStateException(s"corrupt commit line: $bad")
     }.toSeq
 
@@ -206,16 +229,18 @@ object CommitLog {
   private final case class State(live: mutable.LinkedHashSet[String],
                                  bounds: mutable.Map[String, (Double, Double)],
                                  txns: mutable.Map[String, Long],
-                                 schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]) {
-    def apply(a: Action): Unit = a match {
-      case add @ Action("add", p, _, _, _) =>
-        live += p
-        if (add.hasBounds) bounds(p) = (add.lo, add.hi)
-      case Action("remove", p, _, _, _) => live -= p; bounds -= p
-      case Action("txn", app, b, _, _) =>
-        if (txns.getOrElse(app, -1L) < b) txns(app) = b
-      case Action("meta", token, _, _, _) => mergeSchema(tokenToSchema(token))
-      case bad => throw new IllegalStateException(s"unknown action $bad")
+                                 schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField],
+                                 zones: mutable.Map[String, Map[String, (Double, Double)]] = mutable.Map.empty) {
+    def apply(a: Action): Unit = a.op match {
+      case "add" =>
+        live += a.path
+        if (a.hasBounds) bounds(a.path) = (a.lo, a.hi)
+        if (a.stats.nonEmpty) zones(a.path) = a.stats
+      case "remove" => live -= a.path; bounds -= a.path; zones -= a.path
+      case "txn" =>
+        if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
+      case "meta" => mergeSchema(tokenToSchema(a.path))
+      case _ => throw new IllegalStateException(s"unknown action $a")
     }
     def mergeSchema(s: org.apache.spark.sql.types.StructType): Unit =
       s.fields.foreach { f =>
@@ -233,10 +258,8 @@ object CommitLog {
       else Some(org.apache.spark.sql.types.StructType(schema.values.toSeq))
     def liveActions: Seq[Action] = {
       val files = live.toSeq.map { p =>
-        bounds.get(p) match {
-          case Some((lo, hi)) => Action("add", p, 0L, lo, hi)
-          case None           => Action("add", p, 0L)
-        }
+        val (lo, hi) = bounds.getOrElse(p, (Double.NaN, Double.NaN))
+        Action("add", p, 0L, lo, hi, zones.getOrElse(p, Map.empty))
       }
       schemaStruct.map(s => Action("meta", schemaToken(s), 0L)).toSeq ++ files
     }
@@ -331,37 +354,52 @@ object CommitLog {
     * them. Spark writes a directory; each part file is moved to a flat
     * uuid name so commits own files, not directories. */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-                    indexCol: Option[String] = None): Seq[Action] = {
+                    indexCol: Option[String] = None,
+                    statsCols: Seq[String] = Nil): Seq[Action] = {
     Files.createDirectories(dataDir(table))
     val staging = Paths.get(table, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
     val parts = LocalStore.list(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
-    // Per-file index bounds in ONE job over the staged output, keyed by
-    // input_file_name — the stats parquet already computed into its own
-    // footers, read back here because commits must own them (a pruning
-    // read may never open a file, footer included; that is the point).
-    val bounds: Map[String, (Double, Double)] = indexCol match {
-      case None => Map.empty
-      case Some(c) =>
+    // Per-file stats (single index column AND/OR a multi-column zonemap)
+    // in ONE job over the staged output, keyed by input_file_name — the
+    // stats parquet already computed into its own footers, read back here
+    // because commits must own them (a pruning read may never open a
+    // file, footer included; that is the point).
+    val statCols = (indexCol.toSeq ++ statsCols).distinct
+    statCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"stats column must be a plain identifier: $c"))
+    val fileStats: Map[String, Map[String, (Double, Double)]] =
+      if (statCols.isEmpty) Map.empty
+      else {
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"lo_$c"),
+          max(col(c)).cast("double").as(s"hi_$c")))
         spark.read.parquet(staging.toString)
           .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast("double").as("lo"),
-               max(col(c)).cast("double").as("hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null file: no bounds, never pruned
-          .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath)
-            .getFileName.toString, (r.getDouble(1), r.getDouble(2))))
-          .toMap
-    }
+          .map { r =>
+            val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+              .getFileName.toString
+            val per = statCols.zipWithIndex.flatMap { case (c, i) =>
+              // all-null file: no bounds for that column, never pruned on it
+              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+              else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+            }.toMap
+            name -> per
+          }.toMap
+      }
     val acts = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir(table).resolve(name))
-      bounds.get(p.getFileName.toString) match {
-        case Some((lo, hi)) => Action("add", s"data/$name", 0L, lo, hi)
-        case None           => Action("add", s"data/$name", 0L)
-      }
+      val per = fileStats.getOrElse(p.getFileName.toString, Map.empty)
+      val (lo, hi) = indexCol.flatMap(per.get)
+        .getOrElse((Double.NaN, Double.NaN))
+      val zone = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
+                 else per.filter { case (c, _) => statsCols.contains(c) }
+      Action("add", s"data/$name", 0L, lo, hi, zone)
     }
     // staging dir now holds only _SUCCESS etc.
     LocalStore.list(staging).foreach(Files.delete)
@@ -375,10 +413,10 @@ object CommitLog {
   private def commit(table: String, actions: Seq[Action], readVersion: Long,
                      store: LogStore, maxAttempts: Int = 50): Long = {
     Files.createDirectories(logDir(table))
-    val removes = actions.collect { case Action("remove", p, _, _, _) => p }.toSet
-    val txns = actions.collect { case Action("txn", app, b, _, _) => (app, b) }
+    val removes = actions.collect { case a if a.op == "remove" => a.path }.toSet
+    val txns = actions.collect { case a if a.op == "txn" => (a.path, a.rows) }
     val ourMetaFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      actions.collect { case Action("meta", tok, _, _, _) => tok }
+      actions.collect { case a if a.op == "meta" => a.path }
         .flatMap(tok => tokenToSchema(tok).fields.map(f => f.name -> f.dataType))
     var attempt = 0
     var target = math.max(latestVersion(table, store), readVersion) + 1
@@ -393,13 +431,13 @@ object CommitLog {
       if (removes.nonEmpty || txns.nonEmpty || ourMetaFields.nonEmpty) {
         ((readVersion + 1) until target).foreach { v =>
           val theirs = decode(store.read(versionFile(table, v)))
-          val theirRemoves = theirs.collect { case Action("remove", p, _, _, _) => p }.toSet
+          val theirRemoves = theirs.collect { case a if a.op == "remove" => a.path }.toSet
           val clash = removes.intersect(theirRemoves)
           if (clash.nonEmpty)
             throw new ConcurrentRewriteException(
               s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
                 s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
-          val theirTxns = theirs.collect { case Action("txn", app, b, _, _) => (app, b) }.toMap
+          val theirTxns = theirs.collect { case a if a.op == "txn" => (a.path, a.rows) }.toMap
           txns.foreach { case (app, b) =>
             if (theirTxns.getOrElse(app, -1L) >= b)
               throw new TxnAlreadyApplied(app, b, v)
@@ -407,7 +445,7 @@ object CommitLog {
           // schema races: a racer introducing the SAME column with a
           // DIFFERENT type can't union — surface the typed conflict on
           // the loser instead of poisoning replay for every reader
-          theirs.collect { case Action("meta", tok, _, _, _) => tok }
+          theirs.collect { case a if a.op == "meta" => a.path }
             .foreach { tok =>
               val theirFields = tokenToSchema(tok).fields.map(f => f.name -> f.dataType).toMap
               ourMetaFields.foreach { case (name, dt) =>
@@ -492,6 +530,89 @@ object CommitLog {
       }
       reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
         .where(col(indexCol) >= lo && col(indexCol) <= hi)
+    }
+  }
+
+  /** Z-order clustered append with a multi-column zonemap: interleave the
+    * cluster columns' low bits ([[Layout.zvalueN]]), range-partition on
+    * the z-value into ~`files` files, and record per-file min/max of
+    * EVERY cluster column in the commit ([[Action.stats]]). Because
+    * z-order keeps each file's bounding box small on ALL interleaved
+    * dimensions at once, [[readWhereBox]] then prunes on any combination
+    * of them — the commit-log form of OPTIMIZE ZORDER BY, and the 100 TB
+    * answer to "my scans filter on two columns": one layout serves both
+    * predicates instead of one partition key serving one.
+    *
+    * The z-value interleaves 16 masked bits per column — layout quality
+    * degrades gracefully if a domain outgrows the mask (values wrap into
+    * shared z-cells) but PRUNING stays exact: the recorded stats are true
+    * min/max of the raw values. Cluster columns must be numeric. */
+  def appendClustered(spark: SparkSession, table: String, df: DataFrame,
+                      clusterCols: Seq[String], files: Int,
+                      store: LogStore = LocalStore): Long = {
+    require(clusterCols.nonEmpty, "appendClustered needs cluster columns")
+    val (tip, meta) = metaFor(table, df, store)
+    commit(table, meta +: stage(spark, table,
+      zcluster(df, clusterCols, files), None, clusterCols),
+      readVersion = tip, store)
+  }
+
+  /** The shared clustering shuffle: one column range-partitions directly,
+    * several interleave into a z-value first. */
+  private def zcluster(df: DataFrame, clusterCols: Seq[String],
+                       files: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (clusterCols.size == 1)
+      df.repartitionByRange(files, col(clusterCols.head))
+    else {
+      val masked = clusterCols.map(c =>
+        col(c).cast("long").bitwiseAND(lit(65535L)))
+      df.withColumn("__z", Layout.zvalueN(masked))
+        .repartitionByRange(files, col("__z")).drop("__z")
+    }
+  }
+
+  /** Live files whose recorded zonemap overlaps EVERY `[lo, hi]` range in
+    * `box` (a file with no recorded stats for a queried column is kept —
+    * conservative). Exposed so specs assert multi-dimension pruning on
+    * deterministic file counts. */
+  def prunedFilesBox(table: String, box: Map[String, (Double, Double)],
+                     store: LogStore = LocalStore): Seq[String] = {
+    val st = replay(table, latestVersion(table, store), store)
+    st.live.toSeq.filter { p =>
+      val zone = st.zones.getOrElse(p, Map.empty)
+      box.forall { case (c, (lo, hi)) =>
+        zone.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi } }
+    }
+  }
+
+  /** Multi-dimension box read: open only the files whose zonemap
+    * overlaps the box on every queried column, then apply the exact
+    * conjunctive predicate — identical to a full scan with the same
+    * filter regardless of layout, just cheaper when [[appendClustered]]
+    * kept the boxes tight. */
+  def readWhereBox(spark: SparkSession, table: String,
+                   box: Map[String, (Double, Double)],
+                   store: LogStore = LocalStore): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val st = replay(table, latestVersion(table, store), store)
+    val files = st.live.toSeq.filter { p =>
+      val zone = st.zones.getOrElse(p, Map.empty)
+      box.forall { case (c, (lo, hi)) =>
+        zone.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi } }
+    }
+    val exact = box.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => col(c) >= lo && col(c) <= hi }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    if (files.isEmpty)
+      read(spark, table, None, store).where(lit(false))
+    else {
+      val reader = st.schemaStruct match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read
+      }
+      reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
+        .where(exact)
     }
   }
 
@@ -678,7 +799,7 @@ object CommitLog {
     ((fromVersion + 1) to toVersion).flatMap { v =>
       val acts = decode(store.read(versionFile(table, v)))
       if (acts.exists(_.op == "remove")) Nil
-      else acts.collect { case Action("add", p, _, _, _) => p }
+      else acts.collect { case a if a.op == "add" => a.path }
     }
 
   /** Incremental read of the rows appended in `(fromVersion, toVersion]`
@@ -726,6 +847,32 @@ object CommitLog {
     commit(table, removes ++ adds, readVersion = version, store)
   }
 
+  /** OPTIMIZE-ZORDER maintenance: compaction that RE-CLUSTERS — rewrite
+    * the live set z-ordered on `clusterCols` and re-record the
+    * multi-column zonemap, so a table fragmented by many small
+    * (unclustered or stream-written) appends gets its box-pruning back
+    * in one pass. Same OCC semantics as [[compact]]: racing appends
+    * commute, a racing rewrite of the same files raises the typed
+    * conflict; the change feed ignores it (remove-carrying commit). */
+  def compactClustered(spark: SparkSession, table: String,
+                       clusterCols: Seq[String], targetFiles: Int,
+                       store: LogStore = LocalStore): Long = {
+    require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to compact in $table")
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val df = reader.parquet(
+      st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+    val adds = stage(spark, table,
+      zcluster(df, clusterCols, targetFiles), None, clusterCols)
+    val removes = st.live.toSeq.map(Action("remove", _, 0L))
+    commit(table, removes ++ adds, readVersion = version, store)
+  }
+
   /** Delete data files no retained snapshot references: orphans from
     * crashed writers (staged, never committed) and tombstones (removed by
     * a rewrite) older than the retention window.
@@ -759,8 +906,8 @@ object CommitLog {
     val kept = mutable.Set.empty[String] ++ replay(table, floor, store).live
     ((floor + 1) to tip).foreach { v =>
       decode(store.read(versionFile(table, v))).foreach {
-        case Action("add", p, _, _, _) => kept += p
-        case _                   => ()
+        case a if a.op == "add" => kept += a.path
+        case _                  => ()
       }
     }
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -938,4 +1085,27 @@ object CommitLog {
       |SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_nationkey >= 20
       |ORDER BY n_nationkey""".stripMargin
+
+  /** Z-order clustered append + two-dimension box read: orders clustered
+    * on the interleaved (o_custkey, o_orderkey) z-value with a per-file
+    * zonemap on BOTH columns, then a box predicate over both dimensions —
+    * [[readWhereBox]] opens only zonemap-overlapping files (CommitLogSpec
+    * asserts the pruned file counts on each axis; here the oracle asserts
+    * the pruning lost no rows). Oracle: the same conjunctive filter as a
+    * plain scan. */
+  def occZorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("occ_zorder").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    appendClustered(spark, table, o, Seq("o_custkey", "o_orderkey"), files = 16)
+    readWhereBox(spark, table,
+      Map("o_custkey" -> (100d, 500d), "o_orderkey" -> (0d, 100000d)))
+      .orderBy("o_orderkey")
+  }
+
+  val occZorderReadSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 500
+      |  AND o_orderkey BETWEEN 0 AND 100000
+      |ORDER BY o_orderkey""".stripMargin
 }

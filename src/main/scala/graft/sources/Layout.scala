@@ -26,6 +26,20 @@ object Layout {
         shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
     }.reduce(_ + _)
 
+  /** N-way Morton code: bit `b` of column `i` lands at position
+    * `b * N + i` — [[zvalue16]] is the N=2 case (x even bits, y odd).
+    * Callers mask each column to 16 bits first; the interleave itself is
+    * pure codegen'd integer arithmetic. */
+  def zvalueN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zvalueN needs at least one column")
+    require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits overflows a long")
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * cols.size + i)
+      }
+    }.reduce(_ + _)
+  }
+
   /** The same interleave as ANSI SQL, generated from the same loop. */
   def zvalue16Sql(x: String, y: String): String =
     (0 until 16).map { b =>

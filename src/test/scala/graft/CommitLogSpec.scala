@@ -513,6 +513,76 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.latestVersion(t) === tip)
   }
 
+  test("z-order clustered append: the zonemap prunes on BOTH dimensions and survives checkpoint+compaction") {
+    val t = freshTable()
+    // a 64x64 grid: clustering on z(x, y) must give files whose bounding
+    // boxes are small on both axes, so either-axis predicates prune
+    val grid = for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong, s"$x/$y")
+    CommitLog.appendClustered(spark, t, grid.toDF("x", "y", "v"),
+      Seq("x", "y"), files = 16)
+    val total = CommitLog.snapshot(t).files.size
+    assert(total >= 8, s"expected ~16 clustered files, got $total")
+
+    def pruned(box: (String, Double, Double)*): Int =
+      CommitLog.prunedFilesBox(t,
+        box.map { case (c, lo, hi) => c -> (lo, hi) }.toMap).size
+    // a narrow box on EACH axis alone prunes most files — the property a
+    // single-column sort cannot give (it would prune one axis only)
+    assert(pruned(("x", 3d, 4d)) <= total / 2, "x-axis prune failed")
+    assert(pruned(("y", 3d, 4d)) <= total / 2, "y-axis prune failed")
+    // both axes together prune harder than either alone
+    assert(pruned(("x", 3d, 4d), ("y", 3d, 4d)) <=
+      math.min(pruned(("x", 3d, 4d)), pruned(("y", 3d, 4d))))
+
+    // pruning is exact: the box read equals the full-scan filter
+    val boxed = CommitLog.readWhereBox(spark, t,
+      Map("x" -> (10d, 20d), "y" -> (30d, 40d)))
+    assert(boxed.count() === 11L * 11L)
+    // a disjoint box reads nothing — schema-stable empty result
+    assert(CommitLog.readWhereBox(spark, t, Map("x" -> (999d, 1000d))).count() === 0L)
+
+    // the zonemap survives a checkpoint (stats round-trip the c{v}.json)
+    CommitLog.checkpoint(t)
+    CommitLog.append(spark, t, Seq((100L, 100L, "tail")).toDF("x", "y", "v"))
+    assert(pruned(("x", 3d, 4d)) <= total / 2 + 1,
+      "stats lost through checkpoint replay")
+    // plain compaction drops the rewritten files' stats (it re-stages
+    // without them) — pruning degrades to conservative, never to wrong
+    CommitLog.compact(spark, t, targetFiles = 2)
+    assert(CommitLog.readWhereBox(spark, t,
+      Map("x" -> (10d, 20d), "y" -> (30d, 40d))).count() === 11L * 11L)
+  }
+
+  test("compactClustered restores box pruning after fragmented unclustered appends") {
+    val t = freshTable()
+    // 8 small appends, each spanning the FULL key domain — every file's
+    // bounding box is the whole plane, so nothing can prune
+    (0 until 8).foreach { s =>
+      val rows = for { x <- 0 until 32; y <- 0 until 32 }
+        yield (x.toLong, y.toLong, s.toLong)
+      CommitLog.appendClustered(spark, t, rows.toDF("x", "y", "seq"),
+        Seq("x", "y"), files = 1)
+    }
+    val frag = CommitLog.snapshot(t).files.size
+    assert(CommitLog.prunedFilesBox(t, Map("x" -> (3d, 4d))).size === frag,
+      "full-domain files cannot prune — precondition")
+
+    CommitLog.compactClustered(spark, t, Seq("x", "y"), targetFiles = 16)
+    val total = CommitLog.snapshot(t).files.size
+    assert(CommitLog.prunedFilesBox(t, Map("x" -> (3d, 4d))).size <= total / 2,
+      "re-clustering must restore x-axis pruning")
+    assert(CommitLog.prunedFilesBox(t, Map("y" -> (3d, 4d))).size <= total / 2,
+      "re-clustering must restore y-axis pruning")
+    // rows intact, exact predicate equivalence holds
+    assert(CommitLog.read(spark, t).count() === 8L * 32L * 32L)
+    assert(CommitLog.readWhereBox(spark, t,
+      Map("x" -> (3d, 4d), "y" -> (3d, 4d))).count() === 8L * 2L * 2L)
+    // and the feed ignored the reorganization: only the 8 appends flowed
+    val (_, feed) = CommitLog.readChanges(spark, t, fromVersion = -1L)
+    assert(feed.get.count() === 8L * 32L * 32L)
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
@@ -540,5 +610,10 @@ class CommitLogSpec extends SparkSpec {
     val cf = CommitLog.occChangeFeed(spark, sf)
     assert(cf.count() === Tables.nation(spark, sf)
       .where(col("n_nationkey") < 5 || col("n_nationkey") >= 20).count())
+    val zr = CommitLog.occZorderRead(spark, sf)
+    val expectZ = Tables.orders(spark, sf)
+      .where(col("o_custkey").between(100, 500) &&
+        col("o_orderkey").between(0, 100000)).count()
+    assert(zr.count() === expectZ && expectZ > 0)
   }
 }
