@@ -60,10 +60,13 @@ import scala.collection.mutable
 object CommitLog {
 
   /** One log action. `op` is `add`/`remove` (file-level; `path` is a
-    * data-file path, `rows` bookkeeping) or `txn` (writer-level
+    * data-file path, `rows` bookkeeping), `txn` (writer-level
     * idempotence marker: `path` is the application id, `rows` its
     * batch/epoch number — the mechanism behind exactly-once streaming
-    * sinks, see [[appendOnce]]).
+    * sinks, see [[appendOnce]]), `meta` (schema evolution) or `cdc`
+    * (a row-level change file recording the change rows a CDC-enabled
+    * [[deleteWhere]]/[[mergeInto]] produced — never part of the live
+    * table, read only by [[readChangesCdc]]).
     *
     * `lo`/`hi` are OPTIONAL per-file min/max bounds of the table's index
     * column (NaN = not recorded) — the data-skipping metadata
@@ -165,7 +168,7 @@ object CommitLog {
     }.mkString("\n")
 
   private val ActionRe =
-    ("""\{"op":"(add|remove|txn|meta)","path":"([^"]+)","rows":(\d+)""" +
+    ("""\{"op":"(add|remove|txn|meta|cdc)","path":"([^"]+)","rows":(\d+)""" +
       """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?""" +
       """(?:,"stats":\{([^}]*)\})?\}""").r
 
@@ -240,6 +243,7 @@ object CommitLog {
       case "txn" =>
         if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
       case "meta" => mergeSchema(tokenToSchema(a.path))
+      case "cdc"  => () // change files are not live table data
       case _ => throw new IllegalStateException(s"unknown action $a")
     }
     def mergeSchema(s: org.apache.spark.sql.types.StructType): Unit =
@@ -406,6 +410,14 @@ object CommitLog {
     Files.delete(staging)
     acts
   }
+
+  /** Stage row-level change files (the frame already carries
+    * `_change_type`): same immutable uuid-file mechanics as [[stage]],
+    * committed as `cdc` actions — never part of the live set, protected
+    * by vacuum within the retention window like any window file. */
+  private def stageChanges(spark: SparkSession, table: String,
+                           df: DataFrame): Seq[Action] =
+    stage(spark, table, df).map(_.copy(op = "cdc"))
 
   /** The optimistic commit loop. `readVersion` is the snapshot the caller
     * planned against (-1 for blind appends). Returns the version the
@@ -661,11 +673,14 @@ object CommitLog {
     *
     * SQL DELETE semantics: rows where the predicate is NULL survive
     * (the keep-filter is `NOT coalesce(pred, false)`). Pass `indexCol`
-    * to re-record data-skipping bounds on the rewritten files.
+    * to re-record data-skipping bounds on the rewritten files. With
+    * `cdc = true` the commit also carries a change file of the deleted
+    * rows (`_change_type = 'delete'`) for [[readChangesCdc]] consumers.
     * Returns the commit version, or -1 if nothing matched (no commit). */
   def deleteWhere(spark: SparkSession, table: String,
                   predicate: org.apache.spark.sql.Column,
                   indexCol: Option[String] = None,
+                  cdc: Boolean = false,
                   store: LogStore = LocalStore): Long = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val version = latestVersion(table, store)
@@ -687,12 +702,17 @@ object CommitLog {
     if (affectedNames.isEmpty) return -1L
     val affected = files.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
-    val survivors = reader.parquet(
-        affected.map(f => Paths.get(table, f).toString): _*)
-      .where(not(coalesce(predicate, lit(false))))
+    val affectedDf = reader.parquet(
+      affected.map(f => Paths.get(table, f).toString): _*)
+    val survivors = affectedDf.where(not(coalesce(predicate, lit(false))))
     val adds = stage(spark, table, survivors, indexCol)
+    val cdcActs =
+      if (!cdc) Nil
+      else stageChanges(spark, table,
+        affectedDf.where(coalesce(predicate, lit(false)))
+          .withColumn("_change_type", lit("delete")))
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds, readVersion = version, store)
+    commit(table, removes ++ adds ++ cdcActs, readVersion = version, store)
   }
 
   /** Copy-on-write MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *` /
@@ -729,9 +749,13 @@ object CommitLog {
     * Additive schema evolution applies: a source carrying a NEW column
     * evolves the table (old files read it as NULL); a same-name
     * different-type column throws [[SchemaConflictException]] before
-    * anything is staged. Returns the commit version. */
+    * anything is staged. With `cdc = true` the commit also carries
+    * change files typing every row it touched — `update_preimage` /
+    * `update_postimage` for matched keys, `insert` for unmatched source
+    * rows — for [[readChangesCdc]]. Returns the commit version. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
                 keyCols: Seq[String], indexCol: Option[String] = None,
+                cdc: Boolean = false,
                 store: LogStore = LocalStore): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")
@@ -770,15 +794,35 @@ object CommitLog {
           .getFileName.toString).toSet
     val affected = candidates.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
-    val rewritten =
-      if (affected.isEmpty) src // pure insert: no file holds a matching key
-      else reader.parquet(affected.map(f => Paths.get(table, f).toString): _*)
-        .join(keys, keyCols, "left_anti")
+    val affectedDf =
+      if (affected.isEmpty) None
+      else Some(reader.parquet(
+        affected.map(f => Paths.get(table, f).toString): _*))
+    val rewritten = affectedDf match {
+      case None     => src // pure insert: no file holds a matching key
+      case Some(ar) => ar.join(keys, keyCols, "left_anti")
         .unionByName(src, allowMissingColumns = true)
+    }
+    val cdcActs =
+      if (!cdc) Nil
+      else {
+        val matched = affectedDf.map(_.join(keys, keyCols, "left_semi"))
+        val matchedKeys = matched.map(_.select(keyCols.map(col): _*))
+        val pre = matched.map(
+          _.withColumn("_change_type", lit("update_preimage")))
+        val post = matchedKeys.map(mk => src.join(mk, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        val ins = matchedKeys.map(mk => src.join(mk, keyCols, "left_anti"))
+          .getOrElse(src).withColumn("_change_type", lit("insert"))
+        val changes = (pre.toSeq ++ post.toSeq :+ ins)
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        stageChanges(spark, table, changes)
+      }
     val meta = Action("meta", schemaToken(rewritten.schema), 0L)
     val adds = stage(spark, table, rewritten, indexCol)
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, (meta +: removes) ++ adds, readVersion = version, store)
+    commit(table, (meta +: removes) ++ adds ++ cdcActs,
+      readVersion = version, store)
   }
 
   /** Data files carrying NEW rows in versions `(fromVersion, toVersion]` —
@@ -792,8 +836,9 @@ object CommitLog {
     *
     * This is an APPEND feed: [[deleteWhere]] commits are also
     * remove-carrying rewrites, so downstream consumers are not told to
-    * retract rows they already saw (full CDC with delete/update events
-    * needs per-row change files — out of scope; stated, not hidden). */
+    * retract rows they already saw. Consumers that need retractions use
+    * [[readChangesCdc]] — the full-fidelity row-level feed backed by the
+    * per-row change files CDC-enabled mutations store. */
   def changedFiles(table: String, fromVersion: Long, toVersion: Long,
                    store: LogStore = LocalStore): Seq[String] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
@@ -824,6 +869,54 @@ object CommitLog {
       (to, Some(reader.parquet(
         files.map(f => Paths.get(table, f).toString): _*)))
     }
+  }
+
+  /** Full-fidelity change-data feed over `(fromVersion, toVersion]`:
+    * every row change, typed by `_change_type` and stamped with the
+    * `_commit_version` it landed at. Append commits synthesize `insert`
+    * rows straight from their add files (no storage cost — the standard
+    * lakehouse CDF trick); CDC-enabled [[deleteWhere]]/[[mergeInto]]
+    * commits contribute their stored change files (`delete`,
+    * `update_preimage`/`update_postimage`, `insert`); reorganizations
+    * (compaction, non-CDC rewrites) contribute nothing — their rows
+    * already flowed. Unlike [[readChanges]] (the append-only feed), a
+    * downstream consumer of THIS feed can maintain a row-level replica,
+    * retractions included. Vacuum retention must cover the consumer's
+    * lag: change files older than the window are GC'd with the
+    * tombstones. Returns the cursor and the change rows (`None` when
+    * the window holds no changes). */
+  def readChangesCdc(spark: SparkSession, table: String, fromVersion: Long,
+                     toVersion: Option[Long] = None,
+                     store: LogStore = LocalStore): (Long, Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.getOrElse(latestVersion(table, store))
+    val base = replay(table, to, store).schemaStruct
+    val withCt = base.map(s => org.apache.spark.sql.types.StructType(
+      s.fields :+ org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType)))
+    def readerFor(schema: Option[org.apache.spark.sql.types.StructType]) =
+      schema match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read
+      }
+    val parts = ((fromVersion + 1) to to).flatMap { v =>
+      val acts = decode(store.read(versionFile(table, v)))
+      val cdcFiles = acts.collect { case a if a.op == "cdc" => a.path }
+      val frame: Option[DataFrame] =
+        if (cdcFiles.nonEmpty)
+          Some(readerFor(withCt).parquet(
+            cdcFiles.map(f => Paths.get(table, f).toString): _*))
+        else if (!acts.exists(_.op == "remove")) {
+          val adds = acts.collect { case a if a.op == "add" => a.path }
+          if (adds.isEmpty) None
+          else Some(readerFor(base).parquet(
+            adds.map(f => Paths.get(table, f).toString): _*)
+            .withColumn("_change_type", lit("insert")))
+        } else None // reorganization: rows already flowed
+      frame.map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty) (to, None)
+    else (to, Some(parts.reduce(_.unionByName(_, allowMissingColumns = true))))
   }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
@@ -906,8 +999,10 @@ object CommitLog {
     val kept = mutable.Set.empty[String] ++ replay(table, floor, store).live
     ((floor + 1) to tip).foreach { v =>
       decode(store.read(versionFile(table, v))).foreach {
-        case a if a.op == "add" => kept += a.path
-        case _                  => ()
+        // window adds AND window change files stay readable; cdc files
+        // from commits at or before the floor age out with the tombstones
+        case a if a.op == "add" || a.op == "cdc" => kept += a.path
+        case _                                   => ()
       }
     }
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1108,4 +1203,46 @@ object CommitLog {
       |WHERE o_custkey BETWEEN 100 AND 500
       |  AND o_orderkey BETWEEN 0 AND 100000
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Row-level CDC feed: append nation (v0), CDC-enabled merge — updated
+    * regionkeys for keys < 5 plus key+100 inserts — (v1), CDC-enabled
+    * delete of the untouched keys in [20, 100) (v2), then the
+    * full-fidelity feed from genesis: v0's adds synthesize `insert`
+    * rows, v1 contributes pre/postimage + insert change rows, v2 the
+    * `delete` rows. Oracle: the five arms written out. */
+  def occCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_cdc_rows").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, table, nation)
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+    val inserts = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    mergeInto(spark, table, updates.unionByName(inserts),
+      Seq("n_nationkey"), cdc = true)
+    deleteWhere(spark, table,
+      col("n_nationkey") >= 20 && col("n_nationkey") < 100, cdc = true)
+    val (_, feed) = readChangesCdc(spark, table, fromVersion = -1L)
+    feed.get.orderBy("_commit_version", "_change_type", "n_nationkey")
+  }
+
+  val occCdcFeedSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'update_preimage', 1
+      |FROM nation WHERE n_nationkey < 5
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey + 100, 'update_postimage', 1
+      |FROM nation WHERE n_nationkey < 5
+      |UNION ALL
+      |SELECT n_nationkey + 100, n_name, n_regionkey, 'insert', 1
+      |FROM nation WHERE n_nationkey < 5
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'delete', 2
+      |FROM nation WHERE n_nationkey >= 20 AND n_nationkey < 100
+      |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin
 }

@@ -583,6 +583,47 @@ class CommitLogSpec extends SparkSpec {
     assert(feed.get.count() === 8L * 32L * 32L)
   }
 
+  test("row-level CDC: typed change rows for merge/delete, synthesized inserts for appends, reorgs invisible") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    CommitLog.mergeInto(spark, t,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.compact(spark, t, targetFiles = 1) // reorg: must be invisible
+    CommitLog.deleteWhere(spark, t, col("k") === 1L, cdc = true)
+
+    val (cursor, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = -1L)
+    assert(cursor === CommitLog.latestVersion(t))
+    val rows = feed.get
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._4, r._3, r._1))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L), (3L, "c", "insert", 0L),
+      (9L, "i", "insert", 1L),
+      (2L, "b2", "update_postimage", 1L), (2L, "b", "update_preimage", 1L),
+      (1L, "a", "delete", 3L)))
+
+    // a windowed read starts mid-history; a changeless window is None
+    val (_, tail) = CommitLog.readChangesCdc(spark, t, fromVersion = 1L)
+    assert(tail.get.select("_change_type").as[String].collect().toSeq === Seq("delete"))
+    val (_, none) = CommitLog.readChangesCdc(spark, t, fromVersion = 1L, toVersion = Some(2L))
+    assert(none.isEmpty, "a compaction-only window has no changes")
+
+    // non-CDC mutations stay out of the row feed (documented opt-in)
+    CommitLog.deleteWhere(spark, t, col("k") === 3L)
+    val (_, after) = CommitLog.readChangesCdc(spark, t, fromVersion = cursor)
+    assert(after.isEmpty, "a non-CDC delete must not fabricate change rows")
+
+    // retention: a window-covering vacuum keeps change files readable;
+    // an aggressive one GCs them with the tombstones
+    CommitLog.vacuum(t, retainVersions = 100)
+    assert(CommitLog.readChangesCdc(spark, t, fromVersion = -1L)
+      ._2.get.count() === 7L)
+    CommitLog.vacuum(t)
+    intercept[Exception] {
+      CommitLog.readChangesCdc(spark, t, fromVersion = -1L)._2.get.count()
+    }
+  }
+
   test("registered query forms: occ_append_snapshot and occ_time_travel at sf0.001") {
     val a = CommitLog.occAppendSnapshot(spark, sf)
     assert(a.count() === 2 * Tables.nation(spark, sf).count())
@@ -615,5 +656,11 @@ class CommitLogSpec extends SparkSpec {
       .where(col("o_custkey").between(100, 500) &&
         col("o_orderkey").between(0, 100000)).count()
     assert(zr.count() === expectZ && expectZ > 0)
+    val cdc = CommitLog.occCdcFeed(spark, sf)
+    val nRows = Tables.nation(spark, sf).count()
+    val nLow = Tables.nation(spark, sf).where(col("n_nationkey") < 5).count()
+    val nDel = Tables.nation(spark, sf)
+      .where(col("n_nationkey") >= 20 && col("n_nationkey") < 100).count()
+    assert(cdc.count() === nRows + 3 * nLow + nDel)
   }
 }
