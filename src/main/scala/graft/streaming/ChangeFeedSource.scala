@@ -37,11 +37,14 @@ import java.nio.file.Paths
   * which is the failure mode of directory-polling file streams over
   * large tables. */
 class ChangeFeedSource(sqlContext: SQLContext, table: String,
-                       startingVersion: Long) extends Source {
+                       startingVersion: Long,
+                       cdcMode: Boolean = false) extends Source {
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = ChangeFeedProvider.tableSchema(spark, table)
+  override val schema: StructType =
+    if (cdcMode) ChangeFeedProvider.cdcSchema(spark, table)
+    else ChangeFeedProvider.tableSchema(spark, table)
 
   override def getOffset: Option[Offset] = {
     val tip = CommitLog.latestVersion(table)
@@ -54,9 +57,22 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion)
-    val files = CommitLog.changedFiles(table, from, version(end))
-      .map(f => Paths.get(table, f).toString)
-    StreamingShim.streamingParquetBatch(spark, schema, files)
+    if (cdcMode) {
+      // row-level feed: typed change rows, retractions included — the
+      // streaming face of CommitLog.readChangesCdc (replayed windows are
+      // identical because commits and change files are immutable)
+      import org.apache.spark.sql.functions.col
+      CommitLog.readChangesCdc(spark, table, from, Some(version(end))) match {
+        case (_, Some(df)) => StreamingShim.streamingBatchOf(
+          df.select(schema.fieldNames.map(col(_)).toSeq: _*), schema)
+        case (_, None) =>
+          StreamingShim.streamingParquetBatch(spark, schema, Nil)
+      }
+    } else {
+      val files = CommitLog.changedFiles(table, from, version(end))
+        .map(f => Paths.get(table, f).toString)
+      StreamingShim.streamingParquetBatch(spark, schema, files)
+    }
   }
 
   /** Nothing to release: data files are immutable and GC is vacuum's
@@ -68,9 +84,12 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
 
 /** `DataSourceRegister` provider for [[ChangeFeedSource]] (registered in
   * `META-INF/services`, so `.format("graft-changefeed")` resolves).
-  * Options: `table` (required — the commit-log table root) and
+  * Options: `table` (required — the commit-log table root),
   * `startingVersion` (optional exclusive floor; default -1 streams the
-  * table from genesis, i.e. v0's rows are the first batch). */
+  * table from genesis, i.e. v0's rows are the first batch), and `cdc`
+  * (optional, `"true"` switches to the row-level change feed:
+  * `_change_type`-typed rows with `_commit_version`, retractions
+  * included — the streaming face of [[CommitLog.readChangesCdc]]). */
 class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changefeed"
@@ -80,18 +99,26 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-changefeed needs .option(\"table\", <commit-log table root>)"))
 
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    parameters.get("cdc").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     (shortName(),
-      schema.getOrElse(
-        ChangeFeedProvider.tableSchema(sqlContext.sparkSession, tableOf(parameters))))
+      schema.getOrElse {
+        if (cdcOf(parameters))
+          ChangeFeedProvider.cdcSchema(sqlContext.sparkSession, tableOf(parameters))
+        else
+          ChangeFeedProvider.tableSchema(sqlContext.sparkSession, tableOf(parameters))
+      })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new ChangeFeedSource(sqlContext, tableOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
+      cdcOf(parameters))
 }
 
 object ChangeFeedProvider {
@@ -102,6 +129,16 @@ object ChangeFeedProvider {
     require(CommitLog.latestVersion(table) >= 0,
       s"$table has no commits yet — append before streaming from it")
     CommitLog.read(spark, table).schema
+  }
+
+  /** The row-level feed's schema: the table columns (all nullable — a
+    * window may span an evolution boundary) plus the change typing. */
+  private[streaming] def cdcSchema(
+      spark: org.apache.spark.sql.SparkSession, table: String): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    StructType(tableSchema(spark, table).fields.map(_.copy(nullable = true)) ++
+      Seq(StructField("_change_type", StringType),
+          StructField("_commit_version", LongType)))
   }
 }
 

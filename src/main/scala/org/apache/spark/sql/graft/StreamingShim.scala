@@ -30,6 +30,18 @@ object StreamingShim {
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
 
+  /** Streaming-stamp an already-built batch frame (the CDC feed's
+    * per-window union, which is not a plain file list): same mechanics
+    * as [[streamingParquetBatch]], with the physical plan taken from the
+    * frame itself. The caller fixes column order to the declared schema
+    * first. */
+  def streamingBatchOf(df: DataFrame, schema: StructType): DataFrame = {
+    val classic =
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
   /** The inverse stamp, for V1 `Sink.addBatch`: the DataFrame a sink
     * receives still carries streaming leaves, so batch writers reject it —
     * re-root its physical RDD as a plain batch frame (the same move

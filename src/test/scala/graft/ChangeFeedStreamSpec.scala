@@ -115,6 +115,50 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq === Seq(3L))
   }
 
+  test("cdc mode streams typed change rows exactly once, reorgs invisible, restart clean") {
+    val src = freshDir("cdc_src")
+    val ckpt = freshDir("cdc_mode_ckpt")
+    CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]
+    def startQuery() = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("cdc", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("k", "s", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // mutations while the stream runs: CDC merge, reorg, CDC delete
+    CommitLog.mergeInto(spark, src,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.compact(spark, src, targetFiles = 1)
+    CommitLog.deleteWhere(spark, src, col("k") === 1L, cdc = true)
+    q1.processAllAvailable()
+    q1.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq.sortBy(r => (r._4, r._3, r._1))
+    assert(rows === Seq(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (9L, "i", "insert", 1L),
+      (2L, "b2", "update_postimage", 1L), (2L, "b", "update_preimage", 1L),
+      (1L, "a", "delete", 3L)),
+      "the stream must deliver every typed change row exactly once")
+
+    // restart from the checkpoint: nothing new → nothing delivered
+    got.clear()
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.isEmpty, "a restart with no new commits must deliver nothing")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
