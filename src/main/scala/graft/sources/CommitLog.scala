@@ -715,6 +715,78 @@ object CommitLog {
     commit(table, removes ++ adds ++ cdcActs, readVersion = version, store)
   }
 
+  /** Copy-on-write UPDATE: `UPDATE <table> SET col = expr, ... WHERE
+    * pred` — the log-layer form of the reference's UPDATE dispatch
+    * (process.py:339-366), completing the DML square (INSERT = append,
+    * DELETE = [[deleteWhere]], MERGE = [[mergeInto]]). Same
+    * copy-on-write discipline as DELETE: one `input_file_name`-keyed job
+    * finds the files holding matching rows, ONLY those are rewritten —
+    * matching rows projected through `set`, non-matching rows copied
+    * verbatim — and the commit is remove(affected)+add(rewritten), so
+    * racing rewrites hit the typed conflict and time travel keeps the
+    * pre-update rows. SQL semantics: a NULL predicate row is NOT
+    * updated. `set` expressions may reference any existing column (the
+    * right-hand sides evaluate against the OLD row, as SQL requires).
+    * With `cdc = true` the commit carries `update_preimage` /
+    * `update_postimage` change rows. Returns the commit version, or -1
+    * if nothing matched (no commit). */
+  def updateWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  indexCol: Option[String] = None,
+                  cdc: Boolean = false,
+                  store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to update in $table")
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    set.keys.foreach(c => require(
+      st.schemaStruct.forall(_.fieldNames.contains(c)) ,
+      s"SET column $c is not a table column — UPDATE cannot add columns (use append/merge evolution)"))
+    val files = st.live.toSeq
+    val paths = files.map(f => Paths.get(table, f).toString)
+    val hit = coalesce(predicate, lit(false))
+    val affectedNames = reader.parquet(paths: _*)
+      .where(hit)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString).toSet
+    if (affectedNames.isEmpty) return -1L
+    val affected = files.filter(f =>
+      affectedNames.contains(Paths.get(f).getFileName.toString))
+    val affectedDf = reader.parquet(
+      affected.map(f => Paths.get(table, f).toString): _*)
+    // every RHS evaluates against the OLD row: all `when`s are built over
+    // the same input projection, never over each other's outputs
+    val rewritten = affectedDf.select(affectedDf.columns.map { c =>
+      set.get(c) match {
+        case Some(rhs) => when(hit, rhs).otherwise(col(c)).as(c)
+        case None      => col(c)
+      }
+    }.toSeq: _*)
+    val adds = stage(spark, table, rewritten, indexCol)
+    val cdcActs =
+      if (!cdc) Nil
+      else {
+        // both images derive from the matched OLD rows — re-filtering the
+        // rewritten frame would be wrong when SET touches a predicate column
+        val matched = affectedDf.where(hit)
+        val pre = matched.withColumn("_change_type", lit("update_preimage"))
+        val post = matched.select(affectedDf.columns.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(c))
+        }.toSeq: _*).withColumn("_change_type", lit("update_postimage"))
+        stageChanges(spark, table,
+          pre.unionByName(post, allowMissingColumns = true))
+      }
+    val removes = affected.map(Action("remove", _, 0L))
+    commit(table, removes ++ adds ++ cdcActs, readVersion = version, store)
+  }
+
   /** Copy-on-write MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *` /
     * `WHEN NOT MATCHED THEN INSERT *` keyed on `keyCols`. The standard
     * CDC-apply primitive a training-data table needs (reference anchor:
@@ -1227,6 +1299,34 @@ object CommitLog {
     val (_, feed) = readChangesCdc(spark, table, fromVersion = -1L)
     feed.get.orderBy("_commit_version", "_change_type", "n_nationkey")
   }
+
+  /** Copy-on-write UPDATE through the log: range-cluster orders, update a
+    * key range (status overwritten, price scaled — RHS referencing the
+    * OLD row), read the tip. Untouched files keep their identity
+    * (CommitLogSpec asserts the counts); here the oracle asserts the SQL
+    * UPDATE arithmetic via the equivalent CASE projection. */
+  def occUpdateWhere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = Files.createTempDirectory("occ_upd").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    updateWhere(spark, table, col("o_orderkey").between(1000, 3000),
+      Map("o_orderstatus" -> lit("U"),
+          "o_totalprice"  -> col("o_totalprice") * 2),
+      Some("o_orderkey"))
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occUpdateWhereSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+      |            THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+      |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
 
   val occCdcFeedSql: String =
     """SELECT n_nationkey, n_name, n_regionkey,

@@ -583,6 +583,81 @@ class CommitLogSpec extends SparkSpec {
     assert(feed.get.count() === 8L * 32L * 32L)
   }
 
+  test("updateWhere is copy-on-write with OLD-row RHS semantics and CDC images") {
+    val t = freshTable()
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong * 10, s"v$i"))
+      .toDF("k", "amt", "s")
+    CommitLog.appendIndexed(spark, t, df.repartitionByRange(10, col("k")), "k")
+    val before = CommitLog.snapshot(t)
+
+    // SET references the OLD row — including a predicate column swap that
+    // would corrupt under apply-then-filter evaluation
+    val v = CommitLog.updateWhere(spark, t, col("k").between(100, 149),
+      Map("amt" -> (col("amt") + col("k")), "k" -> (col("k") + 10000)),
+      indexCol = Some("k"), cdc = true)
+    assert(v > before.version)
+
+    val after = CommitLog.read(spark, t)
+    assert(after.count() === 1000)
+    assert(after.where(col("k").between(100, 149)).count() === 0)
+    assert(after.where(col("k") >= 10000).count() === 50)
+    // RHS evaluated on OLD values: k=100 -> (k=10100, amt=1000+100)
+    assert(after.where(col("k") === 10100L).select("amt").as[Long].head() === 1100L)
+    // untouched rows byte-identical; untouched files keep identity
+    assert(after.where(col("k") === 500L).select("amt").as[Long].head() === 5000L)
+    val untouched = before.files.toSet.intersect(CommitLog.snapshot(t).files.toSet)
+    assert(untouched.size >= 8)
+    // CDC images: 50 preimages with old values, 50 postimages with new
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = before.version)
+    val images = feed.get.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(images === Map("update_preimage" -> 50L, "update_postimage" -> 50L))
+    assert(feed.get.where(col("_change_type") === "update_postimage" &&
+      col("k") === 10100L).select("amt").as[Long].head() === 1100L)
+
+    // guards: no match -> no commit; SET of a non-column is typed
+    val tip = CommitLog.latestVersion(t)
+    assert(CommitLog.updateWhere(spark, t, col("k") === -1L,
+      Map("amt" -> lit(0L))) === -1L)
+    assert(CommitLog.latestVersion(t) === tip)
+    intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, t, col("k") === 0L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("racing merges on overlapping files: exactly one wins, the loser gets the typed conflict") {
+    val t = freshTable()
+    CommitLog.appendIndexed(spark, t,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1), "k")
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          gate.await()
+          CommitLog.mergeInto(spark, t,
+            Seq((50L, s"writer$w")).toDF("k", "s"), Seq("k"))
+        } catch {
+          case _: CommitLog.ConcurrentRewriteException =>
+            conflicts.incrementAndGet(); ()
+          case e: Throwable => errs.add(e)
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek())}")
+    // both rewrote the same single file: exactly one may win the race
+    // (a sequential second run would re-plan from the fresh snapshot, but
+    // these two PLANNED against the same version — one must abort)
+    assert(conflicts.get() === 1,
+      s"expected exactly one ConcurrentRewriteException, got ${conflicts.get()}")
+    val winner = CommitLog.read(spark, t).where(col("k") === 50L)
+      .select("s").as[String].head()
+    assert(winner.startsWith("writer"), s"update lost entirely: $winner")
+    assert(CommitLog.read(spark, t).count() === 100)
+  }
+
   test("row-level CDC: typed change rows for merge/delete, synthesized inserts for appends, reorgs invisible") {
     val t = freshTable()
     CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
@@ -662,5 +737,10 @@ class CommitLogSpec extends SparkSpec {
     val nDel = Tables.nation(spark, sf)
       .where(col("n_nationkey") >= 20 && col("n_nationkey") < 100).count()
     assert(cdc.count() === nRows + 3 * nLow + nDel)
+    val uw = CommitLog.occUpdateWhere(spark, sf)
+    assert(uw.count() === Tables.orders(spark, sf).count())
+    assert(uw.where(col("o_orderstatus") === "U").count() ===
+      Tables.orders(spark, sf)
+        .where(col("o_orderkey").between(1000, 3000)).count())
   }
 }
