@@ -857,11 +857,14 @@ object CommitLog {
       case Some(s) => spark.read.schema(s)
       case None    => spark.read
     }
+    // input_file_name BEFORE the join — see the applyChanges comment:
+    // post-join projection loses the scan task under a shuffle join
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)
+        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
         .join(keys, keyCols, "left_semi")
-        .select(input_file_name().as("f")).distinct().collect()
+        .select("__f").distinct().collect()
         .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
           .getFileName.toString).toSet
     val affected = candidates.filter(f =>
@@ -989,6 +992,71 @@ object CommitLog {
     }
     if (parts.isEmpty) (to, None)
     else (to, Some(parts.reduce(_.unionByName(_, allowMissingColumns = true))))
+  }
+
+  /** Apply a [[readChangesCdc]] batch to a REPLICA table — the consumer
+    * half of CDC, proving the feed is sufficient to maintain a row-level
+    * copy (retractions included). One copy-on-write rewrite handles both
+    * shapes: per key, the LAST relevant change in the batch wins
+    * (`_commit_version` order; preimages are informational and ignored),
+    * then every touched key is dropped from the affected files and the
+    * surviving upsert rows are unioned back — a key whose last change is
+    * `delete` simply isn't re-added. Batches must be applied in version
+    * order (the change-feed stream delivers them that way); for
+    * exactly-once across replays, wrap in the same txn discipline as any
+    * sink (apply is idempotent per batch anyway: replaying the same
+    * batch converges to the same replica state). Returns the replica
+    * commit version, or -1 for an empty batch. */
+  def applyChanges(spark: SparkSession, replica: String, changes: DataFrame,
+                   keyCols: Seq[String],
+                   store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, row_number}
+    require(keyCols.nonEmpty, "applyChanges needs key columns")
+    val relevant = changes.where(col("_change_type")
+      .isin("insert", "update_postimage", "delete"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc, col("_change_type").desc)
+    val last = relevant.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn").localCheckpoint()
+    if (last.isEmpty) return -1L
+    val upserts = last.where(col("_change_type") =!= "delete")
+      .drop("_change_type", "_commit_version")
+    val keys = last.select(keyCols.map(col): _*)
+    val version = latestVersion(replica, store)
+    if (version < 0) {
+      // first batch bootstraps; all-deletes against nothing is a no-op
+      if (upserts.isEmpty) return -1L
+      return append(spark, replica, upserts)
+    }
+    val st = replay(replica, version, store)
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val files = st.live.toSeq
+    // input_file_name is captured BEFORE the join: projected after it,
+    // the expression silently returns "" whenever the planner picks a
+    // shuffle join (the row leaves its scan task), and no file matches
+    val affectedNames: Set[String] =
+      if (files.isEmpty) Set.empty
+      else reader.parquet(files.map(f => Paths.get(replica, f).toString): _*)
+        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        .join(keys, keyCols, "left_semi")
+        .select("__f").distinct().collect()
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString).toSet
+    val affected = files.filter(f =>
+      affectedNames.contains(Paths.get(f).getFileName.toString))
+    val rewritten =
+      if (affected.isEmpty) upserts
+      else reader.parquet(affected.map(f => Paths.get(replica, f).toString): _*)
+        .join(keys, keyCols, "left_anti")
+        .unionByName(upserts, allowMissingColumns = true)
+    val meta = Action("meta", schemaToken(rewritten.schema), 0L)
+    val adds = stage(spark, replica, rewritten)
+    val removes = affected.map(Action("remove", _, 0L))
+    commit(replica, (meta +: removes) ++ adds, readVersion = version, store)
   }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`

@@ -159,6 +159,57 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(got.isEmpty, "a restart with no new commits must deliver nothing")
   }
 
+  test("cdc stream + applyChanges maintains a row-level replica through every mutation type") {
+    val src = freshDir("repl_src")
+    val replica = freshDir("repl_dst")
+    val ckpt = freshDir("repl_ckpt")
+    CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+
+    def startQuery() = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("cdc", "true").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        CommitLog.applyChanges(spark, replica, df, Seq("k")); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    def snap(t: String): Seq[(Long, String)] =
+      CommitLog.read(spark, t).select("k", "s").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(snap(replica) === snap(src), "bootstrap batch must copy the table")
+
+    // every mutation type, while the stream runs
+    CommitLog.mergeInto(spark, src,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.deleteWhere(spark, src, col("k") === 1L, cdc = true)
+    CommitLog.updateWhere(spark, src, col("k") === 3L,
+      Map("s" -> lit("c2")), cdc = true)
+    CommitLog.compact(spark, src, targetFiles = 1) // reorg: replica unaffected
+    q1.processAllAvailable()
+    q1.stop()
+    assert(snap(replica) === Seq((2L, "b2"), (3L, "c2"), (9L, "i")),
+      "replica must converge through merge/delete/update/compact")
+    assert(snap(replica) === snap(src))
+
+    // restart + more mutations: still exactly the source
+    CommitLog.mergeInto(spark, src,
+      Seq((9L, "i2"), (10L, "j")).toDF("k", "s"), Seq("k"), cdc = true)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(snap(replica) === snap(src), "replica must survive a restart")
+    // applying the same batch twice converges (idempotence of apply)
+    val (_, lastBatch) = CommitLog.readChangesCdc(spark, src,
+      fromVersion = CommitLog.latestVersion(src) - 1)
+    CommitLog.applyChanges(spark, replica, lastBatch.get, Seq("k"))
+    assert(snap(replica) === snap(src), "replaying a batch must be a no-op")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
