@@ -77,8 +77,16 @@ object CommitLog {
   final case class Action(op: String, path: String, rows: Long,
                           lo: Double = Double.NaN, hi: Double = Double.NaN,
                           stats: Map[String, (Double, Double)] = Map.empty) {
-    def hasBounds: Boolean = !lo.isNaN && !hi.isNaN
+    // Non-finite bounds are "no bounds": +/-Infinity can reach here from a
+    // legal parquet column (min/max of an infinite double), and the line
+    // codec's number regex does not decode the textual `Infinity` — so a
+    // non-finite bound must degrade to conservative no-pruning, never
+    // reach [[encode]] (a committed `"lo":Infinity` would poison every
+    // subsequent read of the table with 'corrupt commit line').
+    def hasBounds: Boolean = finite(lo) && finite(hi)
   }
+
+  private def finite(d: Double): Boolean = !d.isNaN && !d.isInfinite
 
   final case class Snapshot(version: Long, files: Seq[String]) {
     def isEmpty: Boolean = files.isEmpty
@@ -97,6 +105,22 @@ object CommitLog {
     * when a RACING commit introduced the conflicting column. */
   final class SchemaConflictException(msg: String)
     extends IllegalArgumentException(msg)
+
+  /** Thrown when a CHECK constraint rejects a write (every violating
+    * batch aborts ATOMICALLY — staged files are cleaned up, nothing is
+    * committed) or when [[addConstraint]] finds existing rows that
+    * violate the constraint being added. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Thrown by [[readChangesCdc]] when the requested window contains a
+    * MUTATION commit (delete/update/merge/apply) that recorded no change
+    * files — the row-level feed cannot be reconstructed from file actions
+    * alone, and silently classifying the commit as a reorganization would
+    * let a replica diverge without any signal. Enable CDC on the table
+    * (`setTableProperty(table, "cdc", "true")` makes every subsequent
+    * mutation record change files) or pass `cdc = true` per mutation. */
+  final class CdcGapException(msg: String) extends IllegalStateException(msg)
 
   /** Internal signal: a txn-marked commit found its (app, batch) already
     * committed by a racer — [[appendOnce]] turns this into a silent skip
@@ -159,16 +183,20 @@ object CommitLog {
       val bounds = if (a.hasBounds) s""","lo":${a.lo},"hi":${a.hi}""" else ""
       // column names are required to be plain identifiers at record time,
       // so the zonemap nests without any escaping; sorted for determinism
+      // same finiteness discipline as hasBounds: a non-finite column range
+      // is dropped from the zonemap (that column is simply never pruned on
+      // for this file) instead of emitting undecodable `Infinity` text
+      val finiteStats = a.stats.filter { case (_, (lo, hi)) => finite(lo) && finite(hi) }
       val zone =
-        if (a.stats.isEmpty) ""
-        else a.stats.toSeq.sortBy(_._1)
+        if (finiteStats.isEmpty) ""
+        else finiteStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
           .mkString(""","stats":{""", ",", "}")
       s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$bounds$zone}"""
     }.mkString("\n")
 
   private val ActionRe =
-    ("""\{"op":"(add|remove|txn|meta|cdc)","path":"([^"]+)","rows":(\d+)""" +
+    ("""\{"op":"(add|remove|txn|meta|cdc|info|prop)","path":"([^"]+)","rows":(\d+)""" +
       """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?""" +
       """(?:,"stats":\{([^}]*)\})?\}""").r
 
@@ -233,7 +261,8 @@ object CommitLog {
                                  bounds: mutable.Map[String, (Double, Double)],
                                  txns: mutable.Map[String, Long],
                                  schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField],
-                                 zones: mutable.Map[String, Map[String, (Double, Double)]] = mutable.Map.empty) {
+                                 zones: mutable.Map[String, Map[String, (Double, Double)]] = mutable.Map.empty,
+                                 props: mutable.Map[String, String] = mutable.Map.empty) {
     def apply(a: Action): Unit = a.op match {
       case "add" =>
         live += a.path
@@ -244,6 +273,12 @@ object CommitLog {
         if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
       case "meta" => mergeSchema(tokenToSchema(a.path))
       case "cdc"  => () // change files are not live table data
+      case "info" => () // per-commit provenance; read by history/CDC, not state
+      case "prop" => a.path.split("=", 2) match {
+        case Array(k, "-") => props -= k // "-" is the removal tombstone
+        case Array(k, v)   => props(k) = v // last committed value wins
+        case _ => throw new IllegalStateException(s"corrupt prop action: ${a.path}")
+      }
       case _ => throw new IllegalStateException(s"unknown action $a")
     }
     def mergeSchema(s: org.apache.spark.sql.types.StructType): Unit =
@@ -265,7 +300,10 @@ object CommitLog {
         val (lo, hi) = bounds.getOrElse(p, (Double.NaN, Double.NaN))
         Action("add", p, 0L, lo, hi, zones.getOrElse(p, Map.empty))
       }
-      schemaStruct.map(s => Action("meta", schemaToken(s), 0L)).toSeq ++ files
+      val propActs = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => Action("prop", s"$k=$v", 0L) }
+      schemaStruct.map(s => Action("meta", schemaToken(s), 0L)).toSeq ++
+        propActs ++ files
     }
   }
 
@@ -283,6 +321,131 @@ object CommitLog {
       decode(store.read(versionFile(table, i))).foreach(st.apply)
     }
     st
+  }
+
+  /** Per-commit provenance marker: every commit this object writes leads
+    * with one, so [[history]] can describe the table and [[readChangesCdc]]
+    * can distinguish a REORGANIZATION (compact — rows unchanged) from a
+    * MUTATION (delete/update/merge/apply — rows changed) without guessing
+    * from the action shape. Legacy commits without one decode fine (the
+    * op set is additive) and classify as they did before. */
+  private def infoAct(operation: String): Action = Action("info", operation, 0L)
+
+  private def operationOf(actions: Seq[Action]): Option[String] =
+    actions.collectFirst { case a if a.op == "info" => a.path }
+
+  /** Commit kinds whose remove-carrying commits rewrite rows that ALREADY
+    * flowed — the change feeds skip them. Everything else that removes
+    * files changes row content. */
+  private val ReorgOps = Set("compact")
+
+  /** Mutation kinds that change row content under a remove-carrying
+    * commit; without change files the row-level feed cannot represent
+    * them, so [[readChangesCdc]] raises the typed gap. */
+  private val MutationOps = Set("delete", "update", "merge", "apply")
+
+  /** Set a table property (committed, versioned, checkpoint-carried like
+    * any other log state). The one property the engine itself reads is
+    * `cdc=true`: it auto-enables change-file recording on every
+    * subsequent [[deleteWhere]]/[[updateWhere]]/[[mergeInto]], closing
+    * the feed-gap failure mode where one forgotten `cdc = true` call
+    * silently starves every downstream replica. Key and value must be
+    * plain tokens (they are embedded in the commit line). */
+  def setTableProperty(table: String, key: String, value: String,
+                       store: LogStore = LocalStore): Long = {
+    require(key.matches("[A-Za-z0-9_.-]+"), s"property key must be a plain token: $key")
+    require(value.matches("[A-Za-z0-9_.-]+"), s"property value must be a plain token: $value")
+    val tip = latestVersion(table, store)
+    commit(table, Seq(infoAct("property"), Action("prop", s"$key=$value", 0L)),
+      readVersion = tip, store)
+  }
+
+  /** The table's committed properties at the tip (last writer wins). */
+  def tableProperties(table: String, store: LogStore = LocalStore): Map[String, String] = {
+    val tip = latestVersion(table, store)
+    if (tip < 0) Map.empty else replay(table, tip, store).props.toMap
+  }
+
+  // CHECK constraints ride the property mechanism: key `constraint.<name>`,
+  // value = URL-safe unpadded base64 of the SQL predicate (the alphabet is
+  // exactly the plain-token charset, so arbitrary predicates embed in the
+  // line codec unchanged — the same trick the schema meta action uses).
+  private val ConstraintPrefix = "constraint."
+  private def b64url(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(s.getBytes("UTF-8"))
+  private def unB64url(t: String): String =
+    new String(java.util.Base64.getUrlDecoder.decode(t), "UTF-8")
+  private def constraintsOf(props: collection.Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+      k.stripPrefix(ConstraintPrefix) -> unB64url(v) }.toMap
+  private def checksAt(table: String, store: LogStore): Map[String, String] = {
+    val tip = latestVersion(table, store)
+    if (tip < 0) Map.empty else constraintsOf(replay(table, tip, store).props)
+  }
+
+  /** The table's CHECK constraints at the tip: name → SQL predicate. */
+  def constraints(table: String, store: LogStore = LocalStore): Map[String, String] =
+    checksAt(table, store)
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK (<predicate>): existing rows are
+    * validated FIRST (one column-pruned scan; same rule as every lakehouse
+    * ADD CONSTRAINT — a constraint the live data already violates is
+    * rejected with the typed error, nothing committed), then the
+    * constraint commits as versioned log state. From that version on,
+    * EVERY write path that introduces new row values — append, streaming
+    * append, UPDATE, MERGE, CDC apply — validates its staged output
+    * before committing; a violating batch aborts atomically. SQL CHECK
+    * semantics: a row where the predicate is NULL violates (CHECK must
+    * hold, unknown does not hold — the conservative choice for a data
+    * CONTRACT; note ANSI CHECK accepts unknown, so this is deliberately
+    * stricter). */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    predicate: String, store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z0-9_]+"), s"constraint name must be a plain token: $name")
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table does not exist — append first")
+    val st = replay(table, tip, store)
+    if (st.live.nonEmpty) {
+      val reader = st.schemaStruct match {
+        case Some(s) => spark.read.schema(s)
+        case None    => spark.read
+      }
+      val bad = reader
+        .parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+        .where(not(coalesce(expr(predicate), lit(false)))).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"cannot add CHECK constraint $name ($predicate): " +
+          s"$bad existing rows violate it — nothing was committed")
+    }
+    commit(table, Seq(infoAct("constraint"),
+      Action("prop", s"$ConstraintPrefix$name=${b64url(predicate)}", 0L)),
+      readVersion = tip, store)
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: removes the named constraint via the
+    * property tombstone; later writes stop validating it. */
+  def dropConstraint(table: String, name: String,
+                     store: LogStore = LocalStore): Long = {
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table does not exist")
+    commit(table, Seq(infoAct("constraint"),
+      Action("prop", s"$ConstraintPrefix$name=-", 0L)),
+      readVersion = tip, store)
+  }
+
+  /** The log-carried schema at `asOf` (default tip) — derived purely from
+    * replayed meta actions, so it works on a table whose live file set is
+    * momentarily EMPTY (all rows deleted): schema is log state, not a
+    * property of whichever files happen to be live. `None` only for a
+    * legacy log that never committed a meta action. */
+  def tableSchema(table: String, asOf: Option[Long] = None,
+                  store: LogStore = LocalStore): Option[org.apache.spark.sql.types.StructType] = {
+    val tip = latestVersion(table, store)
+    if (tip < 0) return None
+    val v = asOf.getOrElse(tip)
+    require(v <= tip, s"version $v does not exist (tip is $tip)")
+    replay(table, v, store).schemaStruct
   }
 
   /** Snapshot of the table through `asOf` (default: tip). Add-then-removed
@@ -359,12 +522,35 @@ object CommitLog {
     * uuid name so commits own files, not directories. */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     indexCol: Option[String] = None,
-                    statsCols: Seq[String] = Nil): Seq[Action] = {
+                    statsCols: Seq[String] = Nil,
+                    checks: Map[String, String] = Map.empty): Seq[Action] = {
     Files.createDirectories(dataDir(table))
     val staging = Paths.get(table, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
     val parts = LocalStore.list(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    // CHECK-constraint enforcement over the STAGED output, before anything
+    // becomes visible: one column-pruned aggregate over the just-written
+    // compact parquet (all constraints in a single job), so a violating
+    // batch aborts atomically — staging is deleted, nothing is committed.
+    // Validating the staged files rather than the input plan also means a
+    // non-deterministic input can't pass the check yet commit bad rows.
+    if (checks.nonEmpty && parts.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+      val cs = checks.toSeq
+      val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(not(coalesce(expr(p), lit(false))), 1L).otherwise(0L)).as(s"c$i") }
+      val row = spark.read.parquet(staging.toString).agg(aggs.head, aggs.tail: _*).head()
+      cs.zipWithIndex.foreach { case ((n, p), i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0) {
+          LocalStore.list(staging).foreach(Files.delete)
+          Files.delete(staging)
+          throw new ConstraintViolationException(
+            s"CHECK constraint $n ($p) rejected ${row.getLong(i)} rows — " +
+              "the batch was aborted; nothing was committed")
+        }
+      }
+    }
     // Per-file stats (single index column AND/OR a multi-column zonemap)
     // in ONE job over the staged output, keyed by input_file_name — the
     // stats parquet already computed into its own footers, read back here
@@ -487,7 +673,9 @@ object CommitLog {
   def append(spark: SparkSession, table: String, df: DataFrame,
              store: LogStore = LocalStore): Long = {
     val (tip, meta) = metaFor(table, df, store)
-    commit(table, meta +: stage(spark, table, df), readVersion = tip, store)
+    commit(table, infoAct("append") +: meta +:
+      stage(spark, table, df, checks = checksAt(table, store)),
+      readVersion = tip, store)
   }
 
   /** Append with data-skipping stats: each staged file's add-action
@@ -502,7 +690,8 @@ object CommitLog {
   def appendIndexed(spark: SparkSession, table: String, df: DataFrame,
                     indexCol: String, store: LogStore = LocalStore): Long = {
     val (tip, meta) = metaFor(table, df, store)
-    commit(table, meta +: stage(spark, table, df, Some(indexCol)),
+    commit(table, infoAct("append") +: meta +:
+      stage(spark, table, df, Some(indexCol), checks = checksAt(table, store)),
       readVersion = tip, store)
   }
 
@@ -564,22 +753,35 @@ object CommitLog {
                       store: LogStore = LocalStore): Long = {
     require(clusterCols.nonEmpty, "appendClustered needs cluster columns")
     val (tip, meta) = metaFor(table, df, store)
-    commit(table, meta +: stage(spark, table,
-      zcluster(df, clusterCols, files), None, clusterCols),
+    commit(table, infoAct("append") +: meta +: stage(spark, table,
+      zcluster(df, clusterCols, files), None, clusterCols,
+      checks = checksAt(table, store)),
       readVersion = tip, store)
   }
 
   /** The shared clustering shuffle: one column range-partitions directly,
-    * several interleave into a z-value first. */
+    * several interleave into a z-value first. The interleave width scales
+    * down as columns are added (`min(16, 62 / N)` bits each) so ANY
+    * column count fits one long — a 4-plus-column OPTIMIZE ZORDER is a
+    * legitimate shape, and pruning stays EXACT regardless of width: the
+    * recorded zonemap stats are raw min/max, the mask only shapes layout
+    * quality. */
   private def zcluster(df: DataFrame, clusterCols: Seq[String],
                        files: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     if (clusterCols.size == 1)
       df.repartitionByRange(files, col(clusterCols.head))
     else {
+      val bits = math.min(16, 62 / clusterCols.size)
+      val mask = (1L << bits) - 1L
+      // try_cast, not cast: under ANSI mode a NaN/Infinity row would fail
+      // the whole clustering job, but layout is best-effort by contract
+      // (pruning correctness comes from the recorded raw min/max, and a
+      // NULL z-value just range-partitions into the null bucket)
       val masked = clusterCols.map(c =>
-        col(c).cast("long").bitwiseAND(lit(65535L)))
-      df.withColumn("__z", Layout.zvalueN(masked))
+        org.apache.spark.sql.functions.expr(s"try_cast($c AS BIGINT)")
+          .bitwiseAND(lit(mask)))
+      df.withColumn("__z", Layout.zvalueN(masked, bits))
         .repartitionByRange(files, col("__z")).drop("__z")
     }
   }
@@ -645,17 +847,24 @@ object CommitLog {
                  indexCol: Option[String] = None,
                  store: LogStore = LocalStore): Long = {
     require(appId.matches("[A-Za-z0-9_.-]+"), s"appId must be a plain token: $appId")
+    // a negative batch id would encode as `"rows":-N`, which the line
+    // codec's (\d+) decode rejects — reject it HERE, before it can land
+    // in a commit and poison every subsequent read of the table
+    require(batchId >= 0, s"batchId must be non-negative: $batchId")
     // The high-water check covers every commit ≤ tip, so the commit's
     // conflict scan starts AFTER tip — it only ever reads the commits
     // that raced this one, never the table's history.
     val tip = latestVersion(table, store)
-    if (tip >= 0) {
-      val st = replay(table, tip, store)
-      if (st.txns.getOrElse(appId, -1L) >= batchId) return -1L
-      st.mergeSchema(df.schema) // typed conflict BEFORE staging
-    }
-    val acts = (Action("meta", schemaToken(df.schema), 0L) +:
-      stage(spark, table, df, indexCol)) :+ Action("txn", appId, batchId)
+    val checks: Map[String, String] =
+      if (tip < 0) Map.empty
+      else {
+        val st = replay(table, tip, store)
+        if (st.txns.getOrElse(appId, -1L) >= batchId) return -1L
+        st.mergeSchema(df.schema) // typed conflict BEFORE staging
+        constraintsOf(st.props)
+      }
+    val acts = (infoAct("append") +: Action("meta", schemaToken(df.schema), 0L) +:
+      stage(spark, table, df, indexCol, checks = checks)) :+ Action("txn", appId, batchId)
     try commit(table, acts, readVersion = tip, store)
     catch { case _: TxnAlreadyApplied => -1L }
   }
@@ -706,13 +915,17 @@ object CommitLog {
       affected.map(f => Paths.get(table, f).toString): _*)
     val survivors = affectedDf.where(not(coalesce(predicate, lit(false))))
     val adds = stage(spark, table, survivors, indexCol)
+    // the cdc table property makes change recording a TABLE decision, not
+    // a per-call one — a forgotten flag can no longer starve the feed
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
     val cdcActs =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else stageChanges(spark, table,
         affectedDf.where(coalesce(predicate, lit(false)))
           .withColumn("_change_type", lit("delete")))
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds ++ cdcActs, readVersion = version, store)
+    commit(table, infoAct("delete") +: (removes ++ adds ++ cdcActs),
+      readVersion = version, store)
   }
 
   /** Copy-on-write UPDATE: `UPDATE <table> SET col = expr, ... WHERE
@@ -769,9 +982,14 @@ object CommitLog {
         case None      => col(c)
       }
     }.toSeq: _*)
-    val adds = stage(spark, table, rewritten, indexCol)
+    // UPDATE can introduce new values: the rewritten files must satisfy
+    // the table's CHECK constraints (survivor rows trivially pass — they
+    // passed on their own write — so this only ever rejects SET output)
+    val adds = stage(spark, table, rewritten, indexCol,
+      checks = constraintsOf(st.props))
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
     val cdcActs =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else {
         // both images derive from the matched OLD rows — re-filtering the
         // rewritten frame would be wrong when SET touches a predicate column
@@ -784,7 +1002,8 @@ object CommitLog {
           pre.unionByName(post, allowMissingColumns = true))
       }
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds ++ cdcActs, readVersion = version, store)
+    commit(table, infoAct("update") +: (removes ++ adds ++ cdcActs),
+      readVersion = version, store)
   }
 
   /** Copy-on-write MERGE (upsert): `WHEN MATCHED THEN UPDATE SET *` /
@@ -878,8 +1097,9 @@ object CommitLog {
       case Some(ar) => ar.join(keys, keyCols, "left_anti")
         .unionByName(src, allowMissingColumns = true)
     }
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
     val cdcActs =
-      if (!cdc) Nil
+      if (!cdcOn) Nil
       else {
         val matched = affectedDf.map(_.join(keys, keyCols, "left_semi"))
         val matchedKeys = matched.map(_.select(keyCols.map(col): _*))
@@ -894,9 +1114,10 @@ object CommitLog {
         stageChanges(spark, table, changes)
       }
     val meta = Action("meta", schemaToken(rewritten.schema), 0L)
-    val adds = stage(spark, table, rewritten, indexCol)
+    val adds = stage(spark, table, rewritten, indexCol,
+      checks = constraintsOf(st.props))
     val removes = affected.map(Action("remove", _, 0L))
-    commit(table, (meta +: removes) ++ adds ++ cdcActs,
+    commit(table, (infoAct("merge") +: meta +: removes) ++ adds ++ cdcActs,
       readVersion = version, store)
   }
 
@@ -977,17 +1198,39 @@ object CommitLog {
     val parts = ((fromVersion + 1) to to).flatMap { v =>
       val acts = decode(store.read(versionFile(table, v)))
       val cdcFiles = acts.collect { case a if a.op == "cdc" => a.path }
+      val adds = acts.collect { case a if a.op == "add" => a.path }
+      val removes = acts.collect { case a if a.op == "remove" => a.path }
+      val op = operationOf(acts)
+      def readAs(files: Seq[String], changeType: String): DataFrame =
+        readerFor(base).parquet(files.map(f => Paths.get(table, f).toString): _*)
+          .withColumn("_change_type", lit(changeType))
       val frame: Option[DataFrame] =
         if (cdcFiles.nonEmpty)
           Some(readerFor(withCt).parquet(
             cdcFiles.map(f => Paths.get(table, f).toString): _*))
-        else if (!acts.exists(_.op == "remove")) {
-          val adds = acts.collect { case a if a.op == "add" => a.path }
+        else if (removes.isEmpty) {
           if (adds.isEmpty) None
-          else Some(readerFor(base).parquet(
-            adds.map(f => Paths.get(table, f).toString): _*)
-            .withColumn("_change_type", lit("insert")))
-        } else None // reorganization: rows already flowed
+          else Some(readAs(adds, "insert"))
+        } else if (op.contains("restore")) {
+          // a restore rewrites NO rows — its re-added files are exactly
+          // the restored rows and its removed files exactly the retracted
+          // ones, so full-fidelity change rows synthesize straight from
+          // the (immutable, pre-vacuum) files: no change-file storage cost
+          val ins = if (adds.isEmpty) None else Some(readAs(adds, "insert"))
+          val del = if (removes.isEmpty) None else Some(readAs(removes, "delete"))
+          (ins.toSeq ++ del.toSeq)
+            .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        } else if (op.exists(MutationOps.contains)) {
+          // the advisor-flagged failure mode: a delete/update/merge that
+          // ran with cdc=false rewrote rows but stored no change files —
+          // silently classifying it as a reorganization would let every
+          // downstream replica diverge without a signal. Loud, typed stop.
+          throw new CdcGapException(
+            s"commit v$v of $table is a '${op.get}' mutation with no change files — " +
+              "the row-level feed cannot represent it. Enable CDC on the table " +
+              "(setTableProperty(table, \"cdc\", \"true\")) or pass cdc = true " +
+              "on every mutation, then re-run the mutation path")
+        } else None // compaction (or legacy pre-info commit): rows already flowed
       frame.map(_.withColumn("_commit_version", lit(v)))
     }
     if (parts.isEmpty) (to, None)
@@ -1054,9 +1297,11 @@ object CommitLog {
         .join(keys, keyCols, "left_anti")
         .unionByName(upserts, allowMissingColumns = true)
     val meta = Action("meta", schemaToken(rewritten.schema), 0L)
-    val adds = stage(spark, replica, rewritten)
+    val adds = stage(spark, replica, rewritten,
+      checks = constraintsOf(st.props))
     val removes = affected.map(Action("remove", _, 0L))
-    commit(replica, (meta +: removes) ++ adds, readVersion = version, store)
+    commit(replica, (infoAct("apply") +: meta +: removes) ++ adds,
+      readVersion = version, store)
   }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
@@ -1077,7 +1322,8 @@ object CommitLog {
       .repartition(math.max(1, targetFiles))
     val adds = stage(spark, table, df)
     val removes = st.live.toSeq.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds, readVersion = version, store)
+    commit(table, infoAct("compact") +: (removes ++ adds),
+      readVersion = version, store)
   }
 
   /** OPTIMIZE-ZORDER maintenance: compaction that RE-CLUSTERS — rewrite
@@ -1103,7 +1349,72 @@ object CommitLog {
     val adds = stage(spark, table,
       zcluster(df, clusterCols, targetFiles), None, clusterCols)
     val removes = st.live.toSeq.map(Action("remove", _, 0L))
-    commit(table, removes ++ adds, readVersion = version, store)
+    commit(table, infoAct("compact") +: (removes ++ adds),
+      readVersion = version, store)
+  }
+
+  /** RESTORE TABLE ... TO VERSION: roll the table's DATA back to what it
+    * was at `asOf`, as a new commit at the tip — history is never erased
+    * (the bad versions stay time-travelable; this is the undo primitive
+    * for a botched delete/merge, the same shape as Delta's RESTORE).
+    * Metadata-only: tombstoned files are RE-ADDED and later files removed;
+    * no data is copied, so restoring 100 TB costs one commit write. The
+    * re-added files' recorded bounds/zonemaps are restored with them, so
+    * data skipping survives the round trip.
+    *
+    * Restorability is gated by vacuum retention: a target file the vacuum
+    * already deleted cannot be re-added — checked up front, typed error,
+    * nothing committed. Schema is NOT rolled back (evolution is
+    * additive-only; restored files read any later-added column as NULL —
+    * the exact contract every snapshot read already honors). OCC applies:
+    * the commit carries removes, so racing rewrites of the same files
+    * surface as [[ConcurrentRewriteException]]. [[readChangesCdc]] stays
+    * full-fidelity across a restore WITHOUT stored change files: the
+    * re-added files synthesize `insert` rows and the removed files
+    * `delete` rows. Returns the commit version, or -1 when the tip
+    * already equals the target (no commit). */
+  def restore(table: String, asOf: Long, store: LogStore = LocalStore): Long = {
+    val version = latestVersion(table, store)
+    require(version >= 0, s"$table has no commits to restore")
+    require(asOf >= 0 && asOf <= version,
+      s"version $asOf does not exist (tip is $version)")
+    val target = replay(table, asOf, store)
+    val current = replay(table, version, store)
+    val toRemove = current.live.toSeq.filterNot(target.live.contains)
+    val toAdd = target.live.toSeq.filterNot(current.live.contains)
+    if (toRemove.isEmpty && toAdd.isEmpty) return -1L
+    toAdd.foreach { f =>
+      require(Files.exists(Paths.get(table, f)),
+        s"cannot restore $table to v$asOf: $f was already vacuumed — " +
+          "vacuum retention must cover the restore window")
+    }
+    val addActs = toAdd.map { p =>
+      val (lo, hi) = target.bounds.getOrElse(p, (Double.NaN, Double.NaN))
+      Action("add", p, 0L, lo, hi, target.zones.getOrElse(p, Map.empty))
+    }
+    val removeActs = toRemove.map(Action("remove", _, 0L))
+    commit(table, infoAct("restore") +: (removeActs ++ addActs),
+      readVersion = version, store)
+  }
+
+  /** DESCRIBE HISTORY: one row per commit — version, the provenance
+    * operation its info action recorded (`unknown` for legacy commits),
+    * and its add/remove/change-file counts. Driver-side by design: the
+    * log is O(commits) metadata, never data-sized, and this is the audit
+    * surface an operator reads before a [[restore]]. */
+  def history(spark: SparkSession, table: String,
+              store: LogStore = LocalStore): DataFrame = {
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table has no commits")
+    val rows = (0L to tip).map { v =>
+      val acts = decode(store.read(versionFile(table, v)))
+      (v, operationOf(acts).getOrElse("unknown"),
+        acts.count(_.op == "add").toLong,
+        acts.count(_.op == "remove").toLong,
+        acts.count(_.op == "cdc").toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "operation", "num_added", "num_removed", "num_change_files")
   }
 
   /** Delete data files no retained snapshot references: orphans from
@@ -1395,6 +1706,92 @@ object CommitLog {
       |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
+
+  /** RESTORE through the log: append nation (v0), copy-on-write delete of
+    * keys ≥ 10 (v1 — rewrites files), append extra rows (v2), then
+    * restore to v0 — the later files are removed, v0's tombstoned files
+    * re-added, and the tip reads as the ORIGINAL nation (the delete and
+    * the extra append both undone; file-identity assertions live in
+    * CommitLogSpec). Oracle: plain nation. */
+  def occRestore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_restore").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val v0 = append(spark, table, nation)
+    deleteWhere(spark, table, col("n_nationkey") >= 10)
+    append(spark, table, nation.where(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 1000))
+    restore(table, v0)
+    read(spark, table).orderBy("n_nationkey")
+  }
+
+  val occRestoreSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** CHECK constraints through the log: append orders, add a positivity
+    * constraint, attempt a violating batch (atomically rejected — typed
+    * error, nothing committed), then land a compliant doubled-price batch
+    * and read the tip. Oracle: orders UNION ALL the compliant batch — the
+    * violating batch is provably absent. */
+  def occConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_check").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    append(spark, table, o)
+    addConstraint(spark, table, "positive_price", "o_totalprice > 0")
+    try {
+      append(spark, table, o.where(col("o_orderkey") <= 200)
+        .withColumn("o_totalprice", -col("o_totalprice")))
+      throw new IllegalStateException("violating batch must be rejected")
+    } catch { case _: ConstraintViolationException => () }
+    append(spark, table, o.where(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    read(spark, table).orderBy("o_orderkey", "o_totalprice")
+  }
+
+  val occConstraintsSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |FROM orders WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
+
+  /** DESCRIBE HISTORY through the log: a deterministic six-commit script
+    * (single-file appends so the add/remove counts are pinned) — append,
+    * append, CDC delete, compact, property, restore — then the history
+    * table itself is the query result. Oracle: the six rows as literals,
+    * which is the point — provenance is now a queryable contract, not a
+    * debug printout. */
+  def occHistory(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_history").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, table, nation.coalesce(1))
+    val v1 = append(spark, table, nation.where(col("n_nationkey") < 5).coalesce(1))
+    deleteWhere(spark, table, col("n_nationkey") >= 20, cdc = true)
+    compact(spark, table, targetFiles = 1)
+    setTableProperty(table, "cdc", "true")
+    restore(table, v1)
+    history(spark, table).orderBy("version")
+  }
+
+  val occHistorySql: String =
+    """SELECT CAST(version AS BIGINT) AS version, operation,
+      |       CAST(num_added AS BIGINT) AS num_added,
+      |       CAST(num_removed AS BIGINT) AS num_removed,
+      |       CAST(num_change_files AS BIGINT) AS num_change_files
+      |FROM (VALUES (0, 'append',   1, 0, 0),
+      |             (1, 'append',   1, 0, 0),
+      |             (2, 'delete',   1, 1, 1),
+      |             (3, 'compact',  1, 2, 0),
+      |             (4, 'property', 0, 0, 0),
+      |             (5, 'restore',  2, 1, 0))
+      |  AS t(version, operation, num_added, num_removed, num_change_files)
+      |ORDER BY version""".stripMargin
 
   val occCdcFeedSql: String =
     """SELECT n_nationkey, n_name, n_regionkey,

@@ -123,12 +123,18 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
 object ChangeFeedProvider {
   /** The table's current log schema — streams must start on an existing
-    * table (an empty log has no schema to declare). */
+    * table (an empty log has no schema to declare). Resolved from the
+    * log's meta actions, NOT by opening a reader over live files: a valid
+    * table whose rows were all deleted has an empty live set but a
+    * perfectly good schema, and a RUNNING stream must be able to restart
+    * from its checkpoint while the table is momentarily empty. */
   private[streaming] def tableSchema(
       spark: org.apache.spark.sql.SparkSession, table: String): StructType = {
     require(CommitLog.latestVersion(table) >= 0,
       s"$table has no commits yet — append before streaming from it")
-    CommitLog.read(spark, table).schema
+    CommitLog.tableSchema(table).getOrElse(
+      // legacy log with no meta actions: fall back to the live-file read
+      CommitLog.read(spark, table).schema)
   }
 
   /** The row-level feed's schema: the table columns (all nullable — a
@@ -183,6 +189,12 @@ class CommitLogSinkProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     require(partitionColumns.isEmpty,
       "graft-commitlog does not take partitionBy — pass indexCol for data skipping")
+    // the sink can only APPEND: a Complete/Update stream re-emits rows
+    // across triggers, and appending those would silently duplicate them
+    // in the table — reject at stream construction, not at runtime
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-commitlog only supports Append output mode, got $outputMode — " +
+        "Complete/Update modes re-emit rows and an append sink would duplicate them")
     new CommitLogSink(sqlContext,
       parameters.getOrElse("table", throw new IllegalArgumentException(
         "graft-commitlog needs .option(\"table\", <commit-log table root>)")),

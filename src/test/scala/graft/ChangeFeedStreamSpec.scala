@@ -210,6 +210,63 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(snap(replica) === snap(src), "replaying a batch must be a no-op")
   }
 
+  test("stream schema comes from the log, so a stream can start/restart over an empty live set") {
+    val src = freshDir("cdf_empty")
+    val ckpt = freshDir("cdf_empty_ckpt")
+    CommitLog.append(spark, src, Seq((1L, "a")).toDF("id", "s"))
+    // hand-publish a remove-ALL commit (the shape a temporarily-drained
+    // table has): the live file set is EMPTY, but the log still carries
+    // the schema in its meta actions — stream start must not need files
+    val live = CommitLog.snapshot(src).files
+    val removeAll = live
+      .map(f => s"""{"op":"remove","path":"$f","rows":0}""").mkString("\n")
+    assert(CommitLog.LocalStore.putIfAbsent(
+      java.nio.file.Paths.get(src, "_log", "v000000000001.json"), removeAll))
+    assert(CommitLog.snapshot(src).files.isEmpty, "live set drained")
+
+    def startQuery(got: java.util.concurrent.ConcurrentLinkedQueue[Long]) =
+      spark.readStream.format("graft-changefeed")
+        .option("table", src).load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("id").as[Long].collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val q1 = startQuery(got) // starts while the table is EMPTY
+    q1.processAllAvailable()
+    q1.stop()
+    // rows land again; a restart (also schema-resolved from the log) sees them
+    CommitLog.append(spark, src, Seq((2L, "b")).toDF("id", "s"))
+    val q2 = startQuery(got)
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted === Seq(1L, 2L),
+      "v0 flows from genesis, v2 after the drain; the remove-all is silent")
+  }
+
+  test("the commit-log sink rejects non-Append output modes at stream construction") {
+    val src = freshDir("sink_mode_src")
+    CommitLog.append(spark, src, Seq((1L, "a")).toDF("id", "s"))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-changefeed")
+        .option("table", src).load()
+        .groupBy("s").count()
+        .writeStream
+        .format("graft-commitlog")
+        .option("table", freshDir("sink_mode_dst"))
+        .option("checkpointLocation", freshDir("sink_mode_ckpt"))
+        .outputMode("complete")
+        .start()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("Append")),
+      s"Complete mode must be rejected with a clear message, got: $e")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")

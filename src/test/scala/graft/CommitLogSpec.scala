@@ -683,19 +683,23 @@ class CommitLogSpec extends SparkSpec {
     val (_, none) = CommitLog.readChangesCdc(spark, t, fromVersion = 1L, toVersion = Some(2L))
     assert(none.isEmpty, "a compaction-only window has no changes")
 
-    // non-CDC mutations stay out of the row feed (documented opt-in)
+    // a mutation that recorded no change files cannot silently starve the
+    // feed: the window that covers it raises the typed gap (r15 contract;
+    // the dedicated gap test covers the property-based fix)
     CommitLog.deleteWhere(spark, t, col("k") === 3L)
-    val (_, after) = CommitLog.readChangesCdc(spark, t, fromVersion = cursor)
-    assert(after.isEmpty, "a non-CDC delete must not fabricate change rows")
+    intercept[CommitLog.CdcGapException] {
+      CommitLog.readChangesCdc(spark, t, fromVersion = cursor)
+    }
 
     // retention: a window-covering vacuum keeps change files readable;
     // an aggressive one GCs them with the tombstones
     CommitLog.vacuum(t, retainVersions = 100)
-    assert(CommitLog.readChangesCdc(spark, t, fromVersion = -1L)
+    assert(CommitLog.readChangesCdc(spark, t, fromVersion = -1L, toVersion = Some(3L))
       ._2.get.count() === 7L)
     CommitLog.vacuum(t)
     intercept[Exception] {
-      CommitLog.readChangesCdc(spark, t, fromVersion = -1L)._2.get.count()
+      CommitLog.readChangesCdc(spark, t,
+        fromVersion = -1L, toVersion = Some(3L))._2.get.count()
     }
   }
 
@@ -742,5 +746,241 @@ class CommitLogSpec extends SparkSpec {
     assert(uw.where(col("o_orderstatus") === "U").count() ===
       Tables.orders(spark, sf)
         .where(col("o_orderkey").between(1000, 3000)).count())
+  }
+
+  // --- round 15: log-poisoning guards, CDC gap, properties, restore, history
+
+  test("a negative batchId is rejected before it can poison the log") {
+    val t = freshTable()
+    val df = Seq((1L, "a")).toDF("id", "s")
+    CommitLog.append(spark, t, df)
+    // a negative id would encode as "rows":-N, which replay cannot decode:
+    // ONE such commit would make every subsequent read of the table throw
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.appendOnce(spark, t, df, "poison", batchId = -1L)
+    }
+    assert(e.getMessage.contains("batchId"))
+    // the table is untouched and still fully functional
+    assert(CommitLog.appendOnce(spark, t, df, "poison", batchId = 0L) === 1L)
+    assert(CommitLog.read(spark, t).count() === 2L)
+  }
+
+  test("non-finite index bounds degrade to no-bounds: log stays decodable, file never pruned") {
+    val t = freshTable()
+    // a legal double column whose min/max are +/-Infinity — encoding the
+    // textual `Infinity` would fail replay's number regex on every read
+    val df = Seq((Double.NegativeInfinity, 1L), (2.0, 2L),
+      (Double.PositiveInfinity, 3L)).toDF("x", "id")
+    CommitLog.appendIndexed(spark, t, df.coalesce(1), "x")
+    // replay decodes (no corrupt line), and the file has NO recorded
+    // bounds, so it is conservatively kept for any queried range
+    assert(CommitLog.read(spark, t).count() === 3L)
+    assert(CommitLog.prunedFiles(t, 100d, 200d).size === 1)
+    assert(CommitLog.readWhere(spark, t, "x", 1d, 3d)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L))
+    // same discipline for the multi-column zonemap path
+    val tz = freshTable()
+    CommitLog.appendClustered(spark, tz,
+      df.withColumn("y", col("id")), Seq("x", "y"), files = 1)
+    assert(CommitLog.read(spark, tz).count() === 3L)
+    assert(CommitLog.prunedFilesBox(tz, Map("x" -> (100d, 200d))).size === 1,
+      "a file with undecodable x-bounds must be kept, not dropped")
+    assert(CommitLog.prunedFilesBox(tz, Map("y" -> (100d, 200d))).isEmpty,
+      "the finite y zonemap still prunes")
+  }
+
+  test("CDC gap is loud: a non-CDC mutation inside the feed window raises the typed error") {
+    val t = freshTable()
+    CommitLog.append(spark, t, (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    CommitLog.deleteWhere(spark, t, col("id") > 5) // cdc NOT enabled
+    val e = intercept[CommitLog.CdcGapException] {
+      CommitLog.readChangesCdc(spark, t, fromVersion = -1L)
+    }
+    assert(e.getMessage.contains("delete") && e.getMessage.contains("cdc"))
+    // a compaction in the window is still (correctly) a silent reorg
+    val t2 = freshTable()
+    CommitLog.append(spark, t2, Seq((1L, "a")).toDF("id", "s"))
+    CommitLog.append(spark, t2, Seq((2L, "b")).toDF("id", "s"))
+    CommitLog.compact(spark, t2, targetFiles = 1)
+    val (_, feed) = CommitLog.readChangesCdc(spark, t2, fromVersion = -1L)
+    assert(feed.get.where(col("_change_type") =!= "insert").count() === 0L)
+    assert(feed.get.count() === 2L)
+  }
+
+  test("cdc table property auto-enables change recording; it survives checkpointed replay") {
+    val t = freshTable()
+    CommitLog.append(spark, t, (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    CommitLog.setTableProperty(t, "cdc", "true")
+    assert(CommitLog.tableProperties(t) === Map("cdc" -> "true"))
+    // mutations called WITHOUT the per-call flag now record change files
+    CommitLog.deleteWhere(spark, t, col("id") > 8)
+    CommitLog.updateWhere(spark, t, col("id") === 1L,
+      Map("s" -> lit("updated")))
+    CommitLog.mergeInto(spark, t, Seq((2L, "merged"), (99L, "new")).toDF("id", "s"),
+      Seq("id"))
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = 0L)
+    val byType = feed.get.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType("delete") === 2L)
+    assert(byType("update_preimage") === 2L) // update + merge preimages
+    assert(byType("update_postimage") === 2L)
+    assert(byType("insert") === 1L)
+    // the property is log STATE: a checkpoint carries it, pre-checkpoint
+    // commits are never re-read (prove by corrupting them)
+    CommitLog.checkpoint(t)
+    val pre = Files.list(Paths.get(t, "_log")).toArray.map(_.toString)
+      .filter(_.matches(""".*v\d{12}\.json"""))
+    pre.foreach(p => Files.write(Paths.get(p), "GARBAGE".getBytes))
+    assert(CommitLog.tableProperties(t) === Map("cdc" -> "true"))
+    CommitLog.deleteWhere(spark, t, col("id") === 3L)
+    val (_, feed2) = CommitLog.readChangesCdc(spark, t,
+      fromVersion = CommitLog.latestVersion(t) - 1)
+    assert(feed2.get.where(col("_change_type") === "delete").count() === 1L,
+      "post-checkpoint mutations still auto-record change files")
+  }
+
+  test("restore rolls data back metadata-only; history kept; CDC feed synthesizes the round trip") {
+    val t = freshTable()
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+    val v0 = CommitLog.append(spark, t, df.repartitionByRange(4, col("id")))
+    val filesV0 = CommitLog.snapshot(t).files.toSet
+    // the predicate hits EVERY file, so the restore re-adds all of v0
+    CommitLog.deleteWhere(spark, t, col("id") % 2 === 0)    // v1: rewrite
+    val v2 = CommitLog.append(spark, t,
+      Seq((1000L, "extra")).toDF("id", "s"))                // v2: extra rows
+    val v3 = CommitLog.restore(t, v0)
+    assert(v3 === 3L)
+    // data identical to v0, via the ORIGINAL file objects (no copy)
+    assert(CommitLog.snapshot(t).files.toSet === filesV0)
+    assert(CommitLog.read(spark, t).agg(sum("id")).as[Long].head() === 5050L)
+    // the bad versions stay time-travelable (restore appends, never erases)
+    assert(CommitLog.read(spark, t, asOf = Some(v2)).count() === 51L)
+    // restoring to the tip state is a no-op, not an empty commit
+    assert(CommitLog.restore(t, v3) === -1L)
+    // the row-level feed represents the restore with zero stored change
+    // files: re-added rows as inserts, retracted rows as deletes
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = v2)
+    val byType = feed.get.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType("insert") === 100L, "v0's re-added files -> insert rows")
+    assert(byType("delete") === 51L, "v1 survivors + v2 extra -> delete rows")
+    // and the append feed still (correctly) skips it: those rows flowed at v0
+    assert(CommitLog.changedFiles(t, fromVersion = v2,
+      toVersion = CommitLog.latestVersion(t)).isEmpty)
+  }
+
+  test("restore refuses, typed and uncommitted, when vacuum already removed a target file") {
+    val t = freshTable()
+    val v0 = CommitLog.append(spark, t, (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"))
+    CommitLog.deleteWhere(spark, t, col("id") > 5L)
+    CommitLog.vacuum(t) // aggressive: tombstoned v0 files are gone
+    val tip = CommitLog.latestVersion(t)
+    val e = intercept[IllegalArgumentException] { CommitLog.restore(t, v0) }
+    assert(e.getMessage.contains("vacuum"))
+    assert(CommitLog.latestVersion(t) === tip, "nothing was committed")
+    assert(CommitLog.read(spark, t).count() === 5L, "table intact")
+  }
+
+  test("history describes every commit: provenance operation + action counts") {
+    val t = freshTable()
+    val df = (1L to 10L).map(i => (i, s"r$i")).toDF("id", "s")
+    CommitLog.append(spark, t, df.coalesce(1))
+    CommitLog.deleteWhere(spark, t, col("id") > 8L, cdc = true)
+    CommitLog.compact(spark, t, targetFiles = 1)
+    CommitLog.setTableProperty(t, "owner", "pipeline-a")
+    val h = CommitLog.history(spark, t).orderBy("version")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._2) === Seq("append", "delete", "compact", "property"))
+    assert(h(0) === ((0L, "append", 1L, 0L, 0L)))
+    assert(h(1) === ((1L, "delete", 1L, 1L, 1L)))
+    assert(h(2) === ((2L, "compact", 1L, 1L, 0L)))
+    assert(h(3) === ((3L, "property", 0L, 0L, 0L)))
+  }
+
+  test("4+ cluster columns: interleave width scales down instead of failing; pruning stays exact") {
+    val t = freshTable()
+    val df = (0L until 512L).map { i =>
+      (i % 8, (i / 8) % 8, (i / 64) % 8, i / 512 + i % 3, i)
+    }.toDF("a", "b", "c", "d", "id")
+    // 4 cols x 16 bits would overflow a long; the width must adapt
+    CommitLog.appendClustered(spark, t, df, Seq("a", "b", "c", "d"), files = 8)
+    assert(CommitLog.read(spark, t).count() === 512L)
+    // zonemap pruning on a narrow box over the first dimension: fewer
+    // files than the full set, and the exact predicate loses no rows
+    val total = CommitLog.snapshot(t).files.size
+    val kept = CommitLog.prunedFilesBox(t, Map("a" -> (0d, 0d))).size
+    assert(kept < total, s"z-layout must let the zonemap prune ($kept of $total)")
+    assert(CommitLog.readWhereBox(spark, t, Map("a" -> (0d, 0d))).count() ===
+      df.where(col("a") === 0).count())
+  }
+
+  test("CHECK constraints: validated on add, enforced atomically on every value-introducing write") {
+    val t = freshTable()
+    CommitLog.append(spark, t, (1L to 10L).map(i => (i, i * 10.0)).toDF("id", "price"))
+    // adding a constraint the live data violates is rejected, uncommitted
+    val tipBefore = CommitLog.latestVersion(t)
+    val e0 = intercept[CommitLog.ConstraintViolationException] {
+      CommitLog.addConstraint(spark, t, "big_price", "price > 50")
+    }
+    assert(e0.getMessage.contains("existing rows"))
+    assert(CommitLog.latestVersion(t) === tipBefore)
+    // a satisfiable constraint lands and is queryable
+    CommitLog.addConstraint(spark, t, "positive_price", "price > 0")
+    assert(CommitLog.constraints(t) === Map("positive_price" -> "price > 0"))
+    // every value-introducing path rejects violations ATOMICALLY
+    def unchanged[A](body: => A): Unit = {
+      val (v, n) = (CommitLog.latestVersion(t), CommitLog.read(spark, t).count())
+      intercept[CommitLog.ConstraintViolationException](body)
+      assert(CommitLog.latestVersion(t) === v, "a violating batch must not commit")
+      assert(CommitLog.read(spark, t).count() === n)
+    }
+    unchanged(CommitLog.append(spark, t, Seq((11L, -1.0)).toDF("id", "price")))
+    unchanged(CommitLog.appendOnce(spark, t,
+      Seq((11L, -1.0)).toDF("id", "price"), "cc", 0L))
+    unchanged(CommitLog.updateWhere(spark, t, col("id") === 1L,
+      Map("price" -> lit(-5.0))))
+    unchanged(CommitLog.mergeInto(spark, t,
+      Seq((1L, -2.0)).toDF("id", "price"), Seq("id")))
+    // NULL is a violation: CHECK must hold, unknown does not hold
+    unchanged(CommitLog.append(spark, t,
+      Seq((12L, Option.empty[Double])).toDF("id", "price")))
+    // compliant writes flow through every path
+    CommitLog.append(spark, t, Seq((11L, 110.0)).toDF("id", "price"))
+    CommitLog.updateWhere(spark, t, col("id") === 1L, Map("price" -> lit(5.0)))
+    CommitLog.mergeInto(spark, t, Seq((2L, 25.0), (12L, 120.0)).toDF("id", "price"), Seq("id"))
+    assert(CommitLog.read(spark, t).count() === 12L)
+    // the constraint is log state: a checkpoint carries it forward
+    CommitLog.checkpoint(t)
+    assert(CommitLog.constraints(t) === Map("positive_price" -> "price > 0"))
+    // DROP CONSTRAINT: the same violating batch now lands
+    CommitLog.dropConstraint(t, "positive_price")
+    assert(CommitLog.constraints(t).isEmpty)
+    CommitLog.append(spark, t, Seq((13L, -1.0)).toDF("id", "price"))
+    assert(CommitLog.read(spark, t).where(col("price") < 0).count() === 1L)
+    // history records the constraint DDL as provenance
+    val ops = CommitLog.history(spark, t).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "constraint") === 2, "add + drop both versioned")
+  }
+
+  test("registered query forms: occ_restore and occ_history at sf0.001") {
+    val r = CommitLog.occRestore(spark, sf)
+    val nation = Tables.nation(spark, sf)
+    assert(r.count() === nation.count())
+    assert(r.where(col("n_nationkey") >= 1000).count() === 0L,
+      "the extra post-delete append must be rolled back")
+    val h = CommitLog.occHistory(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(h.map(_._2) ===
+      Seq("append", "append", "delete", "compact", "property", "restore"))
+    assert(h.map(r2 => (r2._3, r2._4, r2._5)) ===
+      Seq((1L, 0L, 0L), (1L, 0L, 0L), (1L, 1L, 1L),
+          (1L, 2L, 0L), (0L, 0L, 0L), (2L, 1L, 0L)))
+    val cc = CommitLog.occConstraints(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    assert(cc.count() ===
+      orders.count() + orders.where(col("o_orderkey") <= 100).count())
+    assert(cc.where(col("o_totalprice") <= 0).count() === 0L,
+      "the violating batch must be absent")
   }
 }
