@@ -38,7 +38,9 @@ import java.nio.file.Paths
   * large tables. */
 class ChangeFeedSource(sqlContext: SQLContext, table: String,
                        startingVersion: Long,
-                       cdcMode: Boolean = false) extends Source {
+                       cdcMode: Boolean = false,
+                       maxVersionsPerTrigger: Option[Int] = None,
+                       metadataPath: String = "") extends Source {
 
   private val spark = sqlContext.sparkSession
 
@@ -46,9 +48,46 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
     if (cdcMode) ChangeFeedProvider.cdcSchema(spark, table)
     else ChangeFeedProvider.tableSchema(spark, table)
 
+  // Admission control (`maxVersionsPerTrigger`): cap how many commit
+  // versions one micro-batch covers, so a stream started over a table
+  // with years of history backfills in PACED batches instead of one
+  // giant first batch (the 100 TB failure mode of uncapped sources).
+  // The high-water of offered offsets persists in the source's own
+  // metadata directory — the engine-provided, checkpoint-co-located
+  // home for exactly this — so the cap survives restarts; it is
+  // admission control, not a correctness surface (delivery remains
+  // exactly-once via the engine's offset log either way).
+  // metadataPath arrives as a URI string (`file:/...`) on local checkpoints
+  private val hwFile =
+    if (metadataPath.isEmpty) None
+    else {
+      val base =
+        if (metadataPath.contains(":/")) Paths.get(new java.net.URI(metadataPath).getPath)
+        else Paths.get(metadataPath)
+      Some(base.resolve("graft-hw"))
+    }
+  private var lastOffered: Long = hwFile match {
+    case Some(f) if java.nio.file.Files.exists(f) =>
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+    case _ => startingVersion
+  }
+  private def persistHw(v: Long): Unit = hwFile.foreach { f =>
+    java.nio.file.Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(s".${f.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   override def getOffset: Option[Offset] = {
     val tip = CommitLog.latestVersion(table)
-    if (tip < 0) None else Some(LongOffset(tip))
+    if (tip < 0) return None
+    val end = maxVersionsPerTrigger match {
+      case Some(m) => math.min(tip, lastOffered + m)
+      case None    => tip
+    }
+    if (end > lastOffered) { lastOffered = end; persistHw(end) }
+    if (lastOffered < 0) None else Some(LongOffset(lastOffered))
   }
 
   /** Start/end arrive as `LongOffset` live and as `SerializedOffset` on
@@ -57,6 +96,8 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion)
+    // a checkpoint-replayed window can be ahead of a lost high-water file
+    if (version(end) > lastOffered) { lastOffered = version(end); persistHw(lastOffered) }
     if (cdcMode) {
       // row-level feed: typed change rows, retractions included — the
       // streaming face of CommitLog.readChangesCdc (replayed windows are
@@ -86,7 +127,11 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
   * `META-INF/services`, so `.format("graft-changefeed")` resolves).
   * Options: `table` (required — the commit-log table root),
   * `startingVersion` (optional exclusive floor; default -1 streams the
-  * table from genesis, i.e. v0's rows are the first batch), and `cdc`
+  * table from genesis, i.e. v0's rows are the first batch),
+  * `maxVersionsPerTrigger` (optional admission control: caps the commit
+  * versions one micro-batch covers, pacing a deep backfill in bounded
+  * batches; the offered high-water persists under the source's metadata
+  * path so the cap survives restarts), and `cdc`
   * (optional, `"true"` switches to the row-level change feed:
   * `_change_type`-typed rows with `_commit_version`, retractions
   * included — the streaming face of [[CommitLog.readChangesCdc]]). */
@@ -115,10 +160,14 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxVersions.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new ChangeFeedSource(sqlContext, tableOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
-      cdcOf(parameters))
+      cdcOf(parameters), maxVersions, metadataPath)
+  }
 }
 
 object ChangeFeedProvider {

@@ -267,6 +267,47 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"Complete mode must be rejected with a clear message, got: $e")
   }
 
+  test("maxVersionsPerTrigger paces a backfill: bounded batches, exactly-once, cap survives restart") {
+    val src = freshDir("cdf_paced")
+    val ckpt = freshDir("cdf_paced_ckpt")
+    // six single-row commits of history BEFORE the stream exists — an
+    // uncapped source would deliver all of it as one giant first batch
+    (1L to 6L).foreach(i => CommitLog.append(spark, src, Seq(i).toDF("id")))
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    def startQuery() = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id").as[Long].collect().toSeq
+        if (rows.nonEmpty) batches.add(rows); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    val first = batches.asScala.toSeq
+    assert(first.flatten.sorted === (1L to 6L),
+      "the paced backfill must still deliver every row exactly once")
+    assert(first.forall(_.size <= 2),
+      s"no batch may cover more than maxVersionsPerTrigger commits: ${first.map(_.size)}")
+    assert(first.size >= 3, "six versions at cap 2 need at least three batches")
+
+    // restart: the cap keeps pacing (high-water persisted with the source)
+    batches.clear()
+    (7L to 11L).foreach(i => CommitLog.append(spark, src, Seq(i).toDF("id")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val second = batches.asScala.toSeq
+    assert(second.flatten.sorted === (7L to 11L))
+    assert(second.forall(_.size <= 2),
+      s"the cap must survive a restart: ${second.map(_.size)}")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
