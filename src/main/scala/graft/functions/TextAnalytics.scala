@@ -1134,4 +1134,91 @@ object TextAnalytics {
        |       CAST(sum(w) AS DOUBLE) / count(*) AS score_mean,
        |       sum(w) >= 0 AS label
        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- DSIR: data selection via importance resampling -----------------------
+
+  /** DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") — the published recipe for selecting
+    * pretraining data that MATCHES a target distribution, at hashed
+    * n-gram granularity: fit two bag-of-hashed-ngrams models (target =
+    * docs matching the target predicate, raw = the rest), weight every
+    * document by its log importance ratio
+    * `sum_f [ln p_target(f) - ln p_raw(f)]` over its features, and keep
+    * the top-k. Features are the SAME unigram+bigram hashed stream as
+    * the fastText classifier ([[hashedFeatures]], [[EngineHash]] md5 →
+    * 2^18 buckets); both n-gram models are Laplace-smoothed over the
+    * full bucket space so unseen features stay finite.
+    *
+    * Scale shape: two corpus scans fit the models (per-bucket counts —
+    * bounded by [[HashDim]], broadcastable regardless of corpus size),
+    * the scoring pass joins features against the BROADCAST model and
+    * partially aggregates map-side into one doc-keyed shuffle, and the
+    * selection is orderBy+limit (TakeOrderedAndProject: per-partition
+    * top-k then one merge — never a global sort). The corpus never
+    * joins itself. Transcendental parity: each ln quantizes to
+    * DECIMAL(18,6) and the per-doc sum stays DECIMAL (exact, order-free)
+    * so the top-k CUT is bit-deterministic; the output weight is one
+    * double cast at the end. Target here: `lang = 'en'` (the fixture's
+    * stand-in for "looks like the target corpus"). */
+  def dsirTopK(spark: SparkSession, dir: String): DataFrame =
+    dsirTopKFrom(Tables.documents(spark, dir), k = 50)
+
+  private[graft] def dsirTopKFrom(docs: DataFrame, k: Int): DataFrame = {
+    val isTarget = coalesce(col("lang") === lit("en"), lit(false))
+    val tgtCounts = hashedFeatures(docs.where(isTarget))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rawCounts = hashedFeatures(docs.where(!isTarget))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtTotal = tgtCounts.agg(sum(col("ct")).as("tt"))
+    val rawTotal = rawCounts.agg(sum(col("cr")).as("rt"))
+    val model = tgtCounts.join(rawCounts, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
+      .select(col("bucket"), expr(
+        s"cast(ln(cast(ct + 1 as double) / cast(tt + $HashDim as double)) as decimal(18,6)) - " +
+          s"cast(ln(cast(cr + 1 as double) / cast(rt + $HashDim as double)) as decimal(18,6))")
+        .as("delta"))
+    hashedFeatures(docs)
+      .join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("delta")).as("lw"))
+      .orderBy(col("lw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_feats"),
+        col("lw").cast("double").as("log_weight"))
+  }
+
+  val dsirTopKSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS tgt,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, tgt,
+       |         CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % $HashDim AS bucket
+       |  FROM tk, LATERAL unnest(list_concat(tk,
+       |    list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1])
+       |  )) AS u(f)
+       |), tc AS (
+       |  SELECT bucket, count(*) AS ct FROM feats WHERE tgt GROUP BY 1
+       |), rc AS (
+       |  SELECT bucket, count(*) AS cr FROM feats WHERE NOT tgt GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM feats WHERE tgt) AS tt,
+       |         (SELECT count(*) FROM feats WHERE NOT tgt) AS rt
+       |), model AS (
+       |  SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+       |         CAST(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+       |                 CAST(tt + $HashDim AS DOUBLE)) AS DECIMAL(18,6)) -
+       |         CAST(ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) /
+       |                 CAST(rt + $HashDim AS DOUBLE)) AS DECIMAL(18,6)) AS delta
+       |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket CROSS JOIN tot
+       |), scored AS (
+       |  SELECT doc_id, count(*) AS n_feats, sum(delta) AS lw
+       |  FROM feats JOIN model USING (bucket)
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       |       CAST(lw AS DOUBLE) AS log_weight
+       |FROM scored ORDER BY lw DESC, doc_id LIMIT 50""".stripMargin
 }

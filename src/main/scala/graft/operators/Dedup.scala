@@ -1427,4 +1427,105 @@ object Dedup {
         |         / CAST(nt.n_toks AS DOUBLE) AS dup_ratio
         |FROM nt JOIN cov USING (doc_id)
         |ORDER BY dup_ratio DESC, doc_id""".stripMargin
+
+  // --- winnowing fingerprints (Schleimer et al. 2003) ------------------------
+
+  /** Winnow parameters: token [[WinnowK]]-gram hashes, window of
+    * [[WinnowW]] consecutive grams — the paper's guarantee is that any
+    * shared run of ≥ k + w - 1 tokens yields at least one SHARED
+    * fingerprint, at an expected density of 2/(w+1) fingerprints per
+    * gram. Fingerprints are 40-bit so the (hash, position) pack below
+    * stays inside one exact BIGINT in both engines. */
+  private val WinnowK = 5
+  private val WinnowW = 4
+  private val PosSpace = 1L << 20 // > any fixture gram count; pack divisor
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm, the standard LOCAL fingerprinting for copy
+    * detection): hash every token 5-gram, slide a window of 4 hashes,
+    * record each window's minimum (rightmost on ties), dedupe — a
+    * position-robust sketch ~2/(w+1) the size of the gram stream that
+    * GUARANTEES detection of shared runs ≥ k+w-1 tokens (unlike MinHash,
+    * which is probabilistic, and unlike full n-gram inversion, which is
+    * w/2 times larger). Output: candidate near-dup pairs with shared-
+    * fingerprint counts.
+    *
+    * Exactness trick: the rightmost-min selection packs (hash, position)
+    * into one BIGINT `hash * 2^20 + (2^20 - 1 - i)` so a single integer
+    * `min` over the window frame implements "min hash, ties broken
+    * rightmost" — no struct ordering, no float, bit-identical in DuckDB.
+    *
+    * Scale shape: gram hashing is a per-row projection; the window min is
+    * one doc-keyed sort (linear, no self-join); the pair stage groups by
+    * fingerprint with the family's ≤50 bucket cap (aggregate + filter,
+    * AQE-splittable) so quadratic work is confined to capped buckets —
+    * bucketed, never all-pairs, exactly the minhash-LSH discipline. */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  maxBucket: Int = 50): DataFrame =
+    winnowPairsFrom(Tables.documents(spark, dir), maxBucket)
+
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, WinnowW - 1)
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= lit("")).as("tk"))
+      .where(size(col("tk")) >= WinnowK)
+      .select(col("doc_id"), (size(col("tk")) - WinnowK + 1).as("n_grams"),
+        explode(expr(
+          s"transform(sequence(1, size(tk) - ${WinnowK - 1}), " +
+            s"i -> struct(i - 1 AS i, array_join(slice(tk, i, $WinnowK), ' ') AS gram))"))
+          .as("g"))
+      .select(col("doc_id"), col("n_grams"), col("g.i").as("i"),
+        (conv(substring(md5(col("g.gram")), 1, 10), 16, 10).cast("long") * lit(PosSpace)
+          + (lit(PosSpace - 1) - col("g.i"))).as("v"))
+      .withColumn("vmin", min(col("v")).over(w))
+      .where(col("i") <= greatest(lit(0), col("n_grams") - WinnowW))
+      .select(col("doc_id"), expr(s"vmin div $PosSpace").as("fp"))
+      .distinct()
+  }
+
+  private[graft] def winnowPairsFrom(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val fp = winnowFingerprints(docs)
+    val capped = fp
+      .join(fp.groupBy(col("fp")).agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket), Seq("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, i - 1 AS i, len(tk) - $WinnowK + 1 AS n_grams,
+       |         CAST(concat('0x', substr(md5(array_to_string(tk[i:i+${WinnowK - 1}], ' ')), 1, 10)) AS BIGINT) AS g40
+       |  FROM tk, LATERAL unnest(range(1, len(tk) - $WinnowK + 2)) AS u(i)
+       |  WHERE len(tk) >= $WinnowK
+       |), v AS (
+       |  SELECT doc_id, i, n_grams,
+       |         g40 * $PosSpace + (${PosSpace - 1} - i) AS v
+       |  FROM grams
+       |), wmin AS (
+       |  SELECT doc_id, i, n_grams,
+       |         min(v) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS vmin
+       |  FROM v
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, vmin // $PosSpace AS fp
+       |  FROM wmin WHERE i <= greatest(0, n_grams - $WinnowW)
+       |), capped AS (
+       |  SELECT doc_id, fp FROM fp
+       |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

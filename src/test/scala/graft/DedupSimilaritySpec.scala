@@ -436,4 +436,58 @@ class DedupSimilaritySpec extends SparkSpec {
     val fromCov = cov.agg(coalesce(sum("dup_tokens"), lit(0L))).first().getLong(0)
     assert(fromSpans === fromCov)
   }
+
+  test("winnowing: fingerprints match an independent JVM reimplementation; k+w-1 guarantee holds") {
+    import spark.implicits._
+    val K = 5; val W = 4; val Pos = 1L << 20
+    def md5b40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(10), 16)
+    }
+    // reference winnow (Schleimer et al. 2003, robust variant): window
+    // min with ties to the RIGHTMOST position, deduped
+    def refWinnow(text: String): Set[Long] = {
+      val tk = text.split(" ", -1).filter(_.nonEmpty)
+      if (tk.length < K) return Set.empty
+      val v = tk.sliding(K).zipWithIndex
+        .map { case (g, i) => md5b40(g.mkString(" ")) * Pos + (Pos - 1 - i) }.toArray
+      val starts = 0 to math.max(0, v.length - W)
+      starts.map(s => v.slice(s, s + W).min / Pos).toSet
+    }
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 = k+w-1 tokens
+    val docs = Seq(
+      (1L, s"one two three four five $shared six seven", "en"),
+      (2L, s"$shared nine ten eleven twelve thirteen", "en"),
+      (3L, "completely different words entirely unrelated tokens here now", "en"),
+      (4L, "quick brown foxes jump over lazy dogs tonight", "en"),
+      (5L, "tiny doc", "en") // < k tokens: no grams, no fingerprints
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    val texts = Map(
+      1L -> s"one two three four five $shared six seven",
+      2L -> s"$shared nine ten eleven twelve thirteen",
+      3L -> "completely different words entirely unrelated tokens here now",
+      4L -> "quick brown foxes jump over lazy dogs tonight")
+    texts.foreach { case (d, t) =>
+      assert(got.getOrElse(d, Set.empty) === refWinnow(t),
+        s"doc $d fingerprint set must match the reference implementation")
+    }
+    assert(!got.contains(5L), "sub-k documents have no fingerprints")
+    // density: the paper's 2/(w+1) expectation — never more than gram count
+    texts.foreach { case (d, t) =>
+      val nGrams = t.split(" ").count(_.nonEmpty) - K + 1
+      assert(got(d).size <= nGrams && got(d).size >= 1)
+    }
+    // the k+w-1 guarantee: docs 1 and 2 share an 8-token run -> >=1 shared
+    // fingerprint; unrelated docs share none
+    val pairs = Dedup.winnowPairsFrom(docs, 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"a shared run of k+w-1 tokens must yield a shared fingerprint: $pairs")
+    assert(pairs.forall(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"disjoint-vocabulary docs must not pair: $pairs")
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+  }
 }

@@ -172,6 +172,39 @@ class HashClassifierSpec extends SparkSpec {
       TextAnalytics.hashClassifier(spark, sf).count())
   }
 
+  test("DSIR: importance weights rank target-like documents above raw-like ones; model broadcasts") {
+    // planted corpus: the target (en) vocabulary is 'alpha/beta', the raw
+    // side is 'gamma/delta'; a doc's rank must follow which model it fits
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", "en"),
+      (2L, "beta alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta gamma", "de"),
+      (4L, "delta gamma delta gamma delta", "fr"),
+      (5L, "alpha beta alpha gamma beta", "de"),  // raw-labeled but target-like text
+      (6L, "gamma delta gamma alpha delta", "en") // target-labeled but raw-like text
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalytics.dsirTopKFrom(docs, k = 6)
+      .select("doc_id", "log_weight")
+      .as[(Long, Double)].collect().toSeq
+    val rank = out.map(_._1)
+    val weight = out.toMap
+    // pure-target text scores highest, pure-raw lowest, REGARDLESS of the
+    // doc's own label: DSIR scores text against the distributions
+    assert(Set(rank(0), rank(1)) === Set(1L, 2L),
+      s"pure target-vocabulary docs must lead: $out")
+    assert(Set(rank(4), rank(5)) === Set(3L, 4L),
+      s"pure raw-vocabulary docs must trail: $out")
+    assert(weight(5L) > weight(6L),
+      "the mostly-target text outranks the mostly-raw text even though labels disagree")
+    assert(weight(1L) > 0 && weight(3L) < 0,
+      "signs follow the importance ratio")
+    // the scoring join is a broadcast of the HashDim-bounded model
+    val plan = TextAnalytics.dsirTopKFrom(docs, k = 6)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the model join must broadcast — the corpus never shuffles for scoring")
+  }
+
   test("fixture corpus: n_feats = 2*n_tokens - 1 and the plan is one explode + one doc-keyed aggregation") {
     val cls = TextAnalytics.hashClassifier(spark, sf)
     val tokens = TextAnalytics.tokenCount(spark, sf)
