@@ -1679,6 +1679,47 @@ object CommitLog {
     feed.get.orderBy("_commit_version", "_change_type", "n_nationkey")
   }
 
+  /** CDC replica maintenance end-to-end through the BATCH api: the same
+    * mutation script as [[occCdcFeed]] runs against a source table, and a
+    * replica is maintained purely from [[readChangesCdc]] windows applied
+    * with [[applyChanges]] (bootstrap insert batch, then a window spanning
+    * a CDC merge AND a CDC delete — per-key last-change-wins across the
+    * window). Oracle: the source's expected final state — proving the
+    * feed + apply pair reconstructs the table exactly, retractions
+    * included. (The STREAMING face of the same loop is
+    * ChangeFeedStreamSpec's replica test.) */
+  def occApplyChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("occ_apply_src").toString
+    val replica = Files.createTempDirectory("occ_apply_rep").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, src, nation)
+    val (cursor, boot) = readChangesCdc(spark, src, fromVersion = -1L)
+    applyChanges(spark, replica, boot.get, Seq("n_nationkey"))
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+    val inserts = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    mergeInto(spark, src, updates.unionByName(inserts),
+      Seq("n_nationkey"), cdc = true)
+    deleteWhere(spark, src,
+      col("n_nationkey") >= 20 && col("n_nationkey") < 100, cdc = true)
+    val (_, window) = readChangesCdc(spark, src, fromVersion = cursor)
+    applyChanges(spark, replica, window.get, Seq("n_nationkey"))
+    read(spark, replica).orderBy("n_nationkey")
+  }
+
+  val occApplyChangesSql: String =
+    """SELECT n_nationkey, n_name,
+      |       CASE WHEN n_nationkey < 5 THEN n_regionkey + 100
+      |            ELSE n_regionkey END AS n_regionkey
+      |FROM nation WHERE n_nationkey < 20
+      |UNION ALL
+      |SELECT n_nationkey + 100 AS n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey < 5
+      |ORDER BY n_nationkey""".stripMargin
+
   /** Copy-on-write UPDATE through the log: range-cluster orders, update a
     * key range (status overwritten, price scaled — RHS referencing the
     * OLD row), read the tip. Untouched files keep their identity

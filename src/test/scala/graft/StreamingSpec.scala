@@ -203,6 +203,61 @@ class StreamingSpec extends SparkSpec {
       "replay after a partial crash must rebuild the lost batch partitions")
   }
 
+  test("streaming winnowing equals the one-shot batch run across three micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.WinnowStream
+    // fixture corpus + a planted copy of doc 0 with an 8-token shared run
+    // landing in a DIFFERENT batch — the cross-batch discovery path
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d0 = base.find(_._1 == base.map(_._1).min).get._2
+    val all = base ++ Seq((900001L, d0), (900002L, "zz " + d0))
+    val batches = all.groupBy { case (id, _) => (id % 3).toInt }.toSeq.sortBy(_._1)
+    assert(batches.size == 3)
+
+    val stateDir = tmp("winnow-state"); val ck = tmp("winnow-ck")
+    val input = MemoryStream[(Long, String)]
+    val q = WinnowStream.winnowStream(
+      input.toDF().toDF("doc_id", "text"), stateDir, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      batches.foreach { case (_, docs) =>
+        input.addData(docs.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = WinnowStream.pairs(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.Dedup
+      .winnowPairsFrom(all.toSeq.toDF("doc_id", "text"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "planted near-dups must be found")
+    assert(streamed.exists { case (a, b, n) =>
+      Set(a, b).contains(900001L) && n >= 1L },
+      "the cross-batch copy must be discovered at arrival")
+    assert(streamed == oneShot,
+      "accumulated stream pairs must equal the one-shot batch run")
+
+    // replay idempotence + crash-window convergence: delete SOME of batch
+    // 0's store partitions (fps lost, seen kept), replay the batch — the
+    // stores are rebuilt and the pair set is unchanged
+    import scala.reflect.io.Directory
+    WinnowStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"),
+      stateDir, batchId = 0L)
+    assert(WinnowStream.pairs(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == streamed)
+    new Directory(new java.io.File(s"$stateDir/fps/batch=0")).deleteRecursively()
+    WinnowStream.processBatch(spark, batches.head._2.toSeq.toDF("doc_id", "text"),
+      stateDir, batchId = 0L)
+    assert(WinnowStream.pairs(spark, stateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == streamed)
+    assert(spark.read.parquet(s"$stateDir/fps").filter(col("batch") === 0).count() > 0,
+      "replay must rebuild the lost fingerprint partition")
+  }
+
   test("streaming centroid assignment equals the one-shot kmeans_assign") {
     import graft.streaming.AssignStream
     import graft.operators.Similarity
