@@ -1169,11 +1169,16 @@ object TextAnalytics {
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
     val rawCounts = hashedFeatures(docs.where(!isTarget))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgtTotal = tgtCounts.agg(sum(col("ct")).as("tt"))
-    val rawTotal = rawCounts.agg(sum(col("cr")).as("rt"))
+    // both corpus totals reduce in ONE map-side-partial pass to a single
+    // one-row broadcast (the tfidf_terms corpus-N scalar shape — one
+    // sanctioned single-partition exchange, not two)
+    val totals = tgtCounts.select(col("ct").as("c"), lit(true).as("t"))
+      .unionByName(rawCounts.select(col("cr").as("c"), lit(false).as("t")))
+      .agg(coalesce(sum(when(col("t"), col("c"))), lit(0L)).as("tt"),
+        coalesce(sum(when(!col("t"), col("c"))), lit(0L)).as("rt"))
     val model = tgtCounts.join(rawCounts, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("ct", "cr"))
-      .crossJoin(broadcast(tgtTotal)).crossJoin(broadcast(rawTotal))
+      .crossJoin(broadcast(totals))
       .select(col("bucket"), expr(
         s"cast(ln(cast(ct + 1 as double) / cast(tt + $HashDim as double)) as decimal(18,6)) - " +
           s"cast(ln(cast(cr + 1 as double) / cast(rt + $HashDim as double)) as decimal(18,6))")

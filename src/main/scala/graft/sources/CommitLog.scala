@@ -1696,7 +1696,7 @@ object CommitLog {
       .select("n_nationkey", "n_name", "n_regionkey")
     append(spark, src, nation)
     val (cursor, boot) = readChangesCdc(spark, src, fromVersion = -1L)
-    applyChanges(spark, replica, boot.get, Seq("n_nationkey"))
+    boot.foreach(b => applyChanges(spark, replica, b, Seq("n_nationkey")))
     val updates = nation.where(col("n_nationkey") < 5)
       .withColumn("n_regionkey", col("n_regionkey") + 100)
     val inserts = nation.where(col("n_nationkey") < 5)
@@ -1706,8 +1706,13 @@ object CommitLog {
     deleteWhere(spark, src,
       col("n_nationkey") >= 20 && col("n_nationkey") < 100, cdc = true)
     val (_, window) = readChangesCdc(spark, src, fromVersion = cursor)
-    applyChanges(spark, replica, window.get, Seq("n_nationkey"))
-    read(spark, replica).orderBy("n_nationkey")
+    window.foreach(w => applyChanges(spark, replica, w, Seq("n_nationkey")))
+    // a zero-row fixture never creates the replica (an all-empty apply is
+    // a no-op by design) — return the source's schema-stable empty frame
+    if (latestVersion(replica) < 0)
+      read(spark, src).where(org.apache.spark.sql.functions.lit(false))
+        .orderBy("n_nationkey")
+    else read(spark, replica).orderBy("n_nationkey")
   }
 
   val occApplyChangesSql: String =
@@ -1783,11 +1788,15 @@ object CommitLog {
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     append(spark, table, o)
     addConstraint(spark, table, "positive_price", "o_totalprice > 0")
-    try {
-      append(spark, table, o.where(col("o_orderkey") <= 200)
-        .withColumn("o_totalprice", -col("o_totalprice")))
-      throw new IllegalStateException("violating batch must be rejected")
-    } catch { case _: ConstraintViolationException => () }
+    val violating = o.where(col("o_orderkey") <= 200)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val rejected =
+      try { append(spark, table, violating); false }
+      catch { case _: ConstraintViolationException => true }
+    // on a zero-row fixture there is nothing to violate — the batch
+    // legitimately lands empty; on any populated fixture it MUST reject
+    require(rejected || violating.isEmpty,
+      "a non-empty violating batch must be rejected")
     append(spark, table, o.where(col("o_orderkey") <= 100)
       .withColumn("o_totalprice", col("o_totalprice") * 2))
     read(spark, table).orderBy("o_orderkey", "o_totalprice")

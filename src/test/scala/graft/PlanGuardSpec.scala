@@ -44,7 +44,12 @@ class PlanGuardSpec extends SparkSpec {
     // + ann_brute_force's corpus-vs-broadcast-queries cross join
     "hybrid_topk" -> 2,
     // hybrid_topk_multi: the same two arms run once for all 5 probes
-    "hybrid_topk_multi" -> 2)
+    "hybrid_topk_multi" -> 2,
+    // dsir_topk: both n-gram-model totals reduce in one pass to a single
+    // one-row scalar broadcast back over the HashDim-bounded model table
+    // (the tfidf_terms corpus-N shape); the scoring join itself is a
+    // broadcast HASH join and the top-k is TakeOrderedAndProject
+    "dsir_topk" -> 1)
 
   // single-partition exchanges that ARE the design: a global mergeable-
   // sketch aggregation partial-aggregates map-side and exchanges only the
@@ -100,7 +105,10 @@ class PlanGuardSpec extends SparkSpec {
     // hybrid_topk_multi: ONLY bm25's one-row scalar — every rank window
     // (salted local, per-probe final, fusion) keeps a PARTITION BY, so
     // the multi form has FEWER serialization points than the single
-    "hybrid_topk_multi" -> 1)
+    "hybrid_topk_multi" -> 1,
+    // dsir_topk: the combined (tt, rt) totals scalar — per-partition
+    // partials reduce to one (long, long) before the exchange
+    "dsir_topk" -> 1)
 
   test("no query plan contains a cartesian product or single-partition exchange") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
