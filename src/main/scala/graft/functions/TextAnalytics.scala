@@ -890,19 +890,24 @@ object TextAnalytics {
     hashClassifierFrom(Tables.documents(spark, dir))
 
   /** The (doc_id, bucket) hashed-feature stream every classifier form
-    * shares: unigrams + adjacent bigrams, md5-hashed into [[HashDim]]. */
-  private def hashedFeatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        filter(toks, t => t =!= lit("")).as("tk"))
-      .select(col("doc_id"),
+    * shares: unigrams + adjacent bigrams, md5-hashed into [[HashDim]].
+    * `keep` carries extra doc-level columns through the explode (a flag
+    * riding each feature row costs nothing; a doc-level join back would
+    * cost a corpus-keyed shuffle — the dsir caller's reason). */
+  private def hashedFeatures(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
+    docs.select((col("doc_id") +: keepCols) :+
+        filter(toks, t => t =!= lit("")).as("tk"): _*)
+      .select((col("doc_id") +: keepCols) :+
         explode(concat(col("tk"),
           // sequence(1, 0) would DESCEND in Spark — guard the short docs
           when(size(col("tk")) >= 2,
             expr("transform(sequence(1, size(tk) - 1), i -> " +
               "concat(element_at(tk, i), '_', element_at(tk, i + 1)))"))
-            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("feat"))
-      .select(col("doc_id"),
-        pmod(EngineHash.md5Bits60(col("feat")), lit(HashDim.toLong)).as("bucket"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))).as("feat"): _*)
+      .select((col("doc_id") +: keepCols) :+
+        pmod(EngineHash.md5Bits60(col("feat")), lit(HashDim.toLong)).as("bucket"): _*)
+  }
 
   /** The shared tail: per-doc integer sum → (n_feats, score_raw,
     * score_mean, label). */
@@ -1149,13 +1154,14 @@ object TextAnalytics {
     * 2^18 buckets); both n-gram models are Laplace-smoothed over the
     * full bucket space so unseen features stay finite.
     *
-    * Scale shape: two corpus scans fit the models (per-bucket counts —
-    * bounded by [[HashDim]], broadcastable regardless of corpus size),
-    * the scoring pass joins features against the BROADCAST model and
-    * partially aggregates map-side into one doc-keyed shuffle, and the
-    * selection is orderBy+limit (TakeOrderedAndProject: per-partition
-    * top-k then one merge — never a global sort). The corpus never
-    * joins itself. Transcendental parity: each ln quantizes to
+    * Scale shape: TWO corpus scans total — one conditional aggregation
+    * fits BOTH models at once (the side flag rides each feature row
+    * through the explode; per-bucket counts are bounded by [[HashDim]],
+    * broadcastable regardless of corpus size), then the scoring pass
+    * joins features against the BROADCAST model and partially
+    * aggregates map-side into one doc-keyed shuffle; the selection is
+    * orderBy+limit (TakeOrderedAndProject: per-partition top-k then one
+    * merge — never a global sort). The corpus never joins itself. Transcendental parity: each ln quantizes to
     * DECIMAL(18,6) and the per-doc sum stays DECIMAL (exact, order-free)
     * so the top-k CUT is bit-deterministic; the output weight is one
     * double cast at the end. Target here: `lang = 'en'` (the fixture's
@@ -1165,25 +1171,27 @@ object TextAnalytics {
 
   private[graft] def dsirTopKFrom(docs: DataFrame, k: Int): DataFrame = {
     val isTarget = coalesce(col("lang") === lit("en"), lit(false))
-    val tgtCounts = hashedFeatures(docs.where(isTarget))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val rawCounts = hashedFeatures(docs.where(!isTarget))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    // the side flag rides each feature row through the explode, so BOTH
+    // model count columns come from ONE conditional aggregation of ONE
+    // corpus scan (no per-side scans, no full-outer count merge); the
+    // scoring pass below is the only other scan — two total
+    val feats = hashedFeatures(docs.withColumn("tgt", isTarget), keep = Seq("tgt"))
+    val counts = feats.groupBy(col("bucket")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
     // both corpus totals reduce in ONE map-side-partial pass to a single
     // one-row broadcast (the tfidf_terms corpus-N scalar shape — one
-    // sanctioned single-partition exchange, not two)
-    val totals = tgtCounts.select(col("ct").as("c"), lit(true).as("t"))
-      .unionByName(rawCounts.select(col("cr").as("c"), lit(false).as("t")))
-      .agg(coalesce(sum(when(col("t"), col("c"))), lit(0L)).as("tt"),
-        coalesce(sum(when(!col("t"), col("c"))), lit(0L)).as("rt"))
-    val model = tgtCounts.join(rawCounts, Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("ct", "cr"))
+    // sanctioned single-partition exchange)
+    val totals = counts.agg(
+      coalesce(sum(col("ct")), lit(0L)).as("tt"),
+      coalesce(sum(col("cr")), lit(0L)).as("rt"))
+    val model = counts
       .crossJoin(broadcast(totals))
       .select(col("bucket"), expr(
         s"cast(ln(cast(ct + 1 as double) / cast(tt + $HashDim as double)) as decimal(18,6)) - " +
           s"cast(ln(cast(cr + 1 as double) / cast(rt + $HashDim as double)) as decimal(18,6))")
         .as("delta"))
-    hashedFeatures(docs)
+    feats
       .join(broadcast(model), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("delta")).as("lw"))
