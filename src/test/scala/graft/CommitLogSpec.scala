@@ -963,6 +963,52 @@ class CommitLogSpec extends SparkSpec {
     assert(ops.count(_ == "constraint") === 2, "add + drop both versioned")
   }
 
+  test("governance composes: cdc property + constraint + mutations + restore keep a replica convergent") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val t = freshTable(); val replica = freshTable()
+    def snap(p: String): Seq[(Long, Double)] =
+      CommitLog.read(spark, p).select("id", "price")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // governed table: CDC on (table property), prices must stay positive
+    CommitLog.append(spark, t, (1L to 10L).map(i => (i, i * 10.0)).toDF("id", "price"))
+    CommitLog.setTableProperty(t, "cdc", "true")
+    CommitLog.addConstraint(spark, t, "positive_price", "price > 0")
+    // a replica bootstrapped from the genesis feed
+    val (c0, boot) = CommitLog.readChangesCdc(spark, t, fromVersion = -1L)
+    CommitLog.applyChanges(spark, replica, boot.get, Seq("id"))
+    assert(snap(replica) === snap(t))
+    // mutations WITHOUT per-call cdc flags: the property records changes;
+    // the constraint screens the merge's values
+    intercept[CommitLog.ConstraintViolationException] {
+      CommitLog.mergeInto(spark, t, Seq((3L, -1.0)).toDF("id", "price"), Seq("id"))
+    }
+    CommitLog.mergeInto(spark, t,
+      Seq((3L, 33.0), (11L, 110.0)).toDF("id", "price"), Seq("id"))
+    CommitLog.deleteWhere(spark, t, col("id") === 1L)
+    val v = CommitLog.updateWhere(spark, t, col("id") === 2L,
+      Map("price" -> flit(22.0)))
+    // feed the replica through the mutation window; it must converge —
+    // including the rejected merge (nothing committed, nothing to apply)
+    val (c1, w1) = CommitLog.readChangesCdc(spark, t, fromVersion = c0)
+    CommitLog.applyChanges(spark, replica, w1.get, Seq("id"))
+    assert(snap(replica) === snap(t))
+    assert(snap(t).exists(r => r._1 == 3L && r._2 == 33.0))
+    assert(!snap(t).exists(_._1 == 1L))
+    // RESTORE the source past the mutations: the feed synthesizes the
+    // rollback and the replica follows it, no change files stored
+    CommitLog.restore(t, v - 3) // back to pre-merge (after prop+constraint)
+    val (_, w2) = CommitLog.readChangesCdc(spark, t, fromVersion = c1)
+    CommitLog.applyChanges(spark, replica, w2.get, Seq("id"))
+    assert(snap(replica) === snap(t))
+    assert(snap(t) === (1L to 10L).map(i => (i, i * 10.0)).toSeq,
+      "restore must roll the governed table back to the pre-merge state")
+    // provenance records the whole story in order
+    val ops = CommitLog.history(spark, t).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops === Seq("append", "property", "constraint",
+      "merge", "delete", "update", "restore"))
+  }
+
   test("registered query forms: occ_restore and occ_history at sf0.001") {
     val r = CommitLog.occRestore(spark, sf)
     val nation = Tables.nation(spark, sf)
