@@ -308,6 +308,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"the cap must survive a restart: ${second.map(_.size)}")
   }
 
+  test("maxVersionsPerTrigger paces the row-level cdc feed too, typed rows intact") {
+    val src = freshDir("cdc_paced")
+    CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    CommitLog.deleteWhere(spark, src, col("k") === 1L, cdc = true)
+    CommitLog.mergeInto(spark, src,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.append(spark, src, Seq((4L, "d")).toDF("k", "s"))
+    CommitLog.deleteWhere(spark, src, col("k") === 3L, cdc = true)
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, String, Long)]]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("k", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().toSeq
+        if (rows.nonEmpty) batches.add(rows); ()
+      }
+      .option("checkpointLocation", freshDir("cdc_paced_ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // each batch covers at most 2 commit VERSIONS
+    got.foreach { b =>
+      assert(b.map(_._3).distinct.size <= 2,
+        s"a batch covered more than maxVersionsPerTrigger commits: $b")
+    }
+    assert(got.size >= 3, "five versions at cap 2 need at least three batches")
+    // the paced feed delivers exactly the unpaced row-level feed
+    val (_, full) = CommitLog.readChangesCdc(spark, src, fromVersion = -1L)
+    val expect = full.get.select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got.flatten.sorted === expect,
+      "pacing must not change the typed change rows, only their batching")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
