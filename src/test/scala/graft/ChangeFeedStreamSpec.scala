@@ -308,6 +308,32 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"the cap must survive a restart: ${second.map(_.size)}")
   }
 
+  test("restore behind a running append-feed stream re-delivers nothing") {
+    val src = freshDir("cdf_restore"); val dst = freshDir("cdf_restore_dst")
+    val v0 = CommitLog.append(spark, src, Seq(1L).toDF("id"))
+    CommitLog.append(spark, src, Seq(2L).toDF("id"))
+    val q = spark.readStream.format("graft-changefeed")
+      .option("table", src).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        CommitLog.appendOnce(spark, dst, df, "restore_pipe", batchId); ()
+      }
+      .option("checkpointLocation", freshDir("cdf_restore_ckpt")).start()
+    q.processAllAvailable()
+    assert(readIds(dst) === Seq(1L, 2L))
+    // roll the source back behind the stream: those rows already flowed,
+    // so the remove-carrying restore must be invisible to the append feed
+    CommitLog.deleteWhere(spark, src, col("id") === 2L)
+    CommitLog.restore(src, v0)
+    CommitLog.append(spark, src, Seq(3L).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    assert(readIds(dst) === Seq(1L, 2L, 3L),
+      "the delete/restore churn must deliver nothing; only the new append flows")
+    assert(CommitLog.read(spark, dst).groupBy("id").count()
+      .where(col("count") > 1).count() === 0L, "no row delivered twice")
+  }
+
   test("maxVersionsPerTrigger paces the row-level cdc feed too, typed rows intact") {
     val src = freshDir("cdc_paced")
     CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
