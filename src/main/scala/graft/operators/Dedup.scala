@@ -1438,7 +1438,12 @@ object Dedup {
     * stays inside one exact BIGINT in both engines. */
   private val WinnowK = 5
   private val WinnowW = 4
-  private val PosSpace = 1L << 20 // > any fixture gram count; pack divisor
+  // pack divisor: positions beyond 2^20 grams (~1M tokens) CLAMP to 0 in
+  // the (hash, position) pack below — the position term may never borrow
+  // from the hash bits (a negative term would silently corrupt fp = hash-1
+  // for every giant document), so past the clamp ties break arbitrarily
+  // instead of rightmost; fingerprint VALUES stay exact at any length
+  private val PosSpace = 1L << 20
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
     * the MOSS algorithm, the standard LOCAL fingerprinting for copy
@@ -1451,9 +1456,15 @@ object Dedup {
     * fingerprint counts.
     *
     * Exactness trick: the rightmost-min selection packs (hash, position)
-    * into one BIGINT `hash * 2^20 + (2^20 - 1 - i)` so a single integer
-    * `min` over the window frame implements "min hash, ties broken
+    * into one BIGINT `hash * 2^20 + greatest(0, 2^20 - 1 - i)` so a single
+    * integer `min` over the window frame implements "min hash, ties broken
     * rightmost" — no struct ordering, no float, bit-identical in DuckDB.
+    * The `greatest(0, ·)` clamp is load-bearing at scale: a document with
+    * ≥ 2^20 grams would otherwise drive the position term negative,
+    * borrowing from the hash bits and silently corrupting its
+    * fingerprints (fp = hash - 1, wrong pairs with no error). Clamped,
+    * positions past 2^20 share tie-break rank 0 — degraded tie-breaking
+    * on pathological documents, exact fingerprint values always.
     *
     * Scale shape: gram hashing is a per-row projection; the window min is
     * one doc-keyed sort (linear, no self-join); the pair stage groups by
@@ -1464,7 +1475,13 @@ object Dedup {
                   maxBucket: Int = 50): DataFrame =
     winnowPairsFrom(Tables.documents(spark, dir), maxBucket)
 
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowFingerprints(docs, PosSpace)
+
+  /** `posSpace` is parameterized ONLY so the clamp is spec-testable at
+    * toy scale (a real ≥2^20-gram fixture is minutes of test time);
+    * production always packs with [[PosSpace]]. */
+  private[graft] def winnowFingerprints(docs: DataFrame, posSpace: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, WinnowW - 1)
@@ -1478,11 +1495,11 @@ object Dedup {
             s"i -> struct(i - 1 AS i, array_join(slice(tk, i, $WinnowK), ' ') AS gram))"))
           .as("g"))
       .select(col("doc_id"), col("n_grams"), col("g.i").as("i"),
-        (conv(substring(md5(col("g.gram")), 1, 10), 16, 10).cast("long") * lit(PosSpace)
-          + (lit(PosSpace - 1) - col("g.i"))).as("v"))
+        (conv(substring(md5(col("g.gram")), 1, 10), 16, 10).cast("long") * lit(posSpace)
+          + greatest(lit(0L), lit(posSpace - 1) - col("g.i"))).as("v"))
       .withColumn("vmin", min(col("v")).over(w))
       .where(col("i") <= greatest(lit(0), col("n_grams") - WinnowW))
-      .select(col("doc_id"), expr(s"vmin div $PosSpace").as("fp"))
+      .select(col("doc_id"), expr(s"vmin div $posSpace").as("fp"))
       .distinct()
   }
 
@@ -1509,7 +1526,7 @@ object Dedup {
        |  WHERE len(tk) >= $WinnowK
        |), v AS (
        |  SELECT doc_id, i, n_grams,
-       |         g40 * $PosSpace + (${PosSpace - 1} - i) AS v
+       |         g40 * $PosSpace + greatest(0, ${PosSpace - 1} - i) AS v
        |  FROM grams
        |), wmin AS (
        |  SELECT doc_id, i, n_grams,

@@ -327,9 +327,14 @@ object CommitLog {
     * with one, so [[history]] can describe the table and [[readChangesCdc]]
     * can distinguish a REORGANIZATION (compact — rows unchanged) from a
     * MUTATION (delete/update/merge/apply — rows changed) without guessing
-    * from the action shape. Legacy commits without one decode fine (the
-    * op set is additive) and classify as they did before. */
-  private def infoAct(operation: String): Action = Action("info", operation, 0L)
+    * from the action shape. The `rows` slot carries the commit's
+    * wall-clock epoch-ms timestamp — the provenance [[commitTimestamps]]
+    * adjusts into the monotone clock that timestamp-addressed time travel
+    * ([[versionAtTimestamp]]) resolves against. Legacy commits without
+    * one decode fine (the op set is additive), classify as they did
+    * before, and time-travel as epoch 0 under the monotone adjustment. */
+  private def infoAct(operation: String): Action =
+    Action("info", operation, System.currentTimeMillis())
 
   private def operationOf(actions: Seq[Action]): Option[String] =
     actions.collectFirst { case a if a.op == "info" => a.path }
@@ -355,8 +360,24 @@ object CommitLog {
                        store: LogStore = LocalStore): Long = {
     require(key.matches("[A-Za-z0-9_.-]+"), s"property key must be a plain token: $key")
     require(value.matches("[A-Za-z0-9_.-]+"), s"property value must be a plain token: $value")
+    // "-" is replay's removal tombstone: letting it through as a VALUE
+    // would silently DELETE the property instead of setting it — reject
+    // here with the real API to use (the one legal-token/illegal-value)
+    require(value != "-",
+      s"'-' is the property-removal tombstone, not a value — " +
+        s"use removeTableProperty($table, $key) to remove the property")
     val tip = latestVersion(table, store)
     commit(table, Seq(infoAct("property"), Action("prop", s"$key=$value", 0L)),
+      readVersion = tip, store)
+  }
+
+  /** Remove a table property (committed tombstone; replay and checkpoints
+    * drop the key). Removing an absent key is a legal no-op commit. */
+  def removeTableProperty(table: String, key: String,
+                          store: LogStore = LocalStore): Long = {
+    require(key.matches("[A-Za-z0-9_.-]+"), s"property key must be a plain token: $key")
+    val tip = latestVersion(table, store)
+    commit(table, Seq(infoAct("property"), Action("prop", s"$key=-", 0L)),
       readVersion = tip, store)
   }
 
@@ -1245,16 +1266,37 @@ object CommitLog {
     * then every touched key is dropped from the affected files and the
     * surviving upsert rows are unioned back — a key whose last change is
     * `delete` simply isn't re-added. Batches must be applied in version
-    * order (the change-feed stream delivers them that way); for
-    * exactly-once across replays, wrap in the same txn discipline as any
-    * sink (apply is idempotent per batch anyway: replaying the same
-    * batch converges to the same replica state). Returns the replica
-    * commit version, or -1 for an empty batch. */
+    * order (the change-feed stream delivers them that way).
+    *
+    * Exactly-once across replays: apply is idempotent per batch anyway
+    * (replaying the same batch converges to the same replica state), but
+    * pass `txn = Some((appId, batchId))` — what `foreachBatch` hands its
+    * function — and a replayed batch is SKIPPED at the commit level, the
+    * same (appId, batchId) txn-marker ledger [[appendOnce]] uses: no
+    * second rewrite job, no second replica version, even when the replay
+    * RACES the original. This is the discipline the streaming replica
+    * ([[graft.streaming.CdcReplica]]) runs under. Returns the replica
+    * commit version, or -1 for an empty or already-applied batch. */
   def applyChanges(spark: SparkSession, replica: String, changes: DataFrame,
                    keyCols: Seq[String],
+                   txn: Option[(String, Long)] = None,
                    store: LogStore = LocalStore): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, row_number}
     require(keyCols.nonEmpty, "applyChanges needs key columns")
+    txn.foreach { case (app, b) =>
+      require(app.matches("[A-Za-z0-9_.-]+"), s"appId must be a plain token: $app")
+      require(b >= 0, s"batchId must be non-negative: $b")
+    }
+    val version = latestVersion(replica, store)
+    val stOpt = if (version < 0) None else Some(replay(replica, version, store))
+    // the high-water skip runs BEFORE any batch computation: a replayed
+    // batch costs one log replay, zero Spark jobs
+    txn.foreach { case (app, b) =>
+      stOpt.foreach { st =>
+        if (st.txns.getOrElse(app, -1L) >= b) return -1L
+      }
+    }
+    val txnActs = txn.map { case (app, b) => Action("txn", app, b) }.toSeq
     val relevant = changes.where(col("_change_type")
       .isin("insert", "update_postimage", "delete"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1266,13 +1308,15 @@ object CommitLog {
     val upserts = last.where(col("_change_type") =!= "delete")
       .drop("_change_type", "_commit_version")
     val keys = last.select(keyCols.map(col): _*)
-    val version = latestVersion(replica, store)
     if (version < 0) {
       // first batch bootstraps; all-deletes against nothing is a no-op
       if (upserts.isEmpty) return -1L
-      return append(spark, replica, upserts)
+      val meta = Action("meta", schemaToken(upserts.schema), 0L)
+      val acts = (infoAct("apply") +: meta +: stage(spark, replica, upserts)) ++ txnActs
+      return (try commit(replica, acts, readVersion = -1L, store)
+              catch { case _: TxnAlreadyApplied => -1L })
     }
-    val st = replay(replica, version, store)
+    val st = stOpt.get
     def reader = st.schemaStruct match {
       case Some(s) => spark.read.schema(s)
       case None    => spark.read
@@ -1300,8 +1344,9 @@ object CommitLog {
     val adds = stage(spark, replica, rewritten,
       checks = constraintsOf(st.props))
     val removes = affected.map(Action("remove", _, 0L))
-    commit(replica, (infoAct("apply") +: meta +: removes) ++ adds,
+    try commit(replica, (infoAct("apply") +: meta +: removes) ++ adds ++ txnActs,
       readVersion = version, store)
+    catch { case _: TxnAlreadyApplied => -1L }
   }
 
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
@@ -1371,9 +1416,34 @@ object CommitLog {
     * surface as [[ConcurrentRewriteException]]. [[readChangesCdc]] stays
     * full-fidelity across a restore WITHOUT stored change files: the
     * re-added files synthesize `insert` rows and the removed files
-    * `delete` rows. Returns the commit version, or -1 when the tip
-    * already equals the target (no commit). */
-  def restore(table: String, asOf: Long, store: LogStore = LocalStore): Long = {
+    * `delete` rows.
+    *
+    * CHECK constraints apply to restore like any write that introduces
+    * row values: the RE-ADDED files are validated against the ACTIVE
+    * (tip) constraints before anything commits — a constraint added
+    * after `asOf` would otherwise be silently violated by rows the
+    * constraint was created to keep out (one column-pruned scan over
+    * `toAdd` only; files that stayed live already passed on their own
+    * write). Validation needs a SparkSession, so on a constrained table
+    * use the `restore(spark, ...)` overload — the sessionless form
+    * refuses (typed error, nothing committed) rather than skip the
+    * check. Returns the commit version, or -1 when the tip already
+    * equals the target (no commit). */
+  def restore(table: String, asOf: Long, store: LogStore = LocalStore): Long =
+    restoreImpl(None, table, asOf, store)
+
+  /** [[restore]] with CHECK-constraint validation of the re-added files —
+    * required when the table has active constraints. */
+  def restore(spark: SparkSession, table: String, asOf: Long): Long =
+    restoreImpl(Some(spark), table, asOf, LocalStore)
+
+  def restore(spark: SparkSession, table: String, asOf: Long,
+              store: LogStore): Long =
+    restoreImpl(Some(spark), table, asOf, store)
+
+  private def restoreImpl(spark: Option[SparkSession], table: String,
+                          asOf: Long, store: LogStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
     val version = latestVersion(table, store)
     require(version >= 0, s"$table has no commits to restore")
     require(asOf >= 0 && asOf <= version,
@@ -1387,6 +1457,32 @@ object CommitLog {
       require(Files.exists(Paths.get(table, f)),
         s"cannot restore $table to v$asOf: $f was already vacuumed — " +
           "vacuum retention must cover the restore window")
+    }
+    val checks = constraintsOf(current.props)
+    if (checks.nonEmpty && toAdd.nonEmpty) {
+      val s = spark.getOrElse(throw new IllegalStateException(
+        s"$table has active CHECK constraints (${checks.keys.mkString(", ")}) — " +
+          "use restore(spark, table, asOf) so the re-added files can be " +
+          "validated against them before committing"))
+      // current (tip) schema: a constraint may reference a column added
+      // after asOf, which the re-added files read as NULL — and NULL
+      // violates under the house CHECK rule, same as addConstraint
+      val reader = current.schemaStruct match {
+        case Some(sc) => s.read.schema(sc)
+        case None     => s.read
+      }
+      val cs = checks.toSeq
+      val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(not(coalesce(expr(p), lit(false))), 1L).otherwise(0L)).as(s"c$i") }
+      val row = reader.parquet(toAdd.map(f => Paths.get(table, f).toString): _*)
+        .agg(aggs.head, aggs.tail: _*).head()
+      cs.zipWithIndex.foreach { case ((n, p), i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0)
+          throw new ConstraintViolationException(
+            s"cannot restore $table to v$asOf: ${row.getLong(i)} re-added rows " +
+              s"violate active CHECK constraint $n ($p) — drop the constraint " +
+              "or restore to a compliant version; nothing was committed")
+      }
     }
     val addActs = toAdd.map { p =>
       val (lo, hi) = target.bounds.getOrElse(p, (Double.NaN, Double.NaN))
@@ -1416,6 +1512,56 @@ object CommitLog {
     spark.createDataFrame(rows)
       .toDF("version", "operation", "num_added", "num_removed", "num_change_files")
   }
+
+  /** Every commit's (version, timestamp) under the MONOTONE provenance
+    * clock: each commit's recorded wall-clock stamp, adjusted to
+    * `max(recorded, previous + 1)` — the public Delta/Iceberg rule that
+    * makes timestamp addressing well-defined even when racing commits,
+    * clock skew, or a sub-millisecond commit burst record out-of-order
+    * raw stamps (version order is the ONLY true order; the clock must
+    * never contradict it). Legacy commits with no provenance action read
+    * as epoch 0 and inherit `previous + 1`. Driver-side O(commits), the
+    * same cost class as [[history]]. */
+  def commitTimestamps(table: String, store: LogStore = LocalStore): Seq[(Long, Long)] = {
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table has no commits")
+    var prev = Long.MinValue
+    (0L to tip).map { v =>
+      val raw = decode(store.read(versionFile(table, v)))
+        .collectFirst { case a if a.op == "info" => a.rows }.getOrElse(0L)
+      prev = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      (v, prev)
+    }
+  }
+
+  /** The version a timestamp addresses: the LATEST version whose monotone
+    * commit timestamp is ≤ `ts` (the boundary rule every lakehouse AS OF
+    * uses — "the table as it was AT that moment"). A `ts` before the
+    * first commit is a typed error, not version 0: there WAS no table
+    * then, and silently rounding up would hand back data from the
+    * caller's future. */
+  def versionAtTimestamp(table: String, ts: Long,
+                         store: LogStore = LocalStore): Long = {
+    val tss = commitTimestamps(table, store)
+    require(ts >= tss.head._2,
+      s"timestamp $ts is before $table's first commit (${tss.head._2}) — " +
+        "the table did not exist yet")
+    tss.takeWhile(_._2 <= ts).last._1
+  }
+
+  /** Snapshot read AS OF a timestamp — the form users actually type
+    * (`SELECT ... TIMESTAMP AS OF`), mapped onto version-addressed
+    * [[read]] through the monotone provenance clock. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, ts: Long,
+                        store: LogStore = LocalStore): DataFrame =
+    read(spark, table, Some(versionAtTimestamp(table, ts, store)), store)
+
+  /** RESTORE TABLE ... TO TIMESTAMP: [[restore]] addressed by the
+    * monotone clock (validated form — a constrained table validates the
+    * re-added files like any timestamp- or version-addressed restore). */
+  def restoreToTimestamp(spark: SparkSession, table: String, ts: Long,
+                         store: LogStore = LocalStore): Long =
+    restoreImpl(Some(spark), table, versionAtTimestamp(table, ts, store), store)
 
   /** Delete data files no retained snapshot references: orphans from
     * crashed writers (staged, never committed) and tombstones (removed by
@@ -1504,6 +1650,26 @@ object CommitLog {
   val occTimeTravelSql: String =
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
+
+  /** Timestamp-addressed time travel: the same three-commit script as
+    * [[occTimeTravel]], read back AS OF a timestamp strictly BETWEEN
+    * v0's and v1's monotone commit stamps (v1's stamp minus one — the
+    * monotone clock guarantees that instant exists and addresses v0
+    * under the latest-version-≤-ts boundary rule). Oracle: plain nation
+    * — the later append and the rewrite must be invisible at that
+    * instant. */
+  def occTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("occ_tt_ts").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, table, nation)
+    append(spark, table, nation.limit(5))
+    compact(spark, table, targetFiles = 1)
+    val ts = commitTimestamps(table).toMap
+    readAsOfTimestamp(spark, table, ts(1L) - 1).orderBy("n_nationkey")
+  }
+
+  val occTimeTravelTsSql: String = occTimeTravelSql
 
   /** Data skipping through the log: cluster lineitem by orderkey into
     * range-disjoint files via [[appendIndexed]], then [[readWhere]] a

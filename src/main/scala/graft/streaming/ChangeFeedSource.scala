@@ -66,11 +66,16 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
         else Paths.get(metadataPath)
       Some(base.resolve("graft-hw"))
     }
-  private var lastOffered: Long = hwFile match {
-    case Some(f) if java.nio.file.Files.exists(f) =>
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
-    case _ => startingVersion
-  }
+  // a corrupt high-water file must not stop the stream from STARTING
+  // (pacing is admission control, not correctness — the engine's offset
+  // log owns exactly-once), so a failed parse degrades to startingVersion
+  // and getBatch's clamp below re-learns the true floor from the first
+  // replayed/committed window
+  private var lastOffered: Long = hwFile
+    .filter(java.nio.file.Files.exists(_))
+    .flatMap(f => scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong).toOption)
+    .getOrElse(startingVersion)
   private def persistHw(v: Long): Unit = hwFile.foreach { f =>
     java.nio.file.Files.createDirectories(f.getParent)
     val tmp = f.resolveSibling(s".${f.getFileName}.tmp")
@@ -96,8 +101,14 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(startingVersion)
-    // a checkpoint-replayed window can be ahead of a lost high-water file
-    if (version(end) > lastOffered) { lastOffered = version(end); persistHw(lastOffered) }
+    // a checkpoint-replayed or engine-committed window can be ahead of a
+    // lost/corrupt high-water file — clamp to BOTH bounds so the next
+    // offered end never regresses behind what the engine already owns
+    // (a stale low offer would make the engine plan an inverted window;
+    // the (from+1 to end) iteration yields it empty, but the clamp stops
+    // it from recurring)
+    val seen = math.max(from, version(end))
+    if (seen > lastOffered) { lastOffered = seen; persistHw(lastOffered) }
     if (cdcMode) {
       // row-level feed: typed change rows, retractions included — the
       // streaming face of CommitLog.readChangesCdc (replayed windows are

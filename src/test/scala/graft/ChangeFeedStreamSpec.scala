@@ -308,6 +308,53 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"the cap must survive a restart: ${second.map(_.size)}")
   }
 
+  test("a corrupt/lost pacing high-water file degrades gracefully: stream restarts, exactly-once holds") {
+    val src = freshDir("cdf_hw")
+    val dst = freshDir("cdf_hw_dst")
+    val ckpt = freshDir("cdf_hw_ckpt")
+    (1L to 4L).foreach(i => CommitLog.append(spark, src, Seq(i).toDF("id")))
+
+    def startQuery() = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("maxVersionsPerTrigger", "2").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        CommitLog.appendOnce(spark, dst, df, "hw_pipe", batchId); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(readIds(dst) === (1L to 4L))
+
+    // corrupt the source's persisted high-water (the admission-control
+    // cursor, NOT a correctness surface): the stream must still START
+    // (no NumberFormatException) and deliver only the new commits once —
+    // getBatch's clamp re-learns the floor from the engine's own offsets
+    val hw = java.nio.file.Paths.get(ckpt, "sources", "0", "graft-hw")
+    assert(java.nio.file.Files.exists(hw), s"expected the hw file at $hw")
+    java.nio.file.Files.write(hw, "not-a-number".getBytes("UTF-8"))
+    (5L to 7L).foreach(i => CommitLog.append(spark, src, Seq(i).toDF("id")))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readIds(dst) === (1L to 7L),
+      "after hw corruption: new commits exactly once, nothing re-delivered")
+    assert(CommitLog.read(spark, dst).groupBy("id").count()
+      .where(col("count") > 1).count() === 0L, "no row delivered twice")
+
+    // lost hw entirely: same contract
+    java.nio.file.Files.deleteIfExists(hw)
+    (8L to 9L).foreach(i => CommitLog.append(spark, src, Seq(i).toDF("id")))
+    val q3 = startQuery()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(readIds(dst) === (1L to 9L))
+    assert(CommitLog.read(spark, dst).groupBy("id").count()
+      .where(col("count") > 1).count() === 0L)
+  }
+
   test("restore behind a running append-feed stream re-delivers nothing") {
     val src = freshDir("cdf_restore"); val dst = freshDir("cdf_restore_dst")
     val v0 = CommitLog.append(spark, src, Seq(1L).toDF("id"))

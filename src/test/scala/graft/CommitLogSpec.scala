@@ -963,6 +963,62 @@ class CommitLogSpec extends SparkSpec {
     assert(ops.count(_ == "constraint") === 2, "add + drop both versioned")
   }
 
+  test("restore validates re-added files against ACTIVE constraints; sessionless form refuses") {
+    val t = freshTable()
+    // v0 has negative prices; they are deleted BEFORE the constraint lands,
+    // so the constraint is valid at add time — the only way back in for the
+    // bad rows is a restore that skips validation
+    val v0 = CommitLog.append(spark, t,
+      (1L to 10L).map(i => (i, i * 10.0 - 55.0)).toDF("id", "price"))
+    CommitLog.deleteWhere(spark, t, col("price") <= 0)
+    CommitLog.addConstraint(spark, t, "positive_price", "price > 0")
+    val tip = CommitLog.latestVersion(t)
+    // validated form: typed rejection, nothing committed
+    val e = intercept[CommitLog.ConstraintViolationException] {
+      CommitLog.restore(spark, t, v0)
+    }
+    assert(e.getMessage.contains("positive_price"))
+    assert(CommitLog.latestVersion(t) === tip, "nothing was committed")
+    // sessionless form on a constrained table: refuses rather than skip
+    // the check (it cannot scan without a session)
+    val e2 = intercept[IllegalStateException] { CommitLog.restore(t, v0) }
+    assert(e2.getMessage.contains("restore(spark"))
+    assert(CommitLog.latestVersion(t) === tip)
+    // a compliant restore through the validated form still works: land a
+    // compliant append, mutate, roll back to the compliant version
+    val vGood = CommitLog.append(spark, t, Seq((100L, 5.0)).toDF("id", "price"))
+    CommitLog.deleteWhere(spark, t, col("id") === 100L)
+    assert(CommitLog.restore(spark, t, vGood) > 0)
+    assert(CommitLog.read(spark, t).where(col("id") === 100L).count() === 1L)
+    // dropping the constraint re-opens the sessionless path
+    CommitLog.dropConstraint(t, "positive_price")
+    assert(CommitLog.restore(t, v0) > 0)
+    assert(CommitLog.read(spark, t).where(col("price") <= 0).count() === 5L)
+  }
+
+  test("'-' is rejected as a property value; removeTableProperty is the removal API") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    CommitLog.setTableProperty(t, "owner", "pipeline-a")
+    // the tombstone literal can never masquerade as a value: without the
+    // guard this call would silently DELETE `owner` instead of setting it
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.setTableProperty(t, "owner", "-")
+    }
+    assert(e.getMessage.contains("removeTableProperty"))
+    assert(CommitLog.tableProperties(t) === Map("owner" -> "pipeline-a"),
+      "the rejected call must not have changed anything")
+    // the real removal API, versioned like any commit
+    CommitLog.removeTableProperty(t, "owner")
+    assert(CommitLog.tableProperties(t) === Map.empty[String, String])
+    // removal survives checkpointed replay (tombstone is log state)
+    CommitLog.setTableProperty(t, "owner", "pipeline-b")
+    CommitLog.removeTableProperty(t, "owner")
+    CommitLog.checkpoint(t)
+    CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    assert(CommitLog.tableProperties(t) === Map.empty[String, String])
+  }
+
   test("governance composes: cdc property + constraint + mutations + restore keep a replica convergent") {
     import org.apache.spark.sql.functions.{lit => flit}
     val t = freshTable(); val replica = freshTable()
@@ -995,8 +1051,11 @@ class CommitLogSpec extends SparkSpec {
     assert(snap(t).exists(r => r._1 == 3L && r._2 == 33.0))
     assert(!snap(t).exists(_._1 == 1L))
     // RESTORE the source past the mutations: the feed synthesizes the
-    // rollback and the replica follows it, no change files stored
-    CommitLog.restore(t, v - 3) // back to pre-merge (after prop+constraint)
+    // rollback and the replica follows it, no change files stored. The
+    // table has an active constraint, so restore must go through the
+    // VALIDATED form (the sessionless form refuses — spec'd above); the
+    // re-added rows all satisfy it, so the rollback lands
+    CommitLog.restore(spark, t, v - 3) // back to pre-merge (after prop+constraint)
     val (_, w2) = CommitLog.readChangesCdc(spark, t, fromVersion = c1)
     CommitLog.applyChanges(spark, replica, w2.get, Seq("id"))
     assert(snap(replica) === snap(t))

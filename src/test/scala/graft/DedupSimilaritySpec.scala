@@ -490,4 +490,53 @@ class DedupSimilaritySpec extends SparkSpec {
       s"disjoint-vocabulary docs must not pair: $pairs")
     assert(got(1L).intersect(got(2L)).nonEmpty)
   }
+
+  test("winnowing position pack clamps past the position space: no hash-bit corruption") {
+    import spark.implicits._
+    // The advisor-flagged silent-corruption mode: past posSpace grams the
+    // UNclamped position term `posSpace - 1 - i` goes negative and borrows
+    // from the hash bits, yielding fp = hash - 1 with no error (real at
+    // ~1M tokens under the production 2^20 space). Verified here at a TOY
+    // posSpace (the code path is identical; a 2^20-gram fixture is
+    // minutes of test time) against a clamped JVM reference.
+    val K = 5; val W = 4; val Pos = 8L
+    def md5b40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(10), 16)
+    }
+    def refWinnowClamped(text: String): Set[Long] = {
+      val tk = text.split(" ", -1).filter(_.nonEmpty)
+      val v = tk.sliding(K).zipWithIndex
+        .map { case (g, i) => md5b40(g.mkString(" ")) * Pos + math.max(0L, Pos - 1 - i) }
+        .toArray
+      (0 to math.max(0, v.length - W)).map(s => v.slice(s, s + W).min / Pos).toSet
+    }
+    // 30 distinct tokens -> 26 grams, far past Pos = 8: positions 8.. all
+    // clamp to rank 0
+    val longDoc = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // uniform doc: every gram hashes to one h, so the exact set is {h} —
+    // the unclamped pack would yield {h, h-1}
+    val uniform = ("x " * 30).trim
+    val docs = Seq((1L, longDoc), (2L, uniform)).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, Pos)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, fs) => d -> fs.map(_._2).toSet }
+    assert(got(1L) === refWinnowClamped(longDoc),
+      "clamped pack must match the clamped JVM reference on distinct grams")
+    assert(got(2L) === Set(md5b40("x x x x x")),
+      s"a uniform doc must fingerprint to exactly its gram hash: ${got(2L)}")
+    // production-space sanity: the same docs under the real 2^20 space
+    // (no clamping in range) still agree with the unclamped reference
+    def refWinnow(text: String, pos: Long): Set[Long] = {
+      val tk = text.split(" ", -1).filter(_.nonEmpty)
+      val v = tk.sliding(K).zipWithIndex
+        .map { case (g, i) => md5b40(g.mkString(" ")) * pos + (pos - 1 - i) }.toArray
+      (0 to math.max(0, v.length - W)).map(s => v.slice(s, s + W).min / pos).toSet
+    }
+    val gotProd = Dedup.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, fs) => d -> fs.map(_._2).toSet }
+    assert(gotProd(1L) === refWinnow(longDoc, 1L << 20))
+  }
 }
