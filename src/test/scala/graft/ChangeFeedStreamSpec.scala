@@ -210,6 +210,70 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(snap(replica) === snap(src), "replaying a batch must be a no-op")
   }
 
+  test("CdcReplica: paced streaming replica converges; kill-mid-batch replay is a commit-level no-op") {
+    import graft.streaming.CdcReplica
+    val src = freshDir("cdcr_src")
+    val replica = freshDir("cdcr_dst")
+    val ckpt = freshDir("cdcr_ckpt")
+    def snap(t: String): Seq[(Long, String)] =
+      CommitLog.read(spark, t).select("k", "s").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+
+    // deep history BEFORE the stream exists: append, CDC merge, CDC
+    // delete, a reorg, another CDC update — the paced replica bootstraps
+    // across multiple bounded micro-batches
+    CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    CommitLog.mergeInto(spark, src,
+      Seq((2L, "b2"), (9L, "i")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.deleteWhere(spark, src, col("k") === 1L, cdc = true)
+    CommitLog.compact(spark, src, targetFiles = 1)
+    CommitLog.updateWhere(spark, src, col("k") === 3L,
+      Map("s" -> lit("c2")), cdc = true)
+
+    val q1 = CdcReplica.replicaStream(spark, src, replica, Seq("k"), ckpt,
+      appId = "repl", maxVersionsPerTrigger = Some(2),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(snap(replica) === snap(src), "paced backfill must converge")
+    assert(snap(replica) === Seq((2L, "b2"), (3L, "c2"), (9L, "i")))
+
+    // every apply commit carried its txn marker, one per non-empty window
+    val applied = CommitLog.history(spark, replica)
+      .where(col("operation") === "apply").count()
+    assert(applied >= 2, s"pacing must split the backfill into several applies: $applied")
+
+    // kill-mid-batch: the crash window where applyChanges COMMITTED but
+    // the engine's checkpoint write was lost — the engine replays the
+    // same (appId, batchId) window; the txn marker must make the replay
+    // a commit-level no-op (same replica version, no second apply)
+    // the replica's own txn ledger knows the last applied batch id
+    val lastBatchId = CommitLog.txnHighWater(replica, "repl")
+    assert(lastBatchId >= 1L, s"expected a paced multi-batch backfill, got $lastBatchId")
+    val (_, window) = CommitLog.readChangesCdc(spark, src,
+      fromVersion = CommitLog.latestVersion(src) - 1)
+    val tipBefore = CommitLog.latestVersion(replica)
+    val r = CommitLog.applyChanges(spark, replica, window.get, Seq("k"),
+      txn = Some(("repl", lastBatchId)))
+    assert(r === -1L, "a replayed (appId, batchId) must be skipped, not re-applied")
+    assert(CommitLog.latestVersion(replica) === tipBefore,
+      "the replay must not create a new replica version")
+    assert(snap(replica) === snap(src))
+
+    // restart + live mutations: the SAME pipeline keeps converging, and
+    // the replica history stays one apply per window (no double-applies)
+    CommitLog.mergeInto(spark, src,
+      Seq((9L, "i2"), (10L, "j")).toDF("k", "s"), Seq("k"), cdc = true)
+    CommitLog.deleteWhere(spark, src, col("k") === 2L, cdc = true)
+    val q2 = CdcReplica.replicaStream(spark, src, replica, Seq("k"), ckpt,
+      appId = "repl", maxVersionsPerTrigger = Some(2),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(snap(replica) === snap(src), "replica must survive restart + mutations")
+    assert(snap(replica) === Seq((3L, "c2"), (9L, "i2"), (10L, "j")))
+  }
+
   test("stream schema comes from the log, so a stream can start/restart over an empty live set") {
     val src = freshDir("cdf_empty")
     val ckpt = freshDir("cdf_empty_ckpt")

@@ -996,6 +996,39 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).where(col("price") <= 0).count() === 5L)
   }
 
+  test("timestamp time travel: monotone clock, boundary rules, typed pre-genesis error, restore-to-ts") {
+    val t = freshTable()
+    // a fast commit burst: several commits can share a wall-clock ms, so
+    // the provenance clock MUST adjust to stay strictly increasing —
+    // version order is the only true order
+    val v0 = CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val v1 = CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    CommitLog.deleteWhere(spark, t, col("id") === 1L)
+    val v3 = CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val tss = CommitLog.commitTimestamps(t)
+    assert(tss.map(_._1) === (0L to 3L))
+    assert(tss.sliding(2).forall { case Seq(a, b) => b._2 > a._2 },
+      s"adjusted timestamps must be strictly increasing: $tss")
+    val byV = tss.toMap
+    // boundary rule: latest version whose ts <= the asked instant
+    assert(CommitLog.versionAtTimestamp(t, byV(v0)) === v0, "exact stamp addresses its version")
+    assert(CommitLog.versionAtTimestamp(t, byV(v1) - 1) === v0, "between v0 and v1 -> v0")
+    assert(CommitLog.versionAtTimestamp(t, byV(v3)) === v3)
+    assert(CommitLog.versionAtTimestamp(t, byV(v3) + 1000000) === v3, "future -> tip")
+    // before the first commit: typed error, never version 0
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.versionAtTimestamp(t, byV(v0) - 1)
+    }
+    assert(e.getMessage.contains("before"))
+    // read AS OF an instant between v1 and the delete: both rows visible
+    assert(CommitLog.readAsOfTimestamp(spark, t, byV(2L) - 1)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // restore TO TIMESTAMP rolls data back to the addressed version
+    CommitLog.restoreToTimestamp(spark, t, byV(v1))
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "restore-to-ts must land on v1's state")
+  }
+
   test("'-' is rejected as a property value; removeTableProperty is the removal API") {
     val t = freshTable()
     CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
