@@ -262,13 +262,15 @@ object CommitLog {
                                  txns: mutable.Map[String, Long],
                                  schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField],
                                  zones: mutable.Map[String, Map[String, (Double, Double)]] = mutable.Map.empty,
-                                 props: mutable.Map[String, String] = mutable.Map.empty) {
+                                 props: mutable.Map[String, String] = mutable.Map.empty,
+                                 rowsOf: mutable.Map[String, Long] = mutable.Map.empty) {
     def apply(a: Action): Unit = a.op match {
       case "add" =>
         live += a.path
         if (a.hasBounds) bounds(a.path) = (a.lo, a.hi)
         if (a.stats.nonEmpty) zones(a.path) = a.stats
-      case "remove" => live -= a.path; bounds -= a.path; zones -= a.path
+        if (a.rows > 0) rowsOf(a.path) = a.rows
+      case "remove" => live -= a.path; bounds -= a.path; zones -= a.path; rowsOf -= a.path
       case "txn" =>
         if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
       case "meta" => mergeSchema(tokenToSchema(a.path))
@@ -298,7 +300,8 @@ object CommitLog {
     def liveActions: Seq[Action] = {
       val files = live.toSeq.map { p =>
         val (lo, hi) = bounds.getOrElse(p, (Double.NaN, Double.NaN))
-        Action("add", p, 0L, lo, hi, zones.getOrElse(p, Map.empty))
+        Action("add", p, rowsOf.getOrElse(p, 0L), lo, hi,
+          zones.getOrElse(p, Map.empty))
       }
       val propActs = props.toSeq.sortBy(_._1)
         .map { case (k, v) => Action("prop", s"$k=$v", 0L) }
@@ -572,19 +575,23 @@ object CommitLog {
         }
       }
     }
-    // Per-file stats (single index column AND/OR a multi-column zonemap)
-    // in ONE job over the staged output, keyed by input_file_name — the
-    // stats parquet already computed into its own footers, read back here
-    // because commits must own them (a pruning read may never open a
-    // file, footer included; that is the point).
+    // Per-file stats — ROW COUNT always, plus a single index column
+    // and/or a multi-column zonemap when asked — in ONE job over the
+    // staged output, keyed by input_file_name (the stats parquet already
+    // computed into its own footers, read back here because commits must
+    // own them: a pruning read may never open a file, footer included).
+    // The row count makes every add/cdc action self-describing, which is
+    // what row-based stream admission control ([[versionFeedRows]],
+    // the change-feed source's maxRowsPerTrigger) paces on; the count-
+    // only job reads parquet metadata, not data columns.
     val statCols = (indexCol.toSeq ++ statsCols).distinct
     statCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"stats column must be a plain identifier: $c"))
-    val fileStats: Map[String, Map[String, (Double, Double)]] =
-      if (statCols.isEmpty) Map.empty
+    val fileStats: Map[String, (Long, Map[String, (Double, Double)])] =
+      if (parts.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val aggs = statCols.flatMap(c => Seq(
+        import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+        val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"lo_$c"),
           max(col(c)).cast("double").as(s"hi_$c")))
         spark.read.parquet(staging.toString)
@@ -596,21 +603,22 @@ object CommitLog {
               .getFileName.toString
             val per = statCols.zipWithIndex.flatMap { case (c, i) =>
               // all-null file: no bounds for that column, never pruned on it
-              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
-              else Some(c -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+              if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
+              else Some(c -> (r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
             }.toMap
-            name -> per
+            name -> (r.getLong(1), per)
           }.toMap
       }
     val acts = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir(table).resolve(name))
-      val per = fileStats.getOrElse(p.getFileName.toString, Map.empty)
+      val (nRows, per) = fileStats.getOrElse(p.getFileName.toString,
+        (0L, Map.empty[String, (Double, Double)]))
       val (lo, hi) = indexCol.flatMap(per.get)
         .getOrElse((Double.NaN, Double.NaN))
       val zone = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
                  else per.filter { case (c, _) => statsCols.contains(c) }
-      Action("add", s"data/$name", 0L, lo, hi, zone)
+      Action("add", s"data/$name", nRows, lo, hi, zone)
     }
     // staging dir now holds only _SUCCESS etc.
     LocalStore.list(staging).foreach(Files.delete)
@@ -1164,6 +1172,33 @@ object CommitLog {
       else acts.collect { case a if a.op == "add" => a.path }
     }
 
+  /** Rows the change feed would deliver for version `v` — the metadata
+    * row-based stream admission control paces on ([[graft.streaming
+    * .ChangeFeedSource]]'s `maxRowsPerTrigger`), straight from the row
+    * counts every add/cdc action records at stage time: one O(1) commit-
+    * file read, no data touched. Mirrors each feed's classification:
+    * the append feed counts adds of remove-free commits; the cdc feed
+    * counts stored change files when present, synthesized inserts for
+    * pure appends, and a restore's re-added rows (its retracted rows
+    * ride remove actions, which carry no counts — a restore paces as
+    * its insert side, an UNDERcount, so pacing admits at least as much
+    * as it claims, never less). Legacy pre-count commits read 0 —
+    * admission control degrades to version-based, correctness
+    * unaffected. */
+  def versionFeedRows(table: String, v: Long, cdc: Boolean,
+                      store: LogStore = LocalStore): Long = {
+    val acts = decode(store.read(versionFile(table, v)))
+    val addRows = acts.collect { case a if a.op == "add" => a.rows }.sum
+    val cdcRows = acts.collect { case a if a.op == "cdc" => a.rows }.sum
+    val hasRemoves = acts.exists(_.op == "remove")
+    if (cdc) {
+      if (cdcRows > 0) cdcRows
+      else if (!hasRemoves) addRows
+      else if (operationOf(acts).contains("restore")) addRows
+      else 0L
+    } else if (hasRemoves) 0L else addRows
+  }
+
   /** Incremental read of the rows appended in `(fromVersion, toVersion]`
     * (default `toVersion` = tip). Returns the version the read covers
     * through and the new rows — `None` when the window holds no new data.
@@ -1486,7 +1521,8 @@ object CommitLog {
     }
     val addActs = toAdd.map { p =>
       val (lo, hi) = target.bounds.getOrElse(p, (Double.NaN, Double.NaN))
-      Action("add", p, 0L, lo, hi, target.zones.getOrElse(p, Map.empty))
+      Action("add", p, target.rowsOf.getOrElse(p, 0L), lo, hi,
+        target.zones.getOrElse(p, Map.empty))
     }
     val removeActs = toRemove.map(Action("remove", _, 0L))
     commit(table, infoAct("restore") +: (removeActs ++ addActs),

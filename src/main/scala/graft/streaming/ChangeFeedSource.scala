@@ -40,6 +40,7 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
                        startingVersion: Long,
                        cdcMode: Boolean = false,
                        maxVersionsPerTrigger: Option[Int] = None,
+                       maxRowsPerTrigger: Option[Long] = None,
                        metadataPath: String = "") extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -87,9 +88,31 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
   override def getOffset: Option[Offset] = {
     val tip = CommitLog.latestVersion(table)
     if (tip < 0) return None
-    val end = maxVersionsPerTrigger match {
+    val byVersions = maxVersionsPerTrigger match {
       case Some(m) => math.min(tip, lastOffered + m)
       case None    => tip
+    }
+    // Row-based admission control (`maxRowsPerTrigger`): versions are
+    // admitted until their CUMULATIVE feed-row count would exceed the
+    // cap, read from the per-commit row counts the log records — one
+    // commit-file read per candidate version, zero data touched. SOFT
+    // cap with guaranteed progress: the first version always admits
+    // (offsets are version-granular — one giant commit flows whole, the
+    // public Delta maxBytesPerTrigger admission rule), and versions the
+    // log has no counts for (legacy) pace as 0. Composes with
+    // maxVersionsPerTrigger: whichever cap binds first ends the batch.
+    val end = maxRowsPerTrigger match {
+      case None => byVersions
+      case Some(maxRows) =>
+        var e = lastOffered
+        var rows = 0L
+        var full = false
+        while (!full && e < byVersions) {
+          val r = CommitLog.versionFeedRows(table, e + 1, cdcMode)
+          if (e > lastOffered && rows + r > maxRows) full = true
+          else { e += 1; rows += r; if (rows >= maxRows) full = true }
+        }
+        e
     }
     if (end > lastOffered) { lastOffered = end; persistHw(end) }
     if (lastOffered < 0) None else Some(LongOffset(lastOffered))
@@ -142,7 +165,12 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
   * `maxVersionsPerTrigger` (optional admission control: caps the commit
   * versions one micro-batch covers, pacing a deep backfill in bounded
   * batches; the offered high-water persists under the source's metadata
-  * path so the cap survives restarts), and `cdc`
+  * path so the cap survives restarts), `maxRowsPerTrigger` (optional
+  * ROW-based admission control: versions are admitted until their
+  * cumulative feed-row count — recorded per commit by the log — would
+  * exceed the cap; a soft cap, the first version always admits, so one
+  * giant commit flows whole rather than stalling; composes with the
+  * version cap — whichever binds first ends the batch), and `cdc`
   * (optional, `"true"` switches to the row-level change feed:
   * `_change_type`-typed rows with `_commit_version`, retractions
   * included — the streaming face of [[CommitLog.readChangesCdc]]). */
@@ -175,9 +203,12 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxVersions.foreach(m => require(m > 0,
       s"maxVersionsPerTrigger must be positive, got $m"))
+    val maxRows = parameters.get("maxRowsPerTrigger").map(_.toLong)
+    maxRows.foreach(m => require(m > 0,
+      s"maxRowsPerTrigger must be positive, got $m"))
     new ChangeFeedSource(sqlContext, tableOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(-1L),
-      cdcOf(parameters), maxVersions, metadataPath)
+      cdcOf(parameters), maxVersions, maxRows, metadataPath)
   }
 }
 

@@ -484,6 +484,91 @@ class ChangeFeedStreamSpec extends SparkSpec {
       "pacing must not change the typed change rows, only their batching")
   }
 
+  test("maxRowsPerTrigger paces a deep row-heavy backfill: cumulative rows bounded, exactly-once") {
+    val src = freshDir("cdf_rows")
+    // six versions of very different sizes — version-count pacing alone
+    // cannot bound the ROWS a trigger carries (the occ_constraints-style
+    // 1.5M-row commit is the production shape; scaled-down here)
+    val sizes = Seq(400, 50, 50, 700, 50, 50)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      CommitLog.append(spark, src,
+        (1 to n).map(j => i * 10000L + j).toDF("id"))
+    }
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]
+    val q = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("maxRowsPerTrigger", "500").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id").as[Long].collect().toSeq
+        if (rows.nonEmpty) batches.add(rows); ()
+      }
+      .option("checkpointLocation", freshDir("cdf_rows_ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    assert(got.flatten.sorted === got.flatten.sorted.distinct, "no duplicates")
+    assert(got.flatten.size === sizes.sum, "every row delivered")
+    // the soft-cap contract: a batch only exceeds the cap when a SINGLE
+    // version does (the 700-row commit flows whole); cumulative admission
+    // never stacks a second version past the cap
+    got.foreach { b =>
+      assert(b.size <= 500 || b.size == 700,
+        s"a batch stacked versions past maxRowsPerTrigger: ${got.map(_.size)}")
+    }
+    assert(got.size >= 3,
+      s"1300 rows at cap 500 need at least 3 batches: ${got.map(_.size)}")
+  }
+
+  test("maxRowsPerTrigger paces the cdc feed on CHANGE rows; counts survive checkpoint and restore") {
+    val src = freshDir("cdc_rows")
+    CommitLog.append(spark, src, (1L to 300L).toDF("id"))          // v0: 300 inserts
+    CommitLog.deleteWhere(spark, src, col("id") <= 100L, cdc = true) // v1: 100 deletes
+    CommitLog.checkpoint(src) // checkpoints are not commits; next append is v2
+    CommitLog.append(spark, src, (1001L to 1300L).toDF("id"))      // v2: 300 inserts
+    // pacing metadata mirrors each feed's classification
+    assert(CommitLog.versionFeedRows(src, 0L, cdc = true) === 300L)
+    assert(CommitLog.versionFeedRows(src, 1L, cdc = true) === 100L, "cdc rows, not file rows")
+    assert(CommitLog.versionFeedRows(src, 1L, cdc = false) === 0L, "append feed skips rewrites")
+    assert(CommitLog.versionFeedRows(src, 2L, cdc = true) === 300L)
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Long)]]
+    val q = spark.readStream
+      .format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("maxRowsPerTrigger", "350").load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("_change_type", "_commit_version")
+          .as[(String, Long)].collect().toSeq
+        if (rows.nonEmpty) batches.add(rows); ()
+      }
+      .option("checkpointLocation", freshDir("cdc_rows_ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // v0 (300) + v1 (100) would stack 400 > 350: the cap splits them
+    assert(got.size >= 2, s"row pacing must split the cdc backfill: ${got.map(_.size)}")
+    got.foreach(b => assert(b.size <= 350,
+      s"no single version exceeds the cap here, so no batch may: ${got.map(_.size)}"))
+    // the paced feed delivers exactly the unpaced row-level feed
+    val (_, full) = CommitLog.readChangesCdc(spark, src, fromVersion = -1L)
+    assert(got.flatten.sorted ===
+      full.get.select("_change_type", "_commit_version")
+        .as[(String, Long)].collect().toSeq.sorted)
+
+    // restore preserves the re-added files' row counts (pacing metadata
+    // survives the metadata-only round trip)
+    val t2 = freshDir("cdc_rows_restore")
+    val v0 = CommitLog.append(spark, t2, (1L to 42L).toDF("id"))
+    CommitLog.deleteWhere(spark, t2, col("id") > 0L) // tombstone everything
+    val vR = CommitLog.restore(t2, v0)
+    assert(CommitLog.versionFeedRows(t2, vR, cdc = true) === 42L,
+      "a restore's re-added insert rows must keep their recorded counts")
+  }
+
   test("the stream keeps up with a writer appending between micro-batches") {
     val src = freshDir("cdf_live")
     val dst = freshDir("cdf_live_dst")
