@@ -40,7 +40,15 @@ object Komodo {
     * fixture mapping the oracle checks. */
   def aggInteraction(spark: SparkSession, dir: String,
                      sessionType: String = "click", interactionType: Int = 3): DataFrame =
-    Tables.events(spark, dir)
+    aggInteractionFrom(Tables.events(spark, dir), sessionType, interactionType)
+
+  /** Any enriched events frame works — `Tables.events` or a commit-log
+    * table holding the same rows ([[graft.sources.CommitLog.read]]): the
+    * analytics are storage-agnostic, which is what lets the capture fact
+    * table live on the ACID layer (CaptureLogSpec pins the equality). */
+  private[graft] def aggInteractionFrom(ev: DataFrame,
+                     sessionType: String = "click", interactionType: Int = 3): DataFrame =
+    ev
       .filter(col("event_type") === sessionType && col("k") % 10 === interactionType)
       .groupBy(col("user_id"))
       .agg(count(col("props")).as("interaction_count"))
@@ -64,9 +72,13 @@ object Komodo {
     * reference's `:client_id`/`:session_id` request parameters
     * (process.py:145-163), threaded through Dispatch. */
   def aggUser(spark: SparkSession, dir: String,
+              sessionType: String = "view", clientId: Int = 5): DataFrame =
+    aggUserFrom(Tables.events(spark, dir), sessionType, clientId)
+
+  private[graft] def aggUserFrom(ev: DataFrame,
               sessionType: String = "view", clientId: Int = 5): DataFrame = {
     val code = col("k") % 4
-    Tables.events(spark, dir)
+    ev
       .filter(col("user_id") === clientId && col("event_type") === sessionType)
       .withColumn("entity_type",
         when(code === 0, "head")
@@ -107,6 +119,10 @@ object Komodo {
     * sit BEFORE the window, so a narrowed request shuffles only the
     * requested user's rows. */
   def userEnergy(spark: SparkSession, dir: String,
+                 clientId: Option[Int] = None, entityType: Option[Int] = None): DataFrame =
+    userEnergyFrom(Tables.events(spark, dir), clientId, entityType)
+
+  private[graft] def userEnergyFrom(ev: DataFrame,
                  clientId: Option[Int] = None, entityType: Option[Int] = None): DataFrame = {
     val w  = Window.partitionBy("user_id").orderBy("event_id")
     val dx = col("x") - lag("x", 1).over(w)
@@ -117,7 +133,7 @@ object Komodo {
       clientId.map(c => col("user_id") === c),
       entityType.map(e => col("k") % 4 === e)
     ).flatten.foldLeft(col("event_type") === "view")(_ && _)
-    Tables.events(spark, dir)
+    ev
       .filter(scoped)
       .select(col("user_id"), col("event_id"), col("ts_ms"),
         when(dt === 0, lit(null))
@@ -150,7 +166,10 @@ object Komodo {
     * groups by raw `ts`; we bucket to the hour so group cardinality stays
     * bounded at scale. */
   def drawingPattern(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    drawingPatternFrom(Tables.events(spark, dir))
+
+  private[graft] def drawingPatternFrom(ev: DataFrame): DataFrame =
+    ev
       .withColumn("bucket_ms", expr(s"ts_ms div $HourMs") * HourMs)
       .withColumn("stroke_type", when(col("event_type") === "click", col("k")))
       .withColumn("stroke_id", when(col("event_type") === "click", col("event_id")))
@@ -183,8 +202,11 @@ object Komodo {
     * join exchange, ~2x this plan's wall time; at 100 TB it also re-read
     * the fact table). Catalyst stacks both window specs over the same
     * exchange. */
-  def userProximity(spark: SparkSession, dir: String, diameter: Double = 50.0): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def userProximity(spark: SparkSession, dir: String, diameter: Double = 50.0): DataFrame =
+    userProximityFrom(Tables.events(spark, dir), diameter)
+
+  private[graft] def userProximityFrom(events: DataFrame, diameter: Double = 50.0): DataFrame = {
+    val ev = events
       .withColumn("bucket_ms", expr(s"ts_ms div $HourMs") * HourMs)
     val wb = Window.partitionBy("bucket_ms")
     val w  = Window.partitionBy("bucket_ms").orderBy("ts_ms", "event_id")

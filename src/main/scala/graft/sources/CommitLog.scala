@@ -2045,6 +2045,23 @@ object CommitLog {
       |  AS t(version, operation, num_added, num_removed, num_change_files)
       |ORDER BY version""".stripMargin
 
+  /** The capture-lifecycle unification proof as a QUERY: the events fact
+    * table lives on the commit log (range-clustered appendIndexed on
+    * user_id, the layout the per-user analytics prune on) and the
+    * flagship user_energy analytic runs over [[read]] UNCHANGED — same
+    * oracle as `user_energy` itself, so the gate proves the ACID layer
+    * is a drop-in storage for the reference lifecycle (the remaining
+    * four analytics are pinned equal in CaptureLogSpec). */
+  def occKomodoEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_events").toString
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts_ms", "k", "x", "y", "z")
+    appendIndexed(spark, table, ev.repartitionByRange(8, col("user_id")),
+      "user_id")
+    graft.operators.Komodo.userEnergyFrom(read(spark, table))
+  }
+
   val occCdcFeedSql: String =
     """SELECT n_nationkey, n_name, n_regionkey,
       |       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version

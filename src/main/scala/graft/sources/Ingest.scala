@@ -135,4 +135,39 @@ object Ingest {
       .partitionBy("session_id")
       .trigger(trigger)
       .start()
+
+  /** Streaming ingest onto the COMMIT LOG (the one-table-layer form —
+    * [[streamCaptures]] is the reference-parity plain-parquet twin, kept
+    * for the migration story): the same 10 s micro-batch file source,
+    * landing through the `graft-commitlog` sink, so the capture fact
+    * table gets the ACID layer's whole contract instead of the
+    * single-writer one —
+    *   - exactly-once via the log's (appId, batchId) txn markers (the
+    *     engine checkpoint AND the log agree after any crash);
+    *   - multi-writer: compaction/maintenance runs CONCURRENTLY with the
+    *     live appender under OCC (racing appends commute), no
+    *     maintenance window needed — the contract docs/SCALE.md §Writers
+    *     used to reserve for derived tables only;
+    *   - per-file `session_id` bounds in every commit, so per-session
+    *     analytics prune at file-LISTING time ([[CommitLog.readWhere]])
+    *     — the commit-log form of the parquet layout's partitionBy;
+    *   - time travel, CDC, constraints, restore — for free, it is a
+    *     commit-log table like any other.
+    * CaptureLogSpec pins no-reprocess across restarts, compaction under
+    * a LIVE stream, and the five reference analytics reading through
+    * [[CommitLog.read]] unchanged. */
+  def streamCapturesLog(spark: SparkSession, inputDir: String, table: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    spark.readStream
+      .schema(captureSchema)
+      .json(inputDir)
+      .writeStream
+      .format("graft-commitlog")
+      .option("table", table)
+      .option("appId", "captures")
+      .option("indexCol", "session_id")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 }
