@@ -1174,8 +1174,14 @@ object TextAnalytics {
     // the side flag rides each feature row through the explode, so BOTH
     // model count columns come from ONE conditional aggregation of ONE
     // corpus scan (no per-side scans, no full-outer count merge); the
-    // scoring pass below is the only other scan — two total
+    // feature stream is MATERIALIZED once (localCheckpoint, the house
+    // pattern) because two plans consume it — the model fit and the
+    // scoring join — and recomputing the explode+md5 over the corpus was
+    // the #2 cost at sf1 (VERDICT r15 task 4): tokenize+hash now runs
+    // once, the narrow (doc_id, tgt, bucket) rows replay from local
+    // storage for scoring
     val feats = hashedFeatures(docs.withColumn("tgt", isTarget), keep = Seq("tgt"))
+      .localCheckpoint()
     val counts = feats.groupBy(col("bucket")).agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
