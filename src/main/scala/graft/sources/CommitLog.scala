@@ -411,6 +411,24 @@ object CommitLog {
   def constraints(table: String, store: LogStore = LocalStore): Map[String, String] =
     checksAt(table, store)
 
+  /** THE house CHECK rule, in one place: a row violates when its
+    * predicate is false OR NULL (CHECK must hold; unknown does not hold
+    * — deliberately stricter than ANSI, the conservative choice for a
+    * data contract). One column-pruned aggregate counts violations of
+    * EVERY predicate in a single job; staging, ADD CONSTRAINT, and
+    * restore all validate through here, so the rule cannot drift
+    * between write paths. */
+  private def checkViolations(df: DataFrame,
+                              checks: Map[String, String]): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val cs = checks.toSeq
+    val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(not(coalesce(expr(p), lit(false))), 1L).otherwise(0L)).as(s"c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.map { case ((n, p), i) =>
+      (n, p, if (row.isNullAt(i)) 0L else row.getLong(i)) }
+  }
+
   /** ALTER TABLE ADD CONSTRAINT ... CHECK (<predicate>): existing rows are
     * validated FIRST (one column-pruned scan; same rule as every lakehouse
     * ADD CONSTRAINT — a constraint the live data already violates is
@@ -425,7 +443,6 @@ object CommitLog {
     * stricter). */
   def addConstraint(spark: SparkSession, table: String, name: String,
                     predicate: String, store: LogStore = LocalStore): Long = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     require(name.matches("[A-Za-z0-9_]+"), s"constraint name must be a plain token: $name")
     val tip = latestVersion(table, store)
     require(tip >= 0, s"$table does not exist — append first")
@@ -435,12 +452,13 @@ object CommitLog {
         case Some(s) => spark.read.schema(s)
         case None    => spark.read
       }
-      val bad = reader
+      val live = reader
         .parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
-        .where(not(coalesce(expr(predicate), lit(false)))).count()
-      if (bad > 0) throw new ConstraintViolationException(
-        s"cannot add CHECK constraint $name ($predicate): " +
-          s"$bad existing rows violate it — nothing was committed")
+      checkViolations(live, Map(name -> predicate)).foreach { case (n, p, bad) =>
+        if (bad > 0) throw new ConstraintViolationException(
+          s"cannot add CHECK constraint $n ($p): " +
+            s"$bad existing rows violate it — nothing was committed")
+      }
     }
     commit(table, Seq(infoAct("constraint"),
       Action("prop", s"$ConstraintPrefix$name=${b64url(predicate)}", 0L)),
@@ -560,20 +578,16 @@ object CommitLog {
     // Validating the staged files rather than the input plan also means a
     // non-deterministic input can't pass the check yet commit bad rows.
     if (checks.nonEmpty && parts.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
-      val cs = checks.toSeq
-      val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
-        sum(when(not(coalesce(expr(p), lit(false))), 1L).otherwise(0L)).as(s"c$i") }
-      val row = spark.read.parquet(staging.toString).agg(aggs.head, aggs.tail: _*).head()
-      cs.zipWithIndex.foreach { case ((n, p), i) =>
-        if (!row.isNullAt(i) && row.getLong(i) > 0) {
-          LocalStore.list(staging).foreach(Files.delete)
-          Files.delete(staging)
-          throw new ConstraintViolationException(
-            s"CHECK constraint $n ($p) rejected ${row.getLong(i)} rows — " +
-              "the batch was aborted; nothing was committed")
+      checkViolations(spark.read.parquet(staging.toString), checks)
+        .foreach { case (n, p, bad) =>
+          if (bad > 0) {
+            LocalStore.list(staging).foreach(Files.delete)
+            Files.delete(staging)
+            throw new ConstraintViolationException(
+              s"CHECK constraint $n ($p) rejected $bad rows — " +
+                "the batch was aborted; nothing was committed")
+          }
         }
-      }
     }
     // Per-file stats — ROW COUNT always, plus a single index column
     // and/or a multi-column zonemap when asked — in ONE job over the
@@ -1478,7 +1492,6 @@ object CommitLog {
 
   private def restoreImpl(spark: Option[SparkSession], table: String,
                           asOf: Long, store: LogStore): Long = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
     val version = latestVersion(table, store)
     require(version >= 0, s"$table has no commits to restore")
     require(asOf >= 0 && asOf <= version,
@@ -1506,15 +1519,12 @@ object CommitLog {
         case Some(sc) => s.read.schema(sc)
         case None     => s.read
       }
-      val cs = checks.toSeq
-      val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
-        sum(when(not(coalesce(expr(p), lit(false))), 1L).otherwise(0L)).as(s"c$i") }
-      val row = reader.parquet(toAdd.map(f => Paths.get(table, f).toString): _*)
-        .agg(aggs.head, aggs.tail: _*).head()
-      cs.zipWithIndex.foreach { case ((n, p), i) =>
-        if (!row.isNullAt(i) && row.getLong(i) > 0)
+      checkViolations(
+        reader.parquet(toAdd.map(f => Paths.get(table, f).toString): _*),
+        checks).foreach { case (n, p, bad) =>
+        if (bad > 0)
           throw new ConstraintViolationException(
-            s"cannot restore $table to v$asOf: ${row.getLong(i)} re-added rows " +
+            s"cannot restore $table to v$asOf: $bad re-added rows " +
               s"violate active CHECK constraint $n ($p) — drop the constraint " +
               "or restore to a compliant version; nothing was committed")
       }
@@ -1556,15 +1566,22 @@ object CommitLog {
     * clock skew, or a sub-millisecond commit burst record out-of-order
     * raw stamps (version order is the ONLY true order; the clock must
     * never contradict it). Legacy commits with no provenance action read
-    * as epoch 0 and inherit `previous + 1`. Driver-side O(commits), the
-    * same cost class as [[history]]. */
+    * as epoch 0 and inherit `previous + 1`; an UNREADABLE commit file
+    * degrades the same way instead of failing the whole clock — replay
+    * explicitly tolerates lost/corrupt PRE-CHECKPOINT commit files, so
+    * timestamp addressing must too (stamps in the damaged prefix
+    * collapse to the epoch-0 monotone ramp; every readable commit's
+    * stamp stays exact, and the ramp only ever moves addressing toward
+    * OLDER versions — AS OF never serves data newer than asked).
+    * Driver-side O(commits), the same cost class as [[history]]. */
   def commitTimestamps(table: String, store: LogStore = LocalStore): Seq[(Long, Long)] = {
     val tip = latestVersion(table, store)
     require(tip >= 0, s"$table has no commits")
     var prev = Long.MinValue
     (0L to tip).map { v =>
-      val raw = decode(store.read(versionFile(table, v)))
-        .collectFirst { case a if a.op == "info" => a.rows }.getOrElse(0L)
+      val raw = scala.util.Try(decode(store.read(versionFile(table, v))))
+        .toOption.flatMap(_.collectFirst { case a if a.op == "info" => a.rows })
+        .getOrElse(0L)
       prev = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
       (v, prev)
     }

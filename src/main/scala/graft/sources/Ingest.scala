@@ -155,9 +155,18 @@ object Ingest {
     *     commit-log table like any other.
     * CaptureLogSpec pins no-reprocess across restarts, compaction under
     * a LIVE stream, and the five reference analytics reading through
-    * [[CommitLog.read]] unchanged. */
+    * [[CommitLog.read]] unchanged.
+    *
+    * `appId` names THIS pipeline in the table's txn ledger — two
+    * pipelines feeding one table (two capture directories, two
+    * checkpoints) MUST use distinct appIds: engine batch ids restart at
+    * 0 per checkpoint, so a shared id would make the second pipeline's
+    * early batches collide with the first's high-water and be silently
+    * skipped (the exact collision CommitLogSink's contract warns
+    * about; spec'd in CaptureLogSpec). */
   def streamCapturesLog(spark: SparkSession, inputDir: String, table: String,
                         checkpointDir: String,
+                        appId: String = "captures",
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
     spark.readStream
       .schema(captureSchema)
@@ -165,7 +174,7 @@ object Ingest {
       .writeStream
       .format("graft-commitlog")
       .option("table", table)
-      .option("appId", "captures")
+      .option("appId", appId)
       .option("indexCol", "session_id")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -34,14 +34,14 @@ class CaptureLogSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$in/c1.json"),
       (1 to 20).map(captureJson(126, _)).mkString("\n"))
 
-    val q1 = Ingest.streamCapturesLog(spark, in, table, ck, Trigger.AvailableNow())
+    val q1 = Ingest.streamCapturesLog(spark, in, table, ck, trigger = Trigger.AvailableNow())
     q1.awaitTermination()
     assert(CommitLog.read(spark, table).count() === 20)
 
     // restart over the same checkpoint: nothing new -> still exactly 20,
     // and no new commit version (txn marker + engine checkpoint agree)
     val tip = CommitLog.latestVersion(table)
-    val q2 = Ingest.streamCapturesLog(spark, in, table, ck, Trigger.AvailableNow())
+    val q2 = Ingest.streamCapturesLog(spark, in, table, ck, trigger = Trigger.AvailableNow())
     q2.awaitTermination()
     assert(CommitLog.read(spark, table).count() === 20)
     assert(CommitLog.latestVersion(table) === tip, "a restart must not re-commit")
@@ -49,7 +49,7 @@ class CaptureLogSpec extends SparkSpec {
     // a second session lands; per-file session_id bounds prune reads
     Files.writeString(Paths.get(s"$in/c2.json"),
       (1 to 10).map(captureJson(300, _)).mkString("\n"))
-    val q3 = Ingest.streamCapturesLog(spark, in, table, ck, Trigger.AvailableNow())
+    val q3 = Ingest.streamCapturesLog(spark, in, table, ck, trigger = Trigger.AvailableNow())
     q3.awaitTermination()
     assert(CommitLog.read(spark, table).count() === 30)
     assert(CommitLog.readWhere(spark, table, "session_id", 300d, 300d)
@@ -103,6 +103,29 @@ class CaptureLogSpec extends SparkSpec {
     // vacuum with retention behaves like any commit-log table
     CommitLog.vacuum(table, retainVersions = 0, minAgeMs = 0L)
     assert(CommitLog.read(spark, table).count() === 2500L)
+  }
+
+  test("two capture pipelines into one table need distinct appIds; both land fully") {
+    val inA = tmp("clog2_a"); val inB = tmp("clog2_b")
+    val table = tmp("clog2_tbl")
+    val ckA = tmp("clog2_cka"); val ckB = tmp("clog2_ckb")
+    Files.writeString(Paths.get(s"$inA/a.json"),
+      (1 to 8).map(captureJson(1, _)).mkString("\n"))
+    Files.writeString(Paths.get(s"$inB/b.json"),
+      (1 to 6).map(captureJson(2, _)).mkString("\n"))
+    // engine batch ids restart at 0 per checkpoint: with a SHARED appId
+    // pipeline B's batch 0 would collide with A's high-water and be
+    // silently skipped — distinct appIds give each its own txn ledger row
+    val qa = Ingest.streamCapturesLog(spark, inA, table, ckA,
+      appId = "captures-a", trigger = Trigger.AvailableNow())
+    qa.awaitTermination()
+    val qb = Ingest.streamCapturesLog(spark, inB, table, ckB,
+      appId = "captures-b", trigger = Trigger.AvailableNow())
+    qb.awaitTermination()
+    assert(CommitLog.read(spark, table).count() === 14,
+      "both pipelines' rows must land — no txn-marker collision")
+    assert(CommitLog.txnHighWater(table, "captures-a") === 0L)
+    assert(CommitLog.txnHighWater(table, "captures-b") === 0L)
   }
 
   test("all five reference analytics read the commit-log fact table unchanged") {

@@ -1029,6 +1029,27 @@ class CommitLogSpec extends SparkSpec {
       === Seq(1L, 2L), "restore-to-ts must land on v1's state")
   }
 
+  test("timestamp addressing survives an unreadable pre-checkpoint commit file") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val v1 = CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    CommitLog.checkpoint(t)
+    val v2 = CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    // replay tolerates a corrupted PRE-CHECKPOINT commit file (the spec'd
+    // contract); the monotone clock must degrade the same way, not crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_log", "v000000000000.json"),
+      "garbage".getBytes("UTF-8"))
+    val tss = CommitLog.commitTimestamps(t).toMap
+    assert(tss.size === 3)
+    assert(tss(0L) < tss(1L) && tss(1L) < tss(2L), "clock stays monotone")
+    // readable commits keep exact stamps: addressing in the intact suffix
+    // still resolves, and reads go through the checkpoint-seeded replay
+    assert(CommitLog.versionAtTimestamp(t, tss(v2) - 1) === v1)
+    assert(CommitLog.readAsOfTimestamp(spark, t, tss(v2) - 1)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("'-' is rejected as a property value; removeTableProperty is the removal API") {
     val t = freshTable()
     CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))

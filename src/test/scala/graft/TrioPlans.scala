@@ -33,17 +33,28 @@ object TrioPlans {
       "sql_q11" -> (() => Relational4.sqlQ11(spark, sfDir)),
       "sql_q12" -> (() => Relational3.sqlQ12(spark, sfDir)))
 
-    val ops = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "Exchange hashpartitioning",
-      "Exchange rangepartitioning", "Exchange SinglePartition",
-      "BroadcastExchange", "HashAggregate", "ObjectHashAggregate",
-      "SortAggregate")
+    // (label, regex): HashAggregate needs the lookbehind or it would
+    // also count every ObjectHashAggregate, hiding an HA<->OHA flip
+    // from the very diff this harness exists to make
+    val ops = Seq(
+      "BroadcastHashJoin" -> "BroadcastHashJoin",
+      "SortMergeJoin" -> "SortMergeJoin",
+      "ShuffledHashJoin" -> "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin" -> "BroadcastNestedLoopJoin",
+      "Exchange_hashpartitioning" -> "Exchange hashpartitioning",
+      "Exchange_rangepartitioning" -> "Exchange rangepartitioning",
+      "Exchange_SinglePartition" -> "Exchange SinglePartition",
+      "BroadcastExchange" -> "BroadcastExchange",
+      "HashAggregate" -> "(?<!Object)HashAggregate",
+      "ObjectHashAggregate" -> "ObjectHashAggregate",
+      "SortAggregate" -> "SortAggregate")
 
     val parts = queries.map { case (name, mk) =>
       // warmup drives codegen + JIT and lets AQE finalize the plan
       val warm = mk(); warm.count()
       val plan = warm.queryExecution.executedPlan.toString
-      val sig = ops.map(o => s""""${o.replace(' ', '_')}":${o.r.findAllMatchIn(plan).length}""")
+      val sig = ops.map { case (label, re) =>
+        s""""$label":${re.r.findAllMatchIn(plan).length}""" }
         .mkString("{", ",", "}")
       val samples = (1 to n).map { _ =>
         val t0 = System.nanoTime(); mk().count(); (System.nanoTime() - t0) / 1e9
