@@ -196,7 +196,7 @@ object CommitLog {
     }.mkString("\n")
 
   private val ActionRe =
-    ("""\{"op":"(add|remove|txn|meta|cdc|info|prop)","path":"([^"]+)","rows":(\d+)""" +
+    ("""\{"op":"(add|remove|txn|meta|cdc|info|prop|dv|dvref|dvremove)","path":"([^"]+)","rows":(\d+)""" +
       """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?""" +
       """(?:,"stats":\{([^}]*)\})?\}""").r
 
@@ -263,18 +263,27 @@ object CommitLog {
                                  schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField],
                                  zones: mutable.Map[String, Map[String, (Double, Double)]] = mutable.Map.empty,
                                  props: mutable.Map[String, String] = mutable.Map.empty,
-                                 rowsOf: mutable.Map[String, Long] = mutable.Map.empty) {
+                                 rowsOf: mutable.Map[String, Long] = mutable.Map.empty,
+                                 dvs: mutable.LinkedHashSet[String] = mutable.LinkedHashSet.empty,
+                                 dvRowsOf: mutable.Map[String, Long] = mutable.Map.empty) {
     def apply(a: Action): Unit = a.op match {
       case "add" =>
         live += a.path
         if (a.hasBounds) bounds(a.path) = (a.lo, a.hi)
         if (a.stats.nonEmpty) zones(a.path) = a.stats
         if (a.rows > 0) rowsOf(a.path) = a.rows
-      case "remove" => live -= a.path; bounds -= a.path; zones -= a.path; rowsOf -= a.path
+      case "remove" =>
+        live -= a.path; bounds -= a.path; zones -= a.path; rowsOf -= a.path
       case "txn" =>
         if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
       case "meta" => mergeSchema(tokenToSchema(a.path))
       case "cdc"  => () // change files are not live table data
+      case "dv" => // a live deletion-vector sidecar: masks rows on every read
+        dvs += a.path
+        if (a.rows > 0) dvRowsOf(a.path) = a.rows
+      case "dvremove" => // sidecar retired (compaction materialized it, or restore)
+        dvs -= a.path; dvRowsOf -= a.path
+      case "dvref" => () // conflict metadata only (files a DV commit masks)
       case "info" => () // per-commit provenance; read by history/CDC, not state
       case "prop" => a.path.split("=", 2) match {
         case Array(k, "-") => props -= k // "-" is the removal tombstone
@@ -305,8 +314,12 @@ object CommitLog {
       }
       val propActs = props.toSeq.sortBy(_._1)
         .map { case (k, v) => Action("prop", s"$k=$v", 0L) }
+      // live sidecars roll into checkpoints like live data files (dvref
+      // actions do NOT: conflict scans read raw commit files, never
+      // checkpoints, so the refs are per-commit metadata by construction)
+      val dvActs = dvs.toSeq.map(p => Action("dv", p, dvRowsOf.getOrElse(p, 0L)))
       schemaStruct.map(s => Action("meta", schemaToken(s), 0L)).toSeq ++
-        propActs ++ files
+        propActs ++ files ++ dvActs
     }
   }
 
@@ -347,10 +360,12 @@ object CommitLog {
     * files changes row content. */
   private val ReorgOps = Set("compact")
 
-  /** Mutation kinds that change row content under a remove-carrying
-    * commit; without change files the row-level feed cannot represent
-    * them, so [[readChangesCdc]] raises the typed gap. */
-  private val MutationOps = Set("delete", "update", "merge", "apply")
+  /** Mutation kinds that change row content — under a remove-carrying
+    * commit (copy-on-write) or a dv-carrying one (merge-on-read); without
+    * change files the row-level feed cannot represent them, so
+    * [[readChangesCdc]] raises the typed gap. */
+  private val MutationOps =
+    Set("delete", "update", "merge", "apply", "deletedv", "updatedv")
 
   /** Set a table property (committed, versioned, checkpoint-carried like
     * any other log state). The one property the engine itself reads is
@@ -524,10 +539,90 @@ object CommitLog {
     tip
   }
 
+  // --- deletion vectors (merge-on-read) --------------------------------------
+
+  /** Helper-column names for the DV mask join — deliberately outside any
+    * plausible user schema. */
+  private val DvFile = "__graft_dv_file"
+  private val DvPos  = "__graft_dv_pos"
+
+  /** Above this many masked positions the mask side is no longer hinted
+    * broadcast (the join still works — AQE plans it); ~4M (file, pos)
+    * rows is ~200 MB of hash relation, the conventional broadcast
+    * ceiling. A table carrying more masked rows than that should be
+    * compacted (compaction materializes and retires every sidecar). */
+  private val DvBroadcastRows = 4L * 1000 * 1000
+
+  /** Tag a raw parquet scan with the (file, position) identity every DV
+    * operation keys on. `_metadata.file_name` / `row_index` are hidden
+    * parquet metadata columns (public Spark API, SPARK-37980): the row's
+    * ordinal within its file is computed from row-group offsets, so it is
+    * deterministic across read parallelism — the property that makes a
+    * position-based delete replayable at any cluster size. */
+  private def dvKeyed(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn(DvFile, col("_metadata.file_name"))
+      .withColumn(DvPos, col("_metadata.row_index"))
+  }
+
+  /** Anti-join a `dvKeyed` scan against the snapshot's live sidecars —
+    * the merge-on-read half of [[deleteWhereDv]]. Keeps the key columns
+    * (callers that need a clean table frame drop them). Sidecars for
+    * files outside this scan simply never match — pruned reads reuse the
+    * full mask unchanged. */
+  private def dvMaskKeyed(spark: SparkSession, table: String, st: State,
+                          keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (st.dvs.isEmpty) keyed
+    else {
+      val dv = spark.read.parquet(
+          st.dvs.toSeq.map(f => Paths.get(table, f).toString): _*)
+        .select(col("file").as("__graft_dv_mfile"),
+                col("pos").as("__graft_dv_mpos"))
+      val total = st.dvs.toSeq.map(st.dvRowsOf.getOrElse(_, 0L)).sum
+      val side = if (total <= DvBroadcastRows) broadcast(dv) else dv
+      keyed.join(side,
+        keyed(DvFile) === col("__graft_dv_mfile") &&
+          keyed(DvPos) === col("__graft_dv_mpos"), "left_anti")
+    }
+  }
+
+  /** Read `files` under the snapshot's schema with every live deletion
+    * vector applied — THE read primitive once a table carries DVs: a
+    * position-keyed anti-join against the (broadcast) mask, zero work
+    * when no sidecar is live (the plan is the plain scan, byte-identical
+    * to the pre-DV engine). */
+  private def maskedRead(spark: SparkSession, table: String, st: State,
+                         files: Seq[String]): DataFrame = {
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val base = reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
+    if (st.dvs.isEmpty) base
+    else dvMaskKeyed(spark, table, st, dvKeyed(base)).drop(DvFile, DvPos)
+  }
+
+  /** Live deletion-vector sidecars at a version (log path → masked-
+    * position count) — the observability hook: `sum(counts)` against the
+    * table's row count tells an operator when [[compact]] (which
+    * materializes and retires every sidecar) is due, and specs assert
+    * mask lifecycle on it. */
+  def deletionVectors(table: String, asOf: Option[Long] = None,
+                      store: LogStore = LocalStore): Seq[(String, Long)] = {
+    val tip = latestVersion(table, store)
+    val v = asOf.getOrElse(tip)
+    require(v <= tip, s"version $v does not exist (tip is $tip)")
+    val st = replay(table, v, store)
+    st.dvs.toSeq.map(p => p -> st.dvRowsOf.getOrElse(p, 0L))
+  }
+
   /** Snapshot read, optionally time-traveled. The file list is explicit,
     * so uncommitted (staged or orphaned) files under `data/` are invisible
     * by construction — crash cleanup is a vacuum concern, never a
-    * correctness concern. */
+    * correctness concern. Live deletion vectors ([[deleteWhereDv]]) are
+    * applied as of the requested version — time travel to a pre-DV
+    * version shows the rows back, the same contract as copy-on-write. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
            store: LogStore = LocalStore): DataFrame = {
     val tip = latestVersion(table, store)
@@ -538,11 +633,7 @@ object CommitLog {
     // The log's schema (as of v — time travel reads the columns that
     // existed THEN) is authoritative: files written before a column was
     // added read it as NULL; no footer-merging pass is ever needed.
-    val reader = st.schemaStruct match {
-      case Some(s) => spark.read.schema(s)
-      case None    => spark.read
-    }
-    reader.parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+    maskedRead(spark, table, st, st.live.toSeq)
   }
 
   /** Pre-flight schema check + the meta action an append-shaped commit
@@ -654,7 +745,13 @@ object CommitLog {
   private def commit(table: String, actions: Seq[Action], readVersion: Long,
                      store: LogStore, maxAttempts: Int = 50): Long = {
     Files.createDirectories(logDir(table))
-    val removes = actions.collect { case a if a.op == "remove" => a.path }.toSet
+    // dvremove participates in remove-vs-remove conflicts (two racing
+    // compactions retiring the same sidecar must not both land), so it
+    // joins the remove-set here; it is NEVER read as table rows though —
+    // the CDC restore branch collects op == "remove" only.
+    val removes = actions.collect {
+      case a if a.op == "remove" || a.op == "dvremove" => a.path }.toSet
+    val dvRefs = actions.collect { case a if a.op == "dvref" => a.path }.toSet
     val txns = actions.collect { case a if a.op == "txn" => (a.path, a.rows) }
     val ourMetaFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
       actions.collect { case a if a.op == "meta" => a.path }
@@ -669,15 +766,36 @@ object CommitLog {
       // retried streaming batches exactly-once even when the retry RACES
       // the original (both stage, both reach here; the loser of the
       // version race sees the winner's txn marker and aborts).
-      if (removes.nonEmpty || txns.nonEmpty || ourMetaFields.nonEmpty) {
+      if (removes.nonEmpty || dvRefs.nonEmpty || txns.nonEmpty || ourMetaFields.nonEmpty) {
         ((readVersion + 1) until target).foreach { v =>
           val theirs = decode(store.read(versionFile(table, v)))
-          val theirRemoves = theirs.collect { case a if a.op == "remove" => a.path }.toSet
+          val theirRemoves = theirs.collect {
+            case a if a.op == "remove" || a.op == "dvremove" => a.path }.toSet
           val clash = removes.intersect(theirRemoves)
           if (clash.nonEmpty)
             throw new ConcurrentRewriteException(
               s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
                 s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
+          // deletion-vector races: DV-vs-DV commutes (reads apply the UNION
+          // of live masks, and masking an already-masked position is
+          // idempotent), but DV-vs-rewrite conflicts BOTH ways — a racer
+          // that removed a file our DV masks leaves our row positions
+          // pointing at nothing (the delete would be silently lost in its
+          // rewrite), and a racer that masked a file we are removing wrote
+          // deletes our rewrite's output does not reflect.
+          val theirDvRefs = theirs.collect { case a if a.op == "dvref" => a.path }.toSet
+          val staleDv = dvRefs.intersect(theirRemoves)
+          if (staleDv.nonEmpty)
+            throw new ConcurrentRewriteException(
+              s"commit v$v already removed ${staleDv.head} (+${staleDv.size - 1} more) — " +
+                s"deletion vector planned at v$readVersion masks stale row positions, " +
+                "re-plan from a fresh snapshot")
+          val lostDv = removes.intersect(theirDvRefs)
+          if (lostDv.nonEmpty)
+            throw new ConcurrentRewriteException(
+              s"commit v$v added a deletion vector over ${lostDv.head} " +
+                s"(+${lostDv.size - 1} more) — rewrite planned at v$readVersion would " +
+                "drop its deletes, re-plan from a fresh snapshot")
           val theirTxns = theirs.collect { case a if a.op == "txn" => (a.path, a.rows) }.toMap
           txns.foreach { case (app, b) =>
             if (theirTxns.getOrElse(app, -1L) >= b)
@@ -768,11 +886,7 @@ object CommitLog {
       // schema-stable empty result: read the live set's schema, keep no rows
       read(spark, table, None, store).where(org.apache.spark.sql.functions.lit(false))
     } else {
-      val reader = st.schemaStruct match {
-        case Some(s) => spark.read.schema(s)
-        case None    => spark.read
-      }
-      reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
+      maskedRead(spark, table, st, files)
         .where(col(indexCol) >= lo && col(indexCol) <= hi)
     }
   }
@@ -863,14 +977,8 @@ object CommitLog {
       .reduceOption(_ && _).getOrElse(lit(true))
     if (files.isEmpty)
       read(spark, table, None, store).where(lit(false))
-    else {
-      val reader = st.schemaStruct match {
-        case Some(s) => spark.read.schema(s)
-        case None    => spark.read
-      }
-      reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
-        .where(exact)
-    }
+    else
+      maskedRead(spark, table, st, files).where(exact)
   }
 
   /** Idempotent append keyed by (appId, batchId) — the exactly-once
@@ -946,16 +1054,27 @@ object CommitLog {
     }
     val files = st.live.toSeq
     val paths = files.map(f => Paths.get(table, f).toString)
-    val affectedNames = reader.parquet(paths: _*)
-      .where(coalesce(predicate, lit(false)))
-      .select(input_file_name().as("f")).distinct().collect()
-      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString).toSet
+    // On a DV-carrying table the discovery scan and the rewrite read both
+    // go through the mask: a dv-deleted row must neither trigger a rewrite
+    // nor be resurrected by one (input_file_name is unusable after the
+    // mask join — the metadata file-name column is the same identity,
+    // captured at scan time).
+    val affectedNames =
+      if (st.dvs.isEmpty)
+        reader.parquet(paths: _*)
+          .where(coalesce(predicate, lit(false)))
+          .select(input_file_name().as("f")).distinct().collect()
+          .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString).toSet
+      else
+        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+          .where(coalesce(predicate, lit(false)))
+          .select(DvFile).distinct().collect()
+          .map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return -1L
     val affected = files.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
-    val affectedDf = reader.parquet(
-      affected.map(f => Paths.get(table, f).toString): _*)
+    val affectedDf = maskedRead(spark, table, st, affected)
     val survivors = affectedDf.where(not(coalesce(predicate, lit(false))))
     val adds = stage(spark, table, survivors, indexCol)
     // the cdc table property makes change recording a TABLE decision, not
@@ -968,6 +1087,126 @@ object CommitLog {
           .withColumn("_change_type", lit("delete")))
     val removes = affected.map(Action("remove", _, 0L))
     commit(table, infoAct("delete") +: (removes ++ adds ++ cdcActs),
+      readVersion = version, store)
+  }
+
+  /** Merge-on-read row deletion via a DELETION VECTOR — the scale path for
+    * SPARSE deletes that [[deleteWhere]]'s copy-on-write cannot afford: at
+    * 100 TB, deleting 0.1% of rows scattered across the table rewrites
+    * terabytes under copy-on-write, while this writes ONE tiny sidecar of
+    * (file, position) pairs and leaves every data file untouched. The
+    * public precedent is Iceberg's position-delete files / Delta's
+    * deletion vectors; the Spark-first realization is parquet's hidden
+    * `_metadata.file_name` / `row_index` columns plus a broadcast
+    * anti-join on every subsequent read ([[maskedRead]]).
+    *
+    * Semantics are identical to [[deleteWhere]] from a reader's view:
+    * NULL-predicate rows survive; time travel to a pre-delete version
+    * shows the rows back; with CDC on (the `cdc=true` table property or
+    * the flag) the commit carries the deleted rows as change files, so
+    * the row-level feed is full-fidelity either way the delete ran.
+    * Already-masked rows are not re-deleted (the predicate scan itself
+    * reads through the mask), so repeating a delete is a no-commit no-op.
+    *
+    * Commit shape: `dv` (the sidecar — live state, replayed, carried by
+    * checkpoints, protected by vacuum) + one `dvref` per masked data file
+    * (conflict metadata: a racing rewrite of a referenced file conflicts
+    * BOTH ways, while DV-over-DV commutes — see [[commit]]). Reads stay
+    * cheap while the mask is small; [[compact]] materializes and retires
+    * all sidecars. Returns the commit version, or -1 if nothing matched. */
+  def deleteWhereDv(spark: SparkSession, table: String,
+                    predicate: org.apache.spark.sql.Column,
+                    cdc: Boolean = false,
+                    store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to delete from in $table")
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val paths = st.live.toSeq.map(f => Paths.get(table, f).toString)
+    // one masked scan finds the doomed positions; pinned so the sidecar,
+    // the per-file refs and the CDC rows all see the SAME row set even
+    // under a non-deterministic predicate
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+      .where(coalesce(predicate, lit(false)))
+      .localCheckpoint()
+    val perFile = hits.groupBy(DvFile).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) return -1L
+    val dvActs = stage(spark, table,
+        hits.select(col(DvFile).as("file"), col(DvPos).as("pos"))
+          .repartition(1))
+      .map(_.copy(op = "dv"))
+    val dvRefActs = perFile.sortBy(_._1).map { case (name, n) =>
+      Action("dvref", s"data/$name", n)
+    }.toSeq
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
+    val cdcActs =
+      if (!cdcOn) Nil
+      else stageChanges(spark, table,
+        hits.drop(DvFile, DvPos).withColumn("_change_type", lit("delete")))
+    commit(table, infoAct("deletedv") +: (dvActs ++ dvRefActs ++ cdcActs),
+      readVersion = version, store)
+  }
+
+  /** Merge-on-read UPDATE: the [[updateWhere]] semantics at
+    * [[deleteWhereDv]] cost — old versions of the matched rows are masked
+    * by a deletion vector and the updated rows are APPENDED, so a sparse
+    * update never rewrites a data file. SET right-hand sides evaluate
+    * against the OLD row; NULL-predicate rows are not updated; the
+    * appended rows are validated against the table's CHECK constraints;
+    * CDC records `update_preimage`/`update_postimage` change rows. The
+    * commit is `dv` + `dvref` + `add` — no removes, so concurrent appends
+    * commute and a racing rewrite of a masked file hits the typed
+    * conflict. Returns the commit version, or -1 if nothing matched. */
+  def updateWhereDv(spark: SparkSession, table: String,
+                    predicate: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    cdc: Boolean = false,
+                    store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(set.nonEmpty, "updateWhereDv needs at least one SET column")
+    val version = latestVersion(table, store)
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to update in $table")
+    set.keys.foreach(c => require(
+      st.schemaStruct.forall(_.fieldNames.contains(c)),
+      s"SET column $c is not a table column — UPDATE cannot add columns (use append/merge evolution)"))
+    val reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val paths = st.live.toSeq.map(f => Paths.get(table, f).toString)
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+      .where(coalesce(predicate, lit(false)))
+      .localCheckpoint()
+    val perFile = hits.groupBy(DvFile).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (perFile.isEmpty) return -1L
+    val matched = hits.drop(DvFile, DvPos)
+    // RHS over the OLD row, exactly updateWhere's projection rule
+    val post = matched.select(matched.columns.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }.toSeq: _*)
+    val dvActs = stage(spark, table,
+        hits.select(col(DvFile).as("file"), col(DvPos).as("pos"))
+          .repartition(1))
+      .map(_.copy(op = "dv"))
+    val dvRefActs = perFile.sortBy(_._1).map { case (name, n) =>
+      Action("dvref", s"data/$name", n)
+    }.toSeq
+    val adds = stage(spark, table, post, checks = constraintsOf(st.props))
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
+    val cdcActs =
+      if (!cdcOn) Nil
+      else stageChanges(spark, table,
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")),
+            allowMissingColumns = true))
+    commit(table, infoAct("updatedv") +: (dvActs ++ dvRefActs ++ adds ++ cdcActs),
       readVersion = version, store)
   }
 
@@ -1007,16 +1246,24 @@ object CommitLog {
     val files = st.live.toSeq
     val paths = files.map(f => Paths.get(table, f).toString)
     val hit = coalesce(predicate, lit(false))
-    val affectedNames = reader.parquet(paths: _*)
-      .where(hit)
-      .select(input_file_name().as("f")).distinct().collect()
-      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString).toSet
+    // masked discovery + masked rewrite on a DV-carrying table — same
+    // discipline as deleteWhere (a dv-deleted row is not a row)
+    val affectedNames =
+      if (st.dvs.isEmpty)
+        reader.parquet(paths: _*)
+          .where(hit)
+          .select(input_file_name().as("f")).distinct().collect()
+          .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString).toSet
+      else
+        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+          .where(hit)
+          .select(DvFile).distinct().collect()
+          .map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return -1L
     val affected = files.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
-    val affectedDf = reader.parquet(
-      affected.map(f => Paths.get(table, f).toString): _*)
+    val affectedDf = maskedRead(spark, table, st, affected)
     // every RHS evaluates against the OLD row: all `when`s are built over
     // the same input projection, never over each other's outputs
     val rewritten = affectedDf.select(affectedDf.columns.map { c =>
@@ -1120,21 +1367,30 @@ object CommitLog {
       case None    => spark.read
     }
     // input_file_name BEFORE the join — see the applyChanges comment:
-    // post-join projection loses the scan task under a shuffle join
+    // post-join projection loses the scan task under a shuffle join (on a
+    // DV-carrying table the metadata file-name column plays the same
+    // scan-time role, and the mask join runs before the key semi-join so
+    // a dv-deleted row can neither match nor survive as a preimage)
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)
-        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-        .join(keys, keyCols, "left_semi")
-        .select("__f").distinct().collect()
-        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString).toSet
+      else if (st.dvs.isEmpty)
+        reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)
+          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+          .join(keys, keyCols, "left_semi")
+          .select("__f").distinct().collect()
+          .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString).toSet
+      else
+        dvMaskKeyed(spark, table, st, dvKeyed(
+            reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)))
+          .join(keys, keyCols, "left_semi")
+          .select(DvFile).distinct().collect()
+          .map(_.getString(0)).toSet
     val affected = candidates.filter(f =>
       affectedNames.contains(Paths.get(f).getFileName.toString))
     val affectedDf =
       if (affected.isEmpty) None
-      else Some(reader.parquet(
-        affected.map(f => Paths.get(table, f).toString): _*))
+      else Some(maskedRead(spark, table, st, affected))
     val rewritten = affectedDf match {
       case None     => src // pure insert: no file holds a matching key
       case Some(ar) => ar.join(keys, keyCols, "left_anti")
@@ -1182,7 +1438,10 @@ object CommitLog {
                    store: LogStore = LocalStore): Seq[String] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
       val acts = decode(store.read(versionFile(table, v)))
-      if (acts.exists(_.op == "remove")) Nil
+      // dv-carrying commits are mutations (merge-on-read delete/update):
+      // the APPEND feed skips them exactly as it skips copy-on-write
+      // rewrites — an updatedv's appended postimages are not new rows
+      if (acts.exists(a => a.op == "remove" || a.op == "dv")) Nil
       else acts.collect { case a if a.op == "add" => a.path }
     }
 
@@ -1204,11 +1463,21 @@ object CommitLog {
     val acts = decode(store.read(versionFile(table, v)))
     val addRows = acts.collect { case a if a.op == "add" => a.rows }.sum
     val cdcRows = acts.collect { case a if a.op == "cdc" => a.rows }.sum
-    val hasRemoves = acts.exists(_.op == "remove")
+    // dv-carrying commits classify with remove-carrying ones on both
+    // feeds: mutations, represented only by their stored change files
+    val hasRemoves = acts.exists(a =>
+      a.op == "remove" || a.op == "dv" || a.op == "dvremove")
     if (cdc) {
       if (cdcRows > 0) cdcRows
       else if (!hasRemoves) addRows
-      else if (operationOf(acts).contains("restore")) addRows
+      else if (operationOf(acts).contains("restore"))
+        // a restore synthesizes: re-added rows (adds), resurrections
+        // (retired-mask rows) and fresh mask deletions (added-mask rows)
+        // — each term an upper bound of its synthesized arm, so pacing
+        // never under-budgets a trigger
+        addRows +
+          acts.collect { case a if a.op == "dv" => a.rows }.sum +
+          acts.collect { case a if a.op == "dvremove" => a.rows }.sum
       else 0L
     } else if (hasRemoves) 0L else addRows
   }
@@ -1270,6 +1539,8 @@ object CommitLog {
       val cdcFiles = acts.collect { case a if a.op == "cdc" => a.path }
       val adds = acts.collect { case a if a.op == "add" => a.path }
       val removes = acts.collect { case a if a.op == "remove" => a.path }
+      val dvAdds = acts.collect { case a if a.op == "dv" => a.path }
+      val dvRems = acts.collect { case a if a.op == "dvremove" => a.path }
       val op = operationOf(acts)
       def readAs(files: Seq[String], changeType: String): DataFrame =
         readerFor(base).parquet(files.map(f => Paths.get(table, f).toString): _*)
@@ -1278,28 +1549,88 @@ object CommitLog {
         if (cdcFiles.nonEmpty)
           Some(readerFor(withCt).parquet(
             cdcFiles.map(f => Paths.get(table, f).toString): _*))
-        else if (removes.isEmpty) {
+        else if (op.exists(MutationOps.contains)) {
+          // the advisor-flagged failure mode: a delete/update/merge —
+          // copy-on-write (remove-carrying) or merge-on-read (dv-carrying)
+          // — that ran with cdc=false changed rows but stored no change
+          // files; silently classifying it as a reorganization would let
+          // every downstream replica diverge without a signal. Loud stop.
+          throw new CdcGapException(
+            s"commit v$v of $table is a '${op.get}' mutation with no change files — " +
+              "the row-level feed cannot represent it. Enable CDC on the table " +
+              "(setTableProperty(table, \"cdc\", \"true\")) or pass cdc = true " +
+              "on every mutation, then re-run the mutation path")
+        } else if (removes.isEmpty && dvAdds.isEmpty && dvRems.isEmpty) {
           if (adds.isEmpty) None
           else Some(readAs(adds, "insert"))
         } else if (op.contains("restore")) {
           // a restore rewrites NO rows — its re-added files are exactly
           // the restored rows and its removed files exactly the retracted
           // ones, so full-fidelity change rows synthesize straight from
-          // the (immutable, pre-vacuum) files: no change-file storage cost
-          val ins = if (adds.isEmpty) None else Some(readAs(adds, "insert"))
+          // the (immutable, pre-vacuum) files: no change-file storage cost.
+          //
+          // Deletion vectors keep this commit-local because restoreImpl
+          // CONSOLIDATES: a dv-state-changing restore retires every prior
+          // sidecar (`dvremove` — the OLD mask, still readable pre-vacuum)
+          // and commits one fresh sidecar holding the FULL restored mask
+          // (`dv`). So: re-added files synthesize inserts THROUGH the new
+          // mask; rows of still-live files the old mask covered but the
+          // new one does not are resurrections (insert); rows the new mask
+          // covers but the old did not are fresh deletions (delete). The
+          // removed-file delete side may include rows the old mask had
+          // already deleted — a spurious retraction of an absent key,
+          // which every keyed replica applies idempotently.
+          import org.apache.spark.sql.functions.{broadcast, col}
+          def maskOf(paths: Seq[String]): DataFrame =
+            spark.read.parquet(paths.map(f => Paths.get(table, f).toString): _*)
+              .select(col("file"), col("pos"))
+          def maskJoin(files: Seq[String], positions: DataFrame,
+                       changeType: String): Option[DataFrame] =
+            if (files.isEmpty) None
+            else {
+              val keyed = dvKeyed(readerFor(base).parquet(
+                files.map(f => Paths.get(table, f).toString): _*))
+              val m = positions.select(col("file").as("__graft_dv_mfile"),
+                                       col("pos").as("__graft_dv_mpos"))
+              Some(keyed.join(broadcast(m),
+                  keyed(DvFile) === m("__graft_dv_mfile") &&
+                    keyed(DvPos) === m("__graft_dv_mpos"),
+                  if (changeType == "insert_masked") "left_anti" else "left_semi")
+                .drop(DvFile, DvPos)
+                .withColumn("_change_type",
+                  lit(if (changeType == "insert_masked") "insert" else changeType)))
+            }
+          val ins1 =
+            if (adds.isEmpty) None
+            else if (dvAdds.isEmpty) Some(readAs(adds, "insert"))
+            else maskJoin(adds, maskOf(dvAdds), "insert_masked")
+          val (ins2, del2) =
+            if (dvRems.isEmpty && dvAdds.isEmpty) (None, None)
+            else {
+              val oldM = if (dvRems.isEmpty) spark.emptyDataFrame
+                            .selectExpr("'' AS file", "0L AS pos").limit(0)
+                         else maskOf(dvRems)
+              val newM = if (dvAdds.isEmpty) spark.emptyDataFrame
+                            .selectExpr("'' AS file", "0L AS pos").limit(0)
+                         else maskOf(dvAdds)
+              val resurrected = oldM.join(newM, Seq("file", "pos"), "left_anti")
+                .localCheckpoint()
+              val newlyMasked = newM.join(oldM, Seq("file", "pos"), "left_anti")
+                .localCheckpoint()
+              // only files still live at v and not in adds (those are
+              // fully covered by ins1) can carry delta rows; the masks are
+              // small by design, so the file lists collect cheaply
+              val stayed = replay(table, v, store).live
+                .filterNot(adds.contains)
+              def deltaFiles(m: DataFrame): Seq[String] =
+                m.select("file").distinct().collect().map(_.getString(0)).toSeq
+                  .map(n => s"data/$n").filter(stayed.contains)
+              (maskJoin(deltaFiles(resurrected), resurrected, "insert"),
+               maskJoin(deltaFiles(newlyMasked), newlyMasked, "delete"))
+            }
           val del = if (removes.isEmpty) None else Some(readAs(removes, "delete"))
-          (ins.toSeq ++ del.toSeq)
+          (ins1.toSeq ++ ins2.toSeq ++ del2.toSeq ++ del.toSeq)
             .reduceOption(_.unionByName(_, allowMissingColumns = true))
-        } else if (op.exists(MutationOps.contains)) {
-          // the advisor-flagged failure mode: a delete/update/merge that
-          // ran with cdc=false rewrote rows but stored no change files —
-          // silently classifying it as a reorganization would let every
-          // downstream replica diverge without a signal. Loud, typed stop.
-          throw new CdcGapException(
-            s"commit v$v of $table is a '${op.get}' mutation with no change files — " +
-              "the row-level feed cannot represent it. Enable CDC on the table " +
-              "(setTableProperty(table, \"cdc\", \"true\")) or pass cdc = true " +
-              "on every mutation, then re-run the mutation path")
         } else None // compaction (or legacy pre-info commit): rows already flowed
       frame.map(_.withColumn("_commit_version", lit(v)))
     }
@@ -1408,14 +1739,14 @@ object CommitLog {
     val version = latestVersion(table, store)
     val st = replay(table, version, store)
     require(st.live.nonEmpty, s"nothing to compact in $table")
-    val reader = st.schemaStruct match {
-      case Some(s) => spark.read.schema(s) // rewrite under the UNION schema
-      case None    => spark.read
-    }
-    val df = reader.parquet(st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+    // masked read: compaction MATERIALIZES live deletion vectors (the
+    // rewritten files no longer contain the masked rows) and retires every
+    // sidecar — the maintenance pass that keeps merge-on-read reads cheap
+    val df = maskedRead(spark, table, st, st.live.toSeq)
       .repartition(math.max(1, targetFiles))
     val adds = stage(spark, table, df)
-    val removes = st.live.toSeq.map(Action("remove", _, 0L))
+    val removes = st.live.toSeq.map(Action("remove", _, 0L)) ++
+      st.dvs.toSeq.map(p => Action("dvremove", p, st.dvRowsOf.getOrElse(p, 0L)))
     commit(table, infoAct("compact") +: (removes ++ adds),
       readVersion = version, store)
   }
@@ -1434,15 +1765,12 @@ object CommitLog {
     val version = latestVersion(table, store)
     val st = replay(table, version, store)
     require(st.live.nonEmpty, s"nothing to compact in $table")
-    val reader = st.schemaStruct match {
-      case Some(s) => spark.read.schema(s)
-      case None    => spark.read
-    }
-    val df = reader.parquet(
-      st.live.toSeq.map(f => Paths.get(table, f).toString): _*)
+    // same DV materialization contract as [[compact]]
+    val df = maskedRead(spark, table, st, st.live.toSeq)
     val adds = stage(spark, table,
       zcluster(df, clusterCols, targetFiles), None, clusterCols)
-    val removes = st.live.toSeq.map(Action("remove", _, 0L))
+    val removes = st.live.toSeq.map(Action("remove", _, 0L)) ++
+      st.dvs.toSeq.map(p => Action("dvremove", p, st.dvRowsOf.getOrElse(p, 0L)))
     commit(table, infoAct("compact") +: (removes ++ adds),
       readVersion = version, store)
   }
@@ -1500,12 +1828,46 @@ object CommitLog {
     val current = replay(table, version, store)
     val toRemove = current.live.toSeq.filterNot(target.live.contains)
     val toAdd = target.live.toSeq.filterNot(current.live.contains)
-    if (toRemove.isEmpty && toAdd.isEmpty) return -1L
-    toAdd.foreach { f =>
+    // deletion-vector state restores with the data: set equality is state
+    // equality (sidecars are immutable uuid files)
+    val dvSame = current.dvs == target.dvs
+    if (toRemove.isEmpty && toAdd.isEmpty && dvSame) return -1L
+    (toAdd ++ (if (dvSame) Nil else target.dvs.toSeq)).foreach { f =>
       require(Files.exists(Paths.get(table, f)),
         s"cannot restore $table to v$asOf: $f was already vacuumed — " +
           "vacuum retention must cover the restore window")
     }
+    // Restoring across a DV-state change consolidates the target mask into
+    // ONE fresh sidecar and retires every current one. That keeps the
+    // commit self-describing — [[readChangesCdc]] synthesizes the restore's
+    // row-level changes from the commit's OWN dv/dvremove actions, no
+    // replay — and doubles as mask maintenance. Needs a session (the
+    // consolidated sidecar is written by Spark), so the sessionless form
+    // refuses, same contract as the constrained-restore case.
+    val dvActs: Seq[Action] =
+      if (dvSame) Nil
+      else {
+        val s = spark.getOrElse(throw new IllegalStateException(
+          s"restoring $table across a deletion-vector state change — " +
+            "use restore(spark, table, asOf) so the target mask can be " +
+            "consolidated into a fresh sidecar"))
+        val retire = current.dvs.toSeq.map(p => Action("dvremove", p, current.dvRowsOf.getOrElse(p, 0L)))
+        if (target.dvs.isEmpty) retire
+        else {
+          val mask = s.read.parquet(
+            target.dvs.toSeq.map(f => Paths.get(table, f).toString): _*)
+            .localCheckpoint() // pinned: the sidecar and the refs must agree
+          val consolidated = stage(s, table, mask.repartition(1))
+            .map(_.copy(op = "dv"))
+          // dvref per masked file: a racing rewrite of a file the restored
+          // mask covers must hit the typed conflict (its rows would
+          // otherwise be materialized back under our feet)
+          val refs = mask.groupBy("file").count().collect()
+            .map(r => Action("dvref", s"data/${r.getString(0)}", r.getLong(1)))
+            .sortBy(_.path).toSeq
+          retire ++ consolidated ++ refs
+        }
+      }
     val checks = constraintsOf(current.props)
     if (checks.nonEmpty && toAdd.nonEmpty) {
       val s = spark.getOrElse(throw new IllegalStateException(
@@ -1519,9 +1881,15 @@ object CommitLog {
         case Some(sc) => s.read.schema(sc)
         case None     => s.read
       }
-      checkViolations(
-        reader.parquet(toAdd.map(f => Paths.get(table, f).toString): _*),
-        checks).foreach { case (n, p, bad) =>
+      // validate the rows a reader will actually SEE: re-added files are
+      // masked by the target's dv state (a dv-deleted violating row is
+      // not a row, so it must not block the restore)
+      val readded = reader.parquet(
+        toAdd.map(f => Paths.get(table, f).toString): _*)
+      val validated =
+        if (target.dvs.isEmpty) readded
+        else dvMaskKeyed(s, table, target, dvKeyed(readded)).drop(DvFile, DvPos)
+      checkViolations(validated, checks).foreach { case (n, p, bad) =>
         if (bad > 0)
           throw new ConstraintViolationException(
             s"cannot restore $table to v$asOf: $bad re-added rows " +
@@ -1535,7 +1903,7 @@ object CommitLog {
         target.zones.getOrElse(p, Map.empty))
     }
     val removeActs = toRemove.map(Action("remove", _, 0L))
-    commit(table, infoAct("restore") +: (removeActs ++ addActs),
+    commit(table, infoAct("restore") +: (removeActs ++ addActs ++ dvActs),
       readVersion = version, store)
   }
 
@@ -1646,13 +2014,15 @@ object CommitLog {
     val tip = latestVersion(table, store)
     if (tip < 0) return Nil // no commits: every data file may be an in-flight stage
     val floor = math.max(0L, tip - retainVersions.toLong)
-    val kept = mutable.Set.empty[String] ++ replay(table, floor, store).live
+    val floorState = replay(table, floor, store)
+    val kept = mutable.Set.empty[String] ++ floorState.live ++ floorState.dvs
     ((floor + 1) to tip).foreach { v =>
       decode(store.read(versionFile(table, v))).foreach {
-        // window adds AND window change files stay readable; cdc files
-        // from commits at or before the floor age out with the tombstones
-        case a if a.op == "add" || a.op == "cdc" => kept += a.path
-        case _                                   => ()
+        // window adds, change files AND deletion-vector sidecars stay
+        // readable; files from commits at or before the floor age out
+        // with the tombstones
+        case a if a.op == "add" || a.op == "cdc" || a.op == "dv" => kept += a.path
+        case _                                                   => ()
       }
     }
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1872,6 +2242,38 @@ object CommitLog {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_custkey BETWEEN 100 AND 500
       |  AND o_orderkey BETWEEN 0 AND 100000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Merge-on-read DML through deletion vectors: range-cluster orders,
+    * dv-delete a key range (v1 — ONE tiny (file, pos) sidecar, ZERO data
+    * files rewritten), dv-delete an OVERLAPPING range (v2 — the masked
+    * scan finds only the not-yet-masked remainder; masking is
+    * idempotent), dv-update a disjoint range (v3 — old positions masked,
+    * updated rows appended), then read the tip through the mask.
+    * CommitLogDvSpec asserts the physical claims (file identity
+    * preserved, sidecar sizes, conflict rules, compaction
+    * materialization); here the oracle asserts reader-visible SQL
+    * semantics match copy-on-write exactly. */
+  def occDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_dv").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    deleteWhereDv(spark, table, col("o_orderkey").between(1000, 3000))
+    deleteWhereDv(spark, table, col("o_orderkey").between(2500, 3500))
+    updateWhereDv(spark, table, col("o_orderkey").between(4000, 4500),
+      Map("o_totalprice" -> (col("o_totalprice") * 2)))
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occDeleteDvSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CASE WHEN o_orderkey BETWEEN 4000 AND 4500
+      |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey NOT BETWEEN 1000 AND 3500
       |ORDER BY o_orderkey""".stripMargin
 
   /** Row-level CDC feed: append nation (v0), CDC-enabled merge — updated
