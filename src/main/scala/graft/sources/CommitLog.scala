@@ -76,7 +76,8 @@ object CommitLog {
     * conservative: the file is always read. */
   final case class Action(op: String, path: String, rows: Long,
                           lo: Double = Double.NaN, hi: Double = Double.NaN,
-                          stats: Map[String, (Double, Double)] = Map.empty) {
+                          stats: Map[String, (Double, Double)] = Map.empty,
+                          bloom: String = "") {
     // Non-finite bounds are "no bounds": +/-Infinity can reach here from a
     // legal parquet column (min/max of an infinite double), and the line
     // codec's number regex does not decode the textual `Infinity` — so a
@@ -192,13 +193,17 @@ object CommitLog {
         else finiteStats.toSeq.sortBy(_._1)
           .map { case (c, (lo, hi)) => s""""$c":[$lo,$hi]""" }
           .mkString(""","stats":{""", ",", "}")
-      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$bounds$zone}"""
+      // bloom tokens are `<ident>:<m>:<k>:<b64url>` — every char quote-free
+      // by construction (identifier enforced at record time, url-safe b64)
+      val bl = if (a.bloom.isEmpty) "" else s""","bloom":"${a.bloom}""""
+      s"""{"op":"${a.op}","path":"${a.path}","rows":${a.rows}$bounds$zone$bl}"""
     }.mkString("\n")
 
   private val ActionRe =
     ("""\{"op":"(add|remove|txn|meta|cdc|info|prop|dv|dvref|dvremove)","path":"([^"]+)","rows":(\d+)""" +
       """(?:,"lo":(-?[0-9.eE+-]+),"hi":(-?[0-9.eE+-]+))?""" +
-      """(?:,"stats":\{([^}]*)\})?\}""").r
+      """(?:,"stats":\{([^}]*)\})?""" +
+      """(?:,"bloom":"([^"]+)")?\}""").r
 
   private val StatRe = """"([A-Za-z0-9_]+)":\[(-?[0-9.eE+-]+),(-?[0-9.eE+-]+)\]""".r
 
@@ -218,14 +223,12 @@ object CommitLog {
 
   private def decode(content: String): Seq[Action] =
     content.linesIterator.filter(_.nonEmpty).map {
-      case ActionRe(op, path, rows, null, null, null) =>
-        Action(op, path, rows.toLong)
-      case ActionRe(op, path, rows, null, null, stats) =>
-        Action(op, path, rows.toLong, stats = decodeStats(stats))
-      case ActionRe(op, path, rows, lo, hi, null) =>
-        Action(op, path, rows.toLong, lo.toDouble, hi.toDouble)
-      case ActionRe(op, path, rows, lo, hi, stats) =>
-        Action(op, path, rows.toLong, lo.toDouble, hi.toDouble, decodeStats(stats))
+      case ActionRe(op, path, rows, lo, hi, stats, bloom) =>
+        Action(op, path, rows.toLong,
+          lo = if (lo == null) Double.NaN else lo.toDouble,
+          hi = if (hi == null) Double.NaN else hi.toDouble,
+          stats = if (stats == null) Map.empty else decodeStats(stats),
+          bloom = if (bloom == null) "" else bloom)
       case bad => throw new IllegalStateException(s"corrupt commit line: $bad")
     }.toSeq
 
@@ -265,15 +268,18 @@ object CommitLog {
                                  props: mutable.Map[String, String] = mutable.Map.empty,
                                  rowsOf: mutable.Map[String, Long] = mutable.Map.empty,
                                  dvs: mutable.LinkedHashSet[String] = mutable.LinkedHashSet.empty,
-                                 dvRowsOf: mutable.Map[String, Long] = mutable.Map.empty) {
+                                 dvRowsOf: mutable.Map[String, Long] = mutable.Map.empty,
+                                 blooms: mutable.Map[String, String] = mutable.Map.empty) {
     def apply(a: Action): Unit = a.op match {
       case "add" =>
         live += a.path
         if (a.hasBounds) bounds(a.path) = (a.lo, a.hi)
         if (a.stats.nonEmpty) zones(a.path) = a.stats
         if (a.rows > 0) rowsOf(a.path) = a.rows
+        if (a.bloom.nonEmpty) blooms(a.path) = a.bloom
       case "remove" =>
         live -= a.path; bounds -= a.path; zones -= a.path; rowsOf -= a.path
+        blooms -= a.path
       case "txn" =>
         if (txns.getOrElse(a.path, -1L) < a.rows) txns(a.path) = a.rows
       case "meta" => mergeSchema(tokenToSchema(a.path))
@@ -310,7 +316,7 @@ object CommitLog {
       val files = live.toSeq.map { p =>
         val (lo, hi) = bounds.getOrElse(p, (Double.NaN, Double.NaN))
         Action("add", p, rowsOf.getOrElse(p, 0L), lo, hi,
-          zones.getOrElse(p, Map.empty))
+          zones.getOrElse(p, Map.empty), blooms.getOrElse(p, ""))
       }
       val propActs = props.toSeq.sortBy(_._1)
         .map { case (k, v) => Action("prop", s"$k=$v", 0L) }
@@ -365,7 +371,8 @@ object CommitLog {
     * change files the row-level feed cannot represent them, so
     * [[readChangesCdc]] raises the typed gap. */
   private val MutationOps =
-    Set("delete", "update", "merge", "apply", "deletedv", "updatedv")
+    Set("delete", "update", "merge", "apply",
+        "deletedv", "updatedv", "mergedv", "applydv")
 
   /** Set a table property (committed, versioned, checkpoint-carried like
     * any other log state). The one property the engine itself reads is
@@ -653,10 +660,17 @@ object CommitLog {
     * add-actions. Staged files are invisible until a commit references
     * them. Spark writes a directory; each part file is moved to a flat
     * uuid name so commits own files, not directories. */
+  /** Probe count for commit-recorded bloom filters: 4 hash positions per
+    * value is the classic sweet spot for ~10 bits/key sizing (~1-2% false
+    * positives); the writer picks `m` (bits) to match its per-file key
+    * count. */
+  private val BloomK = 4
+
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     indexCol: Option[String] = None,
                     statsCols: Seq[String] = Nil,
-                    checks: Map[String, String] = Map.empty): Seq[Action] = {
+                    checks: Map[String, String] = Map.empty,
+                    bloom: Option[(String, Int)] = None): Seq[Action] = {
     Files.createDirectories(dataDir(table))
     val staging = Paths.get(table, s".staging-${UUID.randomUUID()}")
     df.write.parquet(staging.toString)
@@ -714,6 +728,45 @@ object CommitLog {
             name -> (r.getLong(1), per)
           }.toMap
       }
+    // Per-file BLOOM membership of one column, for point-lookup pruning
+    // where min/max ranges cannot discriminate (an unclustered table's
+    // every file spans the whole key domain). One extra pass over the
+    // staged output — k probe positions per value, exploded, deduped
+    // distributedly (≤ m distinct positions per file reach the driver,
+    // never a per-row set) — and the bitset rides the add-action as a
+    // base64url token: reads prune at file-LISTING time, no data touched.
+    val fileBlooms: Map[String, String] = bloom match {
+      case None => Map.empty
+      case Some((c, m)) =>
+        require(c.matches("[A-Za-z0-9_]+"),
+          s"bloom column must be a plain identifier: $c")
+        require(m >= 64 && m <= (1 << 24), s"bloom bits out of range: $m")
+        if (parts.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{array, col, collect_set,
+            explode, input_file_name, lit, pmod, xxhash64}
+          val probes = array((0 until BloomK).map(i =>
+            pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong))): _*)
+          spark.read.parquet(staging.toString)
+            .select(input_file_name().as("__f"),
+                    col(c).cast("string").as("__v"))
+            .where(col("__v").isNotNull)
+            .select(col("__f"), explode(probes).as("__p"))
+            .groupBy("__f").agg(collect_set(col("__p")).as("__ps"))
+            .collect()
+            .map { r =>
+              val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+                .getFileName.toString
+              val bits = new Array[Byte]((m + 7) / 8)
+              r.getSeq[Long](1).foreach { p =>
+                val j = p.toInt
+                bits(j >> 3) = (bits(j >> 3) | (1 << (j & 7))).toByte
+              }
+              name -> (s"$c:$m:$BloomK:" + java.util.Base64.getUrlEncoder
+                .withoutPadding.encodeToString(bits))
+            }.toMap
+        }
+    }
     val acts = parts.map { p =>
       val name = s"${UUID.randomUUID()}.parquet"
       Files.move(p, dataDir(table).resolve(name))
@@ -723,7 +776,8 @@ object CommitLog {
         .getOrElse((Double.NaN, Double.NaN))
       val zone = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
                  else per.filter { case (c, _) => statsCols.contains(c) }
-      Action("add", s"data/$name", nRows, lo, hi, zone)
+      Action("add", s"data/$name", nRows, lo, hi, zone,
+        fileBlooms.getOrElse(p.getFileName.toString, ""))
     }
     // staging dir now holds only _SUCCESS etc.
     LocalStore.list(staging).foreach(Files.delete)
@@ -981,6 +1035,86 @@ object CommitLog {
       maskedRead(spark, table, st, files).where(exact)
   }
 
+  /** Append with a per-file BLOOM filter on `bloomCol` — the point-lookup
+    * complement to range stats: an unclustered table's every file spans
+    * the whole key domain, so min/max keeps ALL of them for `key = x`,
+    * while the bloom keeps O(1) files (plus a sizing-controlled false-
+    * positive tail). Size `bits` at ~10× the expected DISTINCT keys per
+    * file for ~1-2% false positives at the fixed k=4 probes; the bitset
+    * costs bits/6 bytes of commit line per file (base64), which
+    * checkpoints roll up like any other action metadata. Bloom pruning
+    * NEVER misses: a file containing the key always tests positive (the
+    * invariant BloomSkipSpec sweeps every key for). Values are hashed in
+    * canonical string form (`CAST(col AS STRING)` at write, `.toString`
+    * at lookup) — exact for integer and string key columns, the
+    * point-lookup cases this exists for. */
+  def appendBloomed(spark: SparkSession, table: String, df: DataFrame,
+                    bloomCol: String, bits: Int = 1 << 17,
+                    store: LogStore = LocalStore): Long = {
+    val (tip, meta) = metaFor(table, df, store)
+    commit(table, infoAct("append") +: meta +: stage(spark, table, df,
+      checks = checksAt(table, store), bloom = Some((bloomCol, bits))),
+      readVersion = tip, store)
+  }
+
+  /** Driver-side probe positions for `value` — MUST match the staged
+    * job's `pmod(xxhash64(cast(col as string), i), m)` exactly, so the
+    * catalyst XxHash64 expression (seed 42, same as the SQL function) is
+    * evaluated directly instead of reimplementing the hash. */
+  private def bloomProbes(value: String, m: Long, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until k).map { i =>
+      val h = XxHash64(Seq(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(value),
+          org.apache.spark.sql.types.StringType),
+        Literal(i)), 42L).eval(null).asInstanceOf[Long]
+      val p = h % m
+      (if (p < 0) p + m else p).toInt
+    }
+  }
+
+  /** The files a point lookup must open: bloom-negative files are
+    * dropped; files with no bloom, or a bloom on a DIFFERENT column, are
+    * kept (conservative — pruning is an optimization, never a filter). */
+  private def bloomKeeps(st: State, column: String, value: String): Seq[String] =
+    st.live.toSeq.filter { p =>
+      st.blooms.get(p) match {
+        case None => true
+        case Some(tok) =>
+          val Array(c, mS, kS, b64) = tok.split(":", 4)
+          c != column || {
+            val bits = java.util.Base64.getUrlDecoder.decode(b64)
+            bloomProbes(value, mS.toLong, kS.toInt)
+              .forall(j => (bits(j >> 3) & (1 << (j & 7))) != 0)
+          }
+      }
+    }
+
+  /** Live files a `column = value` lookup keeps after bloom pruning —
+    * exposed so specs assert skipping on deterministic counts. */
+  def prunedFilesBloom(table: String, column: String, value: Any,
+                       store: LogStore = LocalStore): Seq[String] =
+    bloomKeeps(replay(table, latestVersion(table, store), store),
+      column, String.valueOf(value))
+
+  /** Point-lookup read: open only the bloom-positive files, then apply
+    * the exact typed equality (so a false positive costs one extra file
+    * scan, never a wrong row) — identical to a full scan with the same
+    * predicate, just O(1) files instead of O(table). Deletion vectors
+    * apply as on every read. */
+  def readWhereEquals(spark: SparkSession, table: String,
+                      column: String, value: Any,
+                      store: LogStore = LocalStore): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(value != null, "point lookup of NULL is never true under SQL equality")
+    val st = replay(table, latestVersion(table, store), store)
+    val files = bloomKeeps(st, column, String.valueOf(value))
+    if (files.isEmpty)
+      read(spark, table, None, store).where(lit(false))
+    else
+      maskedRead(spark, table, st, files).where(col(column) === lit(value))
+  }
+
   /** Idempotent append keyed by (appId, batchId) — the exactly-once
     * primitive for streaming sinks (use from `foreachBatch`): the commit
     * carries a `txn` marker, replay tracks the per-app high-water mark,
@@ -1207,6 +1341,79 @@ object CommitLog {
           .unionByName(post.withColumn("_change_type", lit("update_postimage")),
             allowMissingColumns = true))
     commit(table, infoAct("updatedv") +: (dvActs ++ dvRefActs ++ adds ++ cdcActs),
+      readVersion = version, store)
+  }
+
+  /** Merge-on-read MERGE (upsert): [[mergeInto]] semantics — `WHEN
+    * MATCHED THEN UPDATE SET *` / `WHEN NOT MATCHED THEN INSERT *` on
+    * `keyCols` — at deletion-vector cost: the matched keys' OLD rows are
+    * masked by one (file, position) sidecar and ALL source rows are
+    * appended, so a CDC batch touching a million scattered keys on a
+    * 100 TB table writes one sidecar + one append instead of rewriting
+    * every file that holds a matched key. Same contracts as mergeInto:
+    * duplicate-key sources rejected (ANSI's ambiguous-match rule), NULL
+    * keys never match, additive schema evolution with the typed
+    * conflict before staging, CHECK constraints validate the appended
+    * rows, CDC records preimage/postimage/insert change rows. The
+    * commit is `dv` + `dvref` + `add` — no removes, so concurrent
+    * appends commute and a racing rewrite of a masked file hits the
+    * typed conflict. Returns the commit version. */
+  def mergeIntoDv(spark: SparkSession, table: String, source: DataFrame,
+                  keyCols: Seq[String], cdc: Boolean = false,
+                  store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "mergeIntoDv needs at least one key column")
+    val version = latestVersion(table, store)
+    require(version >= 0, s"$table does not exist — append first")
+    val st = replay(table, version, store)
+    require(st.live.nonEmpty, s"nothing to merge into in $table")
+    st.mergeSchema(source.schema) // typed conflict BEFORE staging
+    val src = source.localCheckpoint()
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"source has duplicate keys on (${keyCols.mkString(", ")}) — MERGE match is ambiguous")
+    val keys = src.select(keyCols.map(col): _*)
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val paths = st.live.toSeq.map(f => Paths.get(table, f).toString)
+    // matched OLD rows through the existing mask, with their positions —
+    // pinned: the sidecar, the refs and the CDC preimages must agree
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+      .join(keys, keyCols, "left_semi")
+      .localCheckpoint()
+    val perFile = hits.groupBy(DvFile).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val dvActs =
+      if (perFile.isEmpty) Nil // pure insert: no file holds a matching key
+      else stage(spark, table,
+          hits.select(col(DvFile).as("file"), col(DvPos).as("pos"))
+            .repartition(1))
+        .map(_.copy(op = "dv"))
+    val dvRefActs = perFile.sortBy(_._1).map { case (name, n) =>
+      Action("dvref", s"data/$name", n)
+    }.toSeq
+    val meta = Action("meta", schemaToken(src.schema), 0L)
+    val adds = stage(spark, table, src, checks = constraintsOf(st.props))
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
+    val cdcActs =
+      if (!cdcOn) Nil
+      else {
+        val matched = hits.drop(DvFile, DvPos)
+        val matchedKeys = matched.select(keyCols.map(col): _*)
+        val pre = matched.withColumn("_change_type", lit("update_preimage"))
+        val post = src.join(matchedKeys, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = src.join(matchedKeys, keyCols, "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        stageChanges(spark, table,
+          pre.unionByName(post, allowMissingColumns = true)
+            .unionByName(ins, allowMissingColumns = true))
+      }
+    commit(table,
+      (infoAct("mergedv") +: meta +: (dvActs ++ dvRefActs)) ++ adds ++ cdcActs,
       readVersion = version, store)
   }
 
@@ -1729,6 +1936,86 @@ object CommitLog {
     catch { case _: TxnAlreadyApplied => -1L }
   }
 
+  /** [[applyChanges]] at merge-on-read cost: every touched key's current
+    * row is MASKED by one (file, position) sidecar and the surviving
+    * upserts are APPENDED — no replica file is rewritten, so a CDC batch
+    * over scattered keys applies as one sidecar + one append on a 100 TB
+    * replica (run [[compact]] periodically to materialize the
+    * accumulated masks; [[deletionVectors]] tells you when). Semantics,
+    * batch reduction (last change per key wins) and the `(appId,
+    * batchId)` exactly-once txn discipline are identical to
+    * [[applyChanges]] — the streaming replica ([[graft.streaming
+    * .CdcReplica]]) selects this form with `mergeOnRead = true`.
+    * Returns the replica commit version, or -1 for an empty or
+    * already-applied batch. */
+  def applyChangesDv(spark: SparkSession, replica: String, changes: DataFrame,
+                     keyCols: Seq[String],
+                     txn: Option[(String, Long)] = None,
+                     store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(keyCols.nonEmpty, "applyChangesDv needs key columns")
+    txn.foreach { case (app, b) =>
+      require(app.matches("[A-Za-z0-9_.-]+"), s"appId must be a plain token: $app")
+      require(b >= 0, s"batchId must be non-negative: $b")
+    }
+    val version = latestVersion(replica, store)
+    val stOpt = if (version < 0) None else Some(replay(replica, version, store))
+    txn.foreach { case (app, b) =>
+      stOpt.foreach { st =>
+        if (st.txns.getOrElse(app, -1L) >= b) return -1L
+      }
+    }
+    val txnActs = txn.map { case (app, b) => Action("txn", app, b) }.toSeq
+    val relevant = changes.where(col("_change_type")
+      .isin("insert", "update_postimage", "delete"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_commit_version").desc, col("_change_type").desc)
+    val last = relevant.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn").localCheckpoint()
+    if (last.isEmpty) return -1L
+    val upserts = last.where(col("_change_type") =!= "delete")
+      .drop("_change_type", "_commit_version")
+    val keys = last.select(keyCols.map(col): _*)
+    if (version < 0) {
+      if (upserts.isEmpty) return -1L
+      val meta = Action("meta", schemaToken(upserts.schema), 0L)
+      val acts = (infoAct("applydv") +: meta +: stage(spark, replica, upserts)) ++ txnActs
+      return (try commit(replica, acts, readVersion = -1L, store)
+              catch { case _: TxnAlreadyApplied => -1L })
+    }
+    val st = stOpt.get
+    def reader = st.schemaStruct match {
+      case Some(s) => spark.read.schema(s)
+      case None    => spark.read
+    }
+    val paths = st.live.toSeq.map(f => Paths.get(replica, f).toString)
+    // current rows of every touched key, with positions, through the
+    // replica's existing mask — these are exactly the rows to retire
+    val hits =
+      if (paths.isEmpty) None
+      else Some(dvMaskKeyed(spark, replica, st, dvKeyed(reader.parquet(paths: _*)))
+        .join(keys, keyCols, "left_semi")
+        .localCheckpoint())
+    val perFile = hits.map(_.groupBy(DvFile).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))).getOrElse(Array.empty)
+    val dvActs =
+      if (perFile.isEmpty) Nil
+      else stage(spark, replica,
+          hits.get.select(col(DvFile).as("file"), col(DvPos).as("pos"))
+            .repartition(1))
+        .map(_.copy(op = "dv"))
+    val dvRefActs = perFile.sortBy(_._1).map { case (name, n) =>
+      Action("dvref", s"data/$name", n)
+    }.toSeq
+    val meta = Action("meta", schemaToken(upserts.schema), 0L)
+    val adds = stage(spark, replica, upserts, checks = constraintsOf(st.props))
+    try commit(replica,
+      (infoAct("applydv") +: meta +: (dvActs ++ dvRefActs)) ++ adds ++ txnActs,
+      readVersion = version, store)
+    catch { case _: TxnAlreadyApplied => -1L }
+  }
+
   /** OCC compaction: rewrite the current live set into ~`targetFiles`
     * files and commit remove(old)+add(new). Concurrent APPENDS commute
     * (they land before or after; either way no data is covered twice);
@@ -1900,7 +2187,7 @@ object CommitLog {
     val addActs = toAdd.map { p =>
       val (lo, hi) = target.bounds.getOrElse(p, (Double.NaN, Double.NaN))
       Action("add", p, target.rowsOf.getOrElse(p, 0L), lo, hi,
-        target.zones.getOrElse(p, Map.empty))
+        target.zones.getOrElse(p, Map.empty), target.blooms.getOrElse(p, ""))
     }
     val removeActs = toRemove.map(Action("remove", _, 0L))
     commit(table, infoAct("restore") +: (removeActs ++ addActs ++ dvActs),
@@ -2196,6 +2483,30 @@ object CommitLog {
       |FROM orders WHERE o_orderkey BETWEEN 1 AND 100
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Merge-on-read MERGE through a deletion vector: the same upsert
+    * arithmetic as [[occMergeUpsert]] (doubled prices for a key range =
+    * updates, negated-key copies of a low range = inserts) but via
+    * [[mergeIntoDv]] — matched keys' old rows masked by ONE sidecar, all
+    * source rows appended, zero data files rewritten (CommitLogDvSpec
+    * asserts the physical claims; here the oracle asserts reader-visible
+    * MERGE semantics match the copy-on-write form exactly). */
+  def occMergeDv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_mergedv").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    val updates = o.where(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = o.where(col("o_orderkey").between(1, 100))
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    mergeIntoDv(spark, table, updates.unionByName(inserts), Seq("o_orderkey"))
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occMergeDvSql: String = occMergeUpsertSql
+
   /** Append-feed window read: three appends with a compaction in between —
     * [[readChanges]] from the first version must return the post-v0 rows
     * exactly once, with the compaction's rewritten files excluded (those
@@ -2274,6 +2585,28 @@ object CommitLog {
       |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
       |FROM orders
       |WHERE o_orderkey NOT BETWEEN 1000 AND 3500
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Bloom-pruned point lookups: orders lands ROUND-ROBIN in 8 files (so
+    * every file spans the full key domain and range stats cannot prune
+    * anything) with a per-file bloom on the key, then three point reads
+    * open only bloom-positive files (BloomSkipSpec asserts the file
+    * counts and the no-false-negative sweep; here the oracle asserts the
+    * lookups return exactly the right rows). */
+  def occBloomRead(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("occ_bloom").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendBloomed(spark, table, o.repartition(8), "o_orderkey", bits = 1 << 18)
+    Seq(11L, 702L, 1303L)
+      .map(k => readWhereEquals(spark, table, "o_orderkey", k))
+      .reduce(_.unionByName(_))
+      .orderBy("o_orderkey")
+  }
+
+  val occBloomReadSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey IN (11, 702, 1303)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Row-level CDC feed: append nation (v0), CDC-enabled merge — updated

@@ -50,7 +50,8 @@ object CdcReplica {
                     keyCols: Seq[String], checkpointDir: String,
                     appId: String = "cdc-replica",
                     maxVersionsPerTrigger: Option[Int] = None,
-                    trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                    mergeOnRead: Boolean = false): StreamingQuery = {
     val reader = spark.readStream
       .format("graft-changefeed")
       .option("table", srcTable)
@@ -60,8 +61,16 @@ object CdcReplica {
     reader.load()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        CommitLog.applyChanges(batch.sparkSession, replicaTable, batch,
-          keyCols, txn = Some((appId, batchId)))
+        // mergeOnRead applies each batch as one deletion-vector sidecar +
+        // one append (no replica file rewritten — the 100 TB posture for
+        // scattered-key CDC); the default rewrites affected files
+        // copy-on-write. Same txn-marker exactly-once either way.
+        if (mergeOnRead)
+          CommitLog.applyChangesDv(batch.sparkSession, replicaTable, batch,
+            keyCols, txn = Some((appId, batchId)))
+        else
+          CommitLog.applyChanges(batch.sparkSession, replicaTable, batch,
+            keyCols, txn = Some((appId, batchId)))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -357,4 +357,122 @@ class CommitLogDvSpec extends SparkSpec {
     val e = intercept[IllegalStateException] { CommitLog.restore(t, 0L) }
     assert(e.getMessage.contains("deletion-vector"))
   }
+
+  test("merge-on-read MERGE: one sidecar, one append, zero files rewritten") {
+    val t = keyedTable()
+    val filesBefore = CommitLog.snapshot(t).files.toSet
+    CommitLog.mergeIntoDv(spark, t,
+      Seq((10L, "u10"), (20L, "u20"), (500L, "new")).toDF("k", "s"), Seq("k"))
+    val after = CommitLog.snapshot(t).files.toSet
+    assert(filesBefore.subsetOf(after), "merge-on-read must not rewrite files")
+    val back = CommitLog.read(spark, t)
+    assert(back.count() === 101)
+    assert(back.where(col("k").isin(10L, 20L, 500L)).select("s")
+      .as[String].collect().sorted.toSeq === Seq("new", "u10", "u20"))
+    assert(CommitLog.deletionVectors(t).map(_._2).sum === 2L,
+      "exactly the two matched keys' old rows are masked")
+    // pure insert: no matching key anywhere — no sidecar at all
+    CommitLog.mergeIntoDv(spark, t, Seq((600L, "i")).toDF("k", "s"), Seq("k"))
+    assert(CommitLog.deletionVectors(t).map(_._2).sum === 2L)
+    assert(CommitLog.read(spark, t).count() === 102)
+  }
+
+  test("merge-on-read MERGE: parity with copy-on-write mergeInto, incl. CDC rows") {
+    val cow = keyedTable(); val mor = keyedTable()
+    CommitLog.setTableProperty(cow, "cdc", "true")
+    CommitLog.setTableProperty(mor, "cdc", "true")
+    val src = Seq((5L, "u5"), (77L, "u77"), (900L, "n")).toDF("k", "s")
+    CommitLog.mergeInto(spark, cow, src, Seq("k"))
+    CommitLog.mergeIntoDv(spark, mor, src, Seq("k"))
+    def state(t: String) = CommitLog.read(spark, t)
+      .select("k", "s").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state(mor) === state(cow), "reader-visible MERGE semantics must agree")
+    def cdc(t: String) = CommitLog.readChangesCdc(spark, t,
+        fromVersion = CommitLog.latestVersion(t) - 1)._2.get
+      .select("k", "s", "_change_type").as[(Long, String, String)]
+      .collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(cdc(mor) === cdc(cow), "CDC change rows must agree across forms")
+  }
+
+  test("merge-on-read MERGE: schema evolution, duplicate-key guard, NULL keys") {
+    val t = keyedTable()
+    intercept[IllegalArgumentException] {
+      CommitLog.mergeIntoDv(spark, t,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "s"), Seq("k"))
+    }
+    // NULL source key never matches: inserts; NULL target keys survive
+    CommitLog.mergeIntoDv(spark, t,
+      Seq((Some(3L), "u3", 30L), (None, "nk", 0L)).toDF("k", "s", "extra"),
+      Seq("k"))
+    val back = CommitLog.read(spark, t)
+    assert(back.count() === 101)
+    assert(back.where(col("k") === 3L).select("s").as[String].head() === "u3")
+    assert(back.where(col("k").isNull).count() === 1)
+    // evolved column: NULL on pre-evolution rows
+    assert(back.where(col("extra") === 30L).count() === 1)
+  }
+
+  test("applyChangesDv maintains a replica without rewriting it; txn replay is a no-op") {
+    val src = Files.createTempDirectory("mor_src").toString
+    val rep = Files.createTempDirectory("mor_rep").toString
+    CommitLog.append(spark, src,
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    CommitLog.setTableProperty(src, "cdc", "true")
+    CommitLog.mergeInto(spark, src, Seq((7L, "u7"), (99L, "n")).toDF("k", "s"),
+      Seq("k"))
+    CommitLog.deleteWhereDv(spark, src, col("k").between(30, 39))
+    // bootstrap + one combined window, applied merge-on-read
+    val (c1, b1) = CommitLog.readChangesCdc(spark, src, fromVersion = -1L)
+    CommitLog.applyChangesDv(spark, rep, b1.get, Seq("k"), txn = Some(("mor", c1)))
+    def state(t: String) = CommitLog.read(spark, t)
+      .select("k", "s").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(state(rep) === state(src))
+    val repFiles = CommitLog.snapshot(rep).files.toSet
+    // further mutations apply as sidecar+append on the SAME replica files
+    CommitLog.updateWhereDv(spark, src, col("k") === 2L, Map("s" -> lit("u2")))
+    CommitLog.deleteWhere(spark, src, col("k") === 3L)
+    val (c2, b2) = CommitLog.readChangesCdc(spark, src, fromVersion = c1)
+    CommitLog.applyChangesDv(spark, rep, b2.get, Seq("k"), txn = Some(("mor", c2)))
+    assert(state(rep) === state(src))
+    assert(repFiles.subsetOf(CommitLog.snapshot(rep).files.toSet),
+      "merge-on-read apply must not rewrite replica files")
+    // replaying the same (appId, batchId) window is a commit-level no-op
+    val tip = CommitLog.latestVersion(rep)
+    assert(CommitLog.applyChangesDv(spark, rep, b2.get, Seq("k"),
+      txn = Some(("mor", c2))) === -1L)
+    assert(CommitLog.latestVersion(rep) === tip)
+    // compaction materializes the replica's accumulated masks
+    CommitLog.compact(spark, rep, targetFiles = 1)
+    assert(CommitLog.deletionVectors(rep).isEmpty)
+    assert(state(rep) === state(src))
+  }
+
+  test("merge-on-read streaming replica (mergeOnRead = true) converges like the rewrite form") {
+    val src = Files.createTempDirectory("mor_strm_src").toString
+    val rep = Files.createTempDirectory("mor_strm_rep").toString
+    val ckpt = Files.createTempDirectory("mor_strm_ckpt").toString
+    def snap(t: String): Seq[(Long, String)] =
+      CommitLog.read(spark, t).select("k", "s").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    CommitLog.append(spark, src,
+      (0 until 30).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    CommitLog.setTableProperty(src, "cdc", "true")
+    val q = graft.streaming.CdcReplica.replicaStream(spark, src, rep,
+      Seq("k"), ckpt, appId = "mor-strm", mergeOnRead = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("0 seconds"))
+    try {
+      q.processAllAvailable()
+      assert(snap(rep) === snap(src))
+      CommitLog.deleteWhereDv(spark, src, col("k") < 5L)
+      CommitLog.mergeIntoDv(spark, src, Seq((10L, "u"), (800L, "n")).toDF("k", "s"),
+        Seq("k"))
+      q.processAllAvailable()
+      assert(snap(rep) === snap(src),
+        "merge-on-read replica must converge through dv mutations")
+      // the replica's history is applydv commits, never rewrites
+      val ops = CommitLog.history(spark, rep).select("operation")
+        .as[String].collect().toSet
+      assert(ops.subsetOf(Set("applydv")), s"unexpected replica ops: $ops")
+    } finally q.stop()
+  }
 }
