@@ -270,17 +270,30 @@ object Relational2 {
   val TimePairWindowMs: Long = 120000L
 
   def timePairJoin(spark: SparkSession, dir: String, windowMs: Long = TimePairWindowMs): DataFrame = {
+    // ORDERED-pair formulation (r16): each unordered event pair is
+    // generated exactly once as (earlier, later) — strict time order with
+    // the unique event id breaking exact-ts ties — instead of the
+    // symmetric both-directions join that a `u1 < u2` filter then halves.
+    // Two structural savings at the sf1-dominating cost point (this was
+    // the #1 bench query): the join emits HALF the matched rows, and the
+    // left side explodes to 2 cells, not 3 (0 ≤ tb−ta ≤ w pins the later
+    // event's anchor cell to {ca, ca+1}; a pair matches in exactly one
+    // exploded cell, so no dedup pass is needed). Oracle-identical by
+    // construction: the symmetric form with u1 < u2 also counts each
+    // unordered distinct-user pair exactly once.
     val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts_ms"))
     val a = ev.withColumn("cell", explode(array(
-      expr(s"ts_ms div $windowMs - 1"), expr(s"ts_ms div $windowMs"), expr(s"ts_ms div $windowMs + 1"))))
+      expr(s"ts_ms div $windowMs"), expr(s"ts_ms div $windowMs + 1"))))
     val b = ev.select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
       col("ts_ms").as("b_ts_ms"))
       .withColumn("cell", expr(s"b_ts_ms div $windowMs"))
     a.join(b, Seq("cell"))
-      .filter(col("b_ts_ms") >= col("ts_ms") - windowMs &&
+      .filter(col("b_ts_ms") >= col("ts_ms") &&
         col("b_ts_ms") <= col("ts_ms") + windowMs &&
-        col("user_id") < col("b_user_id"))
-      .select(col("user_id").as("u1"), col("b_user_id").as("u2"))
+        (col("b_ts_ms") > col("ts_ms") || col("b_event_id") > col("event_id")) &&
+        col("user_id") =!= col("b_user_id"))
+      .select(least(col("user_id"), col("b_user_id")).as("u1"),
+              greatest(col("user_id"), col("b_user_id")).as("u2"))
       .groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("n_close"))
       .orderBy(col("n_close").desc, col("u1"), col("u2"))

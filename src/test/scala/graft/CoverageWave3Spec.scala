@@ -56,26 +56,23 @@ class CoverageWave3Spec extends SparkSpec {
     assert(df.filter(col("n_close") <= 0).count() === 0)
   }
 
-  test("bucketed time_pair_join equals the literal range-join on a tiny slice") {
+  test("ordered-pair time_pair_join equals the literal symmetric range-join, per pair") {
     import spark.implicits._
-    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts_ms").limit(500)
+    // the NAIVE symmetric form over the full sf0.001 events — the exact
+    // semantics the DuckDB oracle states — compared row-for-row against
+    // the operator's ordered-pair bucketed rewrite (not just a count)
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts_ms")
     val naive = ev.as("a").join(ev.as("b"),
         $"b.ts_ms".between($"a.ts_ms" - 120000L, $"a.ts_ms" + 120000L) &&
           $"a.user_id" < $"b.user_id")
-      .count()
-    // Same pair count when the bucket trick runs over the full sf0.001 set
-    // restricted to the slice's rows — here just recompute with the same
-    // slice through the bucketed shape.
-    val w = 120000L
-    val a = ev.withColumn("cell", explode(array(
-      expr(s"ts_ms div $w - 1"), expr(s"ts_ms div $w"), expr(s"ts_ms div $w + 1"))))
-    val b = ev.select($"event_id".as("b_event_id"), $"user_id".as("b_user_id"),
-      $"ts_ms".as("b_ts_ms")).withColumn("cell", expr(s"b_ts_ms div $w"))
-    val bucketed = a.join(b, Seq("cell"))
-      .filter($"b_ts_ms" >= $"ts_ms" - w && $"b_ts_ms" <= $"ts_ms" + w &&
-        $"user_id" < $"b_user_id")
-      .count()
-    assert(bucketed === naive)
+      .groupBy($"a.user_id".as("u1"), $"b.user_id".as("u2"))
+      .agg(count(lit(1)).as("n_close"))
+      .selectExpr("cast(u1 as long) u1", "cast(u2 as long) u2", "n_close")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ours = Relational2.timePairJoin(spark, sf)
+      .selectExpr("cast(u1 as long) u1", "cast(u2 as long) u2", "n_close")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(ours === naive)
   }
 
   test("chunk dedup only reports cross-document chunks") {
