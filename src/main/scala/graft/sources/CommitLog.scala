@@ -1756,18 +1756,11 @@ object CommitLog {
         if (cdcFiles.nonEmpty)
           Some(readerFor(withCt).parquet(
             cdcFiles.map(f => Paths.get(table, f).toString): _*))
-        else if (op.exists(MutationOps.contains)) {
-          // the advisor-flagged failure mode: a delete/update/merge —
-          // copy-on-write (remove-carrying) or merge-on-read (dv-carrying)
-          // — that ran with cdc=false changed rows but stored no change
-          // files; silently classifying it as a reorganization would let
-          // every downstream replica diverge without a signal. Loud stop.
-          throw new CdcGapException(
-            s"commit v$v of $table is a '${op.get}' mutation with no change files — " +
-              "the row-level feed cannot represent it. Enable CDC on the table " +
-              "(setTableProperty(table, \"cdc\", \"true\")) or pass cdc = true " +
-              "on every mutation, then re-run the mutation path")
-        } else if (removes.isEmpty && dvAdds.isEmpty && dvRems.isEmpty) {
+        else if (removes.isEmpty && dvAdds.isEmpty && dvRems.isEmpty) {
+          // adds-only commits are pure inserts WHATEVER their operation:
+          // a merge/apply that matched nothing destructive (no removes,
+          // no mask change) appended rows and nothing else, so insert
+          // synthesis is exact even without stored change files
           if (adds.isEmpty) None
           else Some(readAs(adds, "insert"))
         } else if (op.contains("restore")) {
@@ -1807,10 +1800,22 @@ object CommitLog {
                 .withColumn("_change_type",
                   lit(if (changeType == "insert_masked") "insert" else changeType)))
             }
+          // the insert side masks with the FULL live dv state AT v, not
+          // just the commit's own dv actions: a dvSame restore (mask
+          // unchanged) can still re-add files an inert-but-live sidecar
+          // masks — e.g. dv-delete on F, copy-on-write delete removes F
+          // (sidecar stays live), restore re-adds F — and synthesizing
+          // F's rows unmasked would resurrect deleted rows downstream.
+          // One checkpoint-seeded replay per restore commit; restores are
+          // rare and the replay is O(commits), never data-sized.
+          lazy val stateAtV = replay(table, v, store)
           val ins1 =
             if (adds.isEmpty) None
-            else if (dvAdds.isEmpty) Some(readAs(adds, "insert"))
-            else maskJoin(adds, maskOf(dvAdds), "insert_masked")
+            else {
+              val liveDvsAtV = stateAtV.dvs.toSeq
+              if (liveDvsAtV.isEmpty) Some(readAs(adds, "insert"))
+              else maskJoin(adds, maskOf(liveDvsAtV), "insert_masked")
+            }
           val (ins2, del2) =
             if (dvRems.isEmpty && dvAdds.isEmpty) (None, None)
             else {
@@ -1827,8 +1832,7 @@ object CommitLog {
               // only files still live at v and not in adds (those are
               // fully covered by ins1) can carry delta rows; the masks are
               // small by design, so the file lists collect cheaply
-              val stayed = replay(table, v, store).live
-                .filterNot(adds.contains)
+              val stayed = stateAtV.live.filterNot(adds.contains)
               def deltaFiles(m: DataFrame): Seq[String] =
                 m.select("file").distinct().collect().map(_.getString(0)).toSeq
                   .map(n => s"data/$n").filter(stayed.contains)
@@ -1838,6 +1842,17 @@ object CommitLog {
           val del = if (removes.isEmpty) None else Some(readAs(removes, "delete"))
           (ins1.toSeq ++ ins2.toSeq ++ del2.toSeq ++ del.toSeq)
             .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        } else if (op.exists(MutationOps.contains)) {
+          // the advisor-flagged failure mode: a delete/update/merge —
+          // copy-on-write (remove-carrying) or merge-on-read (dv-carrying)
+          // — that ran with cdc=false changed rows but stored no change
+          // files; silently classifying it as a reorganization would let
+          // every downstream replica diverge without a signal. Loud stop.
+          throw new CdcGapException(
+            s"commit v$v of $table is a '${op.get}' mutation with no change files — " +
+              "the row-level feed cannot represent it. Enable CDC on the table " +
+              "(setTableProperty(table, \"cdc\", \"true\")) or pass cdc = true " +
+              "on every mutation, then re-run the mutation path")
         } else None // compaction (or legacy pre-info commit): rows already flowed
       frame.map(_.withColumn("_commit_version", lit(v)))
     }

@@ -447,6 +447,41 @@ class CommitLogDvSpec extends SparkSpec {
     assert(state(rep) === state(src))
   }
 
+  test("dvSame restore re-adding files a still-live sidecar masks synthesizes THROUGH the mask") {
+    // the inert-sidecar edge: dv-delete on F (sidecar M), copy-on-write
+    // delete REMOVES F (M stays live, now inert), restore re-adds F with
+    // NO dv actions (mask state unchanged on both sides). The restore's
+    // synthesized inserts must still read through M — an unmasked
+    // synthesis would resurrect the dv-deleted rows in every replica.
+    val t = keyedTable(n = 20, files = 1)               // v0: one file F
+    CommitLog.deleteWhereDv(spark, t, col("k") < 5L)    // v1: sidecar M over F
+    CommitLog.deleteWhere(spark, t, col("k") >= 15L)    // v2: F removed, F' added
+    CommitLog.restore(spark, t, asOf = 1L)              // v3: F back, no dv actions
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect().sorted
+      .toSeq === (5L until 20L))
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = 2L)
+    val ins = feed.get.where(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted
+    assert(ins.toSeq === (5L until 20L),
+      "restore inserts must read THROUGH the still-live mask")
+  }
+
+  test("pure-insert mutations (merge matching nothing) synthesize inserts, no gap") {
+    // cdc OFF on purpose: a merge whose keys match nothing is adds-only
+    // (no removes, no mask change) — the row-level feed reads it as plain
+    // inserts exactly like an append, NOT as a CdcGapException. Pins the
+    // branch order in readChangesCdc: the gap fires only on commits with
+    // destructive evidence (removes or dv actions) and no change files.
+    // The same rule covers a bootstrap applyChanges (adds-only 'apply').
+    val t = keyedTable(n = 10, files = 1)
+    CommitLog.mergeInto(spark, t, Seq((500L, "i1")).toDF("k", "s"), Seq("k"))
+    CommitLog.mergeIntoDv(spark, t, Seq((600L, "i2")).toDF("k", "s"), Seq("k"))
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = 0L)
+    val rows = feed.get.select("k", "_change_type").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((500L, "insert"), (600L, "insert")))
+  }
+
   test("merge-on-read streaming replica (mergeOnRead = true) converges like the rewrite form") {
     val src = Files.createTempDirectory("mor_strm_src").toString
     val rep = Files.createTempDirectory("mor_strm_rep").toString
