@@ -572,20 +572,55 @@ object CommitLog {
       .withColumn(DvPos, col("_metadata.row_index"))
   }
 
+  /** The live mask frame a read over `scanFiles` must anti-join against:
+    * the union of every live sidecar, PRE-FILTERED to the scanned files'
+    * names whenever the scan covers a strict subset of the live set — so
+    * a bloom- or bounds-pruned point lookup over a heavily-masked table
+    * pays O(opened files' mask positions), not O(total mask) (the r16
+    * verdict's "missing #3": sidecar rows for unopened files used to be
+    * scanned and shuffled on every pruned read once the mask outgrew the
+    * broadcast ceiling). The filter is a pushed-down `file IN (...)` over
+    * the sidecar parquet — evaluated at the mask scan, never shuffled. */
+  private def dvMaskFrame(spark: SparkSession, table: String, st: State,
+                          scanFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dv = spark.read.parquet(
+        st.dvs.toSeq.map(f => Paths.get(table, f).toString): _*)
+      .select(col("file"), col("pos"))
+    if (scanFiles.size >= st.live.size) dv
+    else {
+      val names = scanFiles.map(f => Paths.get(f).getFileName.toString)
+      dv.where(col("file").isin(names: _*))
+    }
+  }
+
+  /** Mask-side input rows a masked read over `files` pays after file
+    * pruning — observability for specs and operators (a compaction-due
+    * signal reads [[deletionVectors]]; THIS tells you what a specific
+    * pruned read actually joins against). */
+  def dvMaskRowsFor(spark: SparkSession, table: String, files: Seq[String],
+                    store: LogStore = LocalStore): Long = {
+    val st = replay(table, latestVersion(table, store), store)
+    if (st.dvs.isEmpty) 0L else dvMaskFrame(spark, table, st, files).count()
+  }
+
   /** Anti-join a `dvKeyed` scan against the snapshot's live sidecars —
     * the merge-on-read half of [[deleteWhereDv]]. Keeps the key columns
-    * (callers that need a clean table frame drop them). Sidecars for
-    * files outside this scan simply never match — pruned reads reuse the
-    * full mask unchanged. */
+    * (callers that need a clean table frame drop them). `scanFiles` is
+    * the file set the keyed frame scans: the mask side is pruned to it
+    * ([[dvMaskFrame]]), so sidecar rows for unopened files are never
+    * read, let alone shuffled. */
   private def dvMaskKeyed(spark: SparkSession, table: String, st: State,
-                          keyed: DataFrame): DataFrame = {
+                          keyed: DataFrame, scanFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (st.dvs.isEmpty) keyed
     else {
-      val dv = spark.read.parquet(
-          st.dvs.toSeq.map(f => Paths.get(table, f).toString): _*)
+      val dv = dvMaskFrame(spark, table, st, scanFiles)
         .select(col("file").as("__graft_dv_mfile"),
                 col("pos").as("__graft_dv_mpos"))
+      // broadcast decision on the TOTAL recorded mask size — an upper
+      // bound of the pruned side (per-data-file counts aren't log state);
+      // past the ceiling AQE still re-plans a small pruned side at runtime
       val total = st.dvs.toSeq.map(st.dvRowsOf.getOrElse(_, 0L)).sum
       val side = if (total <= DvBroadcastRows) broadcast(dv) else dv
       keyed.join(side,
@@ -607,7 +642,7 @@ object CommitLog {
     }
     val base = reader.parquet(files.map(f => Paths.get(table, f).toString): _*)
     if (st.dvs.isEmpty) base
-    else dvMaskKeyed(spark, table, st, dvKeyed(base)).drop(DvFile, DvPos)
+    else dvMaskKeyed(spark, table, st, dvKeyed(base), files).drop(DvFile, DvPos)
   }
 
   /** Live deletion-vector sidecars at a version (log path → masked-
@@ -806,6 +841,7 @@ object CommitLog {
     val removes = actions.collect {
       case a if a.op == "remove" || a.op == "dvremove" => a.path }.toSet
     val dvRefs = actions.collect { case a if a.op == "dvref" => a.path }.toSet
+    val ourAdds = actions.exists(_.op == "add")
     val txns = actions.collect { case a if a.op == "txn" => (a.path, a.rows) }
     val ourMetaFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
       actions.collect { case a if a.op == "meta" => a.path }
@@ -830,14 +866,32 @@ object CommitLog {
             throw new ConcurrentRewriteException(
               s"commit v$v already removed ${clash.head} (+${clash.size - 1} more) — " +
                 s"rewrite planned at v$readVersion is stale, re-plan from a fresh snapshot")
-          // deletion-vector races: DV-vs-DV commutes (reads apply the UNION
-          // of live masks, and masking an already-masked position is
-          // idempotent), but DV-vs-rewrite conflicts BOTH ways — a racer
-          // that removed a file our DV masks leaves our row positions
+          // deletion-vector races: DV-vs-rewrite conflicts BOTH ways — a
+          // racer that removed a file our DV masks leaves our row positions
           // pointing at nothing (the delete would be silently lost in its
           // rewrite), and a racer that masked a file we are removing wrote
-          // deletes our rewrite's output does not reflect.
+          // deletes our rewrite's output does not reflect. DV-vs-DV is
+          // decided below on whether either commit appends.
           val theirDvRefs = theirs.collect { case a if a.op == "dvref" => a.path }.toSet
+          // DV-vs-DV: two pure dv-DELETES commute (reads apply the UNION of
+          // live masks and masking an already-masked position is
+          // idempotent), but a dv commit that also APPENDS rows
+          // (updateWhereDv / mergeIntoDv / applyChangesDv) is a
+          // read-modify-write: two racers updating the same key from the
+          // same snapshot would BOTH mask the old row and BOTH append a new
+          // one (duplicate live rows for one key), and a dv-delete racing a
+          // dv-update of the same row would have its delete silently
+          // overridden by the update's appended postimage. So dvref-vs-dvref
+          // conflicts whenever EITHER commit carries adds — the same
+          // file-granularity conservatism remove-vs-remove already applies
+          // (disjoint-key racers on a shared file re-plan and land on retry).
+          val theirAdds = theirs.exists(_.op == "add")
+          val dvDv = dvRefs.intersect(theirDvRefs)
+          if (dvDv.nonEmpty && (ourAdds || theirAdds))
+            throw new ConcurrentRewriteException(
+              s"commit v$v also masked rows of ${dvDv.head} (+${dvDv.size - 1} more) " +
+                s"and ${if (theirAdds) "appended replacement rows" else "raced our appended rows"} — " +
+                s"merge-on-read DML planned at v$readVersion is stale, re-plan from a fresh snapshot")
           val staleDv = dvRefs.intersect(theirRemoves)
           if (staleDv.nonEmpty)
             throw new ConcurrentRewriteException(
@@ -1045,9 +1099,12 @@ object CommitLog {
     * checkpoints roll up like any other action metadata. Bloom pruning
     * NEVER misses: a file containing the key always tests positive (the
     * invariant BloomSkipSpec sweeps every key for). Values are hashed in
-    * canonical string form (`CAST(col AS STRING)` at write, `.toString`
-    * at lookup) — exact for integer and string key columns, the
-    * point-lookup cases this exists for. */
+    * canonical string form: `CAST(col AS STRING)` at write, and at lookup
+    * the probe value is cast through the COLUMN's type with a round-trip
+    * guard ([[canonicalProbe]]) — a type-mismatched probe (`Double 11.0`
+    * against bigint) canonicalizes to the written form, and one that
+    * cannot be represented exactly disables pruning instead of silently
+    * missing every file. */
   def appendBloomed(spark: SparkSession, table: String, df: DataFrame,
                     bloomCol: String, bits: Int = 1 << 17,
                     store: LogStore = LocalStore): Long = {
@@ -1073,21 +1130,67 @@ object CommitLog {
     }
   }
 
+  /** Canonical string form of a point-lookup probe value — the form the
+    * WRITE side hashed (`CAST(col AS STRING)`), reached THROUGH the
+    * column's log-carried type. `String.valueOf` alone is a bloom false
+    * negative factory (the r16 advisory's finding): probing a bigint
+    * column with `Double 11.0` stringifies as `"11.0"` while the writer
+    * hashed `"11"`, so every probe misses, every file is pruned, and the
+    * lookup silently returns empty even though `col === lit(11.0)` would
+    * match. So: cast the value to the column's type (TRY semantics —
+    * never throws), and only trust the result when it ROUND-TRIPS back to
+    * the original value exactly (a probe of `11.5` against bigint
+    * truncates to 11, fails the round trip, and disables pruning instead
+    * of probing the wrong key). `None` = cannot canonicalize exactly →
+    * the caller keeps ALL files (pruning is an optimization, never a
+    * filter). A legacy log with no typed schema falls back to the raw
+    * string form — exact for the same-typed int/string probes it always
+    * served. */
+  private def canonicalProbe(st: State, column: String, value: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    import org.apache.spark.sql.types.StringType
+    st.schemaStruct.flatMap(_.fields.find(_.name == column)).map(_.dataType) match {
+      case None => Some(String.valueOf(value))
+      case Some(dt) =>
+        scala.util.Try {
+          val lit = Literal(value)
+          if (lit.dataType == dt)
+            Option(Cast(lit, StringType, None, EvalMode.TRY).eval(null)).map(_.toString)
+          else {
+            val cv = Cast(lit, dt, None, EvalMode.TRY).eval(null)
+            if (cv == null) None
+            else {
+              val back = Cast(Literal(cv, dt), lit.dataType, None, EvalMode.TRY).eval(null)
+              if (back != lit.value) None
+              else Option(Cast(Literal(cv, dt), StringType, None, EvalMode.TRY).eval(null))
+                .map(_.toString)
+            }
+          }
+        }.toOption.flatten // an unrepresentable value/type: no pruning
+    }
+  }
+
   /** The files a point lookup must open: bloom-negative files are
     * dropped; files with no bloom, or a bloom on a DIFFERENT column, are
-    * kept (conservative — pruning is an optimization, never a filter). */
-  private def bloomKeeps(st: State, column: String, value: String): Seq[String] =
-    st.live.toSeq.filter { p =>
-      st.blooms.get(p) match {
-        case None => true
-        case Some(tok) =>
-          val Array(c, mS, kS, b64) = tok.split(":", 4)
-          c != column || {
-            val bits = java.util.Base64.getUrlDecoder.decode(b64)
-            bloomProbes(value, mS.toLong, kS.toInt)
-              .forall(j => (bits(j >> 3) & (1 << (j & 7))) != 0)
+    * kept, and a probe value that cannot be canonicalized to the write
+    * side's hashed form keeps EVERYTHING (conservative — pruning is an
+    * optimization, never a filter). */
+  private def bloomKeeps(st: State, column: String, value: Any): Seq[String] =
+    canonicalProbe(st, column, value) match {
+      case None => st.live.toSeq
+      case Some(canon) =>
+        st.live.toSeq.filter { p =>
+          st.blooms.get(p) match {
+            case None => true
+            case Some(tok) =>
+              val Array(c, mS, kS, b64) = tok.split(":", 4)
+              c != column || {
+                val bits = java.util.Base64.getUrlDecoder.decode(b64)
+                bloomProbes(canon, mS.toLong, kS.toInt)
+                  .forall(j => (bits(j >> 3) & (1 << (j & 7))) != 0)
+              }
           }
-      }
+        }
     }
 
   /** Live files a `column = value` lookup keeps after bloom pruning —
@@ -1095,7 +1198,7 @@ object CommitLog {
   def prunedFilesBloom(table: String, column: String, value: Any,
                        store: LogStore = LocalStore): Seq[String] =
     bloomKeeps(replay(table, latestVersion(table, store), store),
-      column, String.valueOf(value))
+      column, value)
 
   /** Point-lookup read: open only the bloom-positive files, then apply
     * the exact typed equality (so a false positive costs one extra file
@@ -1108,7 +1211,7 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, lit}
     require(value != null, "point lookup of NULL is never true under SQL equality")
     val st = replay(table, latestVersion(table, store), store)
-    val files = bloomKeeps(st, column, String.valueOf(value))
+    val files = bloomKeeps(st, column, value)
     if (files.isEmpty)
       read(spark, table, None, store).where(lit(false))
     else
@@ -1201,7 +1304,7 @@ object CommitLog {
           .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
             .getFileName.toString).toSet
       else
-        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
           .where(coalesce(predicate, lit(false)))
           .select(DvFile).distinct().collect()
           .map(_.getString(0)).toSet
@@ -1264,7 +1367,7 @@ object CommitLog {
     // one masked scan finds the doomed positions; pinned so the sidecar,
     // the per-file refs and the CDC rows all see the SAME row set even
     // under a non-deterministic predicate
-    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
       .where(coalesce(predicate, lit(false)))
       .localCheckpoint()
     val perFile = hits.groupBy(DvFile).count().collect()
@@ -1314,7 +1417,7 @@ object CommitLog {
       case None    => spark.read
     }
     val paths = st.live.toSeq.map(f => Paths.get(table, f).toString)
-    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
       .where(coalesce(predicate, lit(false)))
       .localCheckpoint()
     val perFile = hits.groupBy(DvFile).count().collect()
@@ -1381,7 +1484,7 @@ object CommitLog {
     val paths = st.live.toSeq.map(f => Paths.get(table, f).toString)
     // matched OLD rows through the existing mask, with their positions —
     // pinned: the sidecar, the refs and the CDC preimages must agree
-    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+    val hits = dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
       .join(keys, keyCols, "left_semi")
       .localCheckpoint()
     val perFile = hits.groupBy(DvFile).count().collect()
@@ -1463,7 +1566,7 @@ object CommitLog {
           .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
             .getFileName.toString).toSet
       else
-        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)))
+        dvMaskKeyed(spark, table, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
           .where(hit)
           .select(DvFile).distinct().collect()
           .map(_.getString(0)).toSet
@@ -1589,7 +1692,8 @@ object CommitLog {
             .getFileName.toString).toSet
       else
         dvMaskKeyed(spark, table, st, dvKeyed(
-            reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)))
+            reader.parquet(candidates.map(f => Paths.get(table, f).toString): _*)),
+            candidates)
           .join(keys, keyCols, "left_semi")
           .select(DvFile).distinct().collect()
           .map(_.getString(0)).toSet
@@ -1645,10 +1749,14 @@ object CommitLog {
                    store: LogStore = LocalStore): Seq[String] =
     ((fromVersion + 1) to toVersion).flatMap { v =>
       val acts = decode(store.read(versionFile(table, v)))
-      // dv-carrying commits are mutations (merge-on-read delete/update):
-      // the APPEND feed skips them exactly as it skips copy-on-write
-      // rewrites — an updatedv's appended postimages are not new rows
-      if (acts.exists(a => a.op == "remove" || a.op == "dv")) Nil
+      // dv- and dvremove-carrying commits are mutations or mask
+      // reorganizations (merge-on-read delete/update, a restore retiring
+      // sidecars): the APPEND feed skips them exactly as it skips
+      // copy-on-write rewrites — an updatedv's appended postimages are not
+      // new rows, and a dvSame restore's re-added files may carry rows a
+      // still-live sidecar masks. Matches [[versionFeedRows]]'s mutation
+      // classification (the r16 advisory's consistency finding).
+      if (acts.exists(a => a.op == "remove" || a.op == "dv" || a.op == "dvremove")) Nil
       else acts.collect { case a if a.op == "add" => a.path }
     }
 
@@ -2009,7 +2117,7 @@ object CommitLog {
     // replica's existing mask — these are exactly the rows to retire
     val hits =
       if (paths.isEmpty) None
-      else Some(dvMaskKeyed(spark, replica, st, dvKeyed(reader.parquet(paths: _*)))
+      else Some(dvMaskKeyed(spark, replica, st, dvKeyed(reader.parquet(paths: _*)), st.live.toSeq)
         .join(keys, keyCols, "left_semi")
         .localCheckpoint())
     val perFile = hits.map(_.groupBy(DvFile).count().collect()
@@ -2190,7 +2298,7 @@ object CommitLog {
         toAdd.map(f => Paths.get(table, f).toString): _*)
       val validated =
         if (target.dvs.isEmpty) readded
-        else dvMaskKeyed(s, table, target, dvKeyed(readded)).drop(DvFile, DvPos)
+        else dvMaskKeyed(s, table, target, dvKeyed(readded), toAdd).drop(DvFile, DvPos)
       checkViolations(validated, checks).foreach { case (n, p, bad) =>
         if (bad > 0)
           throw new ConstraintViolationException(

@@ -82,6 +82,31 @@ class BloomSkipSpec extends SparkSpec {
       .select("n").as[Int].collect().toSeq === Seq(77))
   }
 
+  test("type-mismatched probes canonicalize through the column type (no silent empties)") {
+    // the r16 advisory's bloom false-negative: the write side hashed
+    // CAST(k AS STRING) ("11") while a Double 11.0 probe stringified as
+    // "11.0" — every file tested negative and the lookup silently
+    // returned empty even though col === lit(11.0) matches after Spark's
+    // implicit cast. Probes now cast through the column's log-carried
+    // type, so every value form of the same key prunes to the same files.
+    val t = bloomedTable()
+    val keptLong = CommitLog.prunedFilesBloom(t, "k", 11L).toSet
+    assert(keptLong.size < CommitLog.snapshot(t).files.size)
+    // same key, mismatched runtime types: Double, Int, String
+    assert(CommitLog.prunedFilesBloom(t, "k", 11.0d).toSet === keptLong)
+    assert(CommitLog.prunedFilesBloom(t, "k", 11).toSet === keptLong)
+    assert(CommitLog.prunedFilesBloom(t, "k", "11").toSet === keptLong)
+    assert(CommitLog.readWhereEquals(spark, t, "k", 11.0d)
+      .select("s").as[String].collect().toSeq === Seq("v11"),
+      "a Double probe of a bigint key must return the row, not silent empty")
+    // a value the column type cannot represent exactly fails the
+    // round-trip guard: pruning is DISABLED (all files kept), and the
+    // exact predicate decides — never a wrong answer, never a false miss
+    assert(CommitLog.prunedFilesBloom(t, "k", 11.5d).size
+      === CommitLog.snapshot(t).files.size)
+    assert(CommitLog.readWhereEquals(spark, t, "k", 11.5d).count() === 0L)
+  }
+
   test("lookups on other columns and bloom-less files stay conservative") {
     val t = bloomedTable(n = 100, files = 2)
     // a lookup on a DIFFERENT column keeps everything

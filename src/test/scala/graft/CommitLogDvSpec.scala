@@ -510,4 +510,150 @@ class CommitLogDvSpec extends SparkSpec {
       assert(ops.subsetOf(Set("applydv")), s"unexpected replica ops: $ops")
     } finally q.stop()
   }
+
+  test("racing dv-updates of the same key: exactly one wins (no duplicate live rows)") {
+    // the r16 advisory's OCC hole: mask+append commits never conflicted
+    // DV-vs-DV, so two racers updating one key from the same snapshot both
+    // landed — each masking the ORIGINAL row and each appending its own
+    // postimage: two live rows for one key. The rule now: dvref-vs-dvref
+    // conflicts whenever either commit carries adds.
+    val t = keyedTable()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq("A", "B").map { tag =>
+      new Thread(() => {
+        try {
+          gate.await()
+          CommitLog.updateWhereDv(spark, t, col("k") === 7L,
+            Map("s" -> concat(col("s"), lit(s"_$tag"))))
+          ()
+        } catch {
+          case _: CommitLog.ConcurrentRewriteException =>
+            conflicts.incrementAndGet(); ()
+          case e: Throwable => errs.add(e)
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek())}")
+    val rows = CommitLog.read(spark, t).where(col("k") === 7L)
+      .select("s").as[String].collect().sorted.toSeq
+    assert(rows.size === 1,
+      s"dv-update race left ${rows.size} live rows for one key: $rows")
+    if (conflicts.get() === 0)
+      // the rare serialized interleaving: B re-read AFTER A committed, so
+      // both applied cleanly in sequence — the row must carry both tags
+      assert(rows.head.count(_ == '_') === 2, s"serialized run lost an update: $rows")
+    else {
+      assert(conflicts.get() === 1,
+        s"same-snapshot dv-updates must conflict exactly once, got ${conflicts.get()}")
+      assert(rows.head.count(_ == '_') === 1, s"loser's update leaked through: $rows")
+      // the loser re-plans from a fresh snapshot and lands cleanly
+      CommitLog.updateWhereDv(spark, t, col("k") === 7L,
+        Map("s" -> concat(col("s"), lit("_retry"))))
+      assert(CommitLog.read(spark, t).where(col("k") === 7L).count() === 1L)
+    }
+  }
+
+  test("dv-delete racing a dv-update of the same row: the delete is never silently lost") {
+    val t = keyedTable()
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ops: Seq[() => Unit] = Seq(
+      () => { CommitLog.deleteWhereDv(spark, t, col("k") === 7L); () },
+      () => { CommitLog.updateWhereDv(spark, t, col("k") === 7L,
+        Map("s" -> lit("updated"))); () })
+    val threads = ops.map { op =>
+      new Thread(() => {
+        try { gate.await(); op() }
+        catch {
+          case _: CommitLog.ConcurrentRewriteException =>
+            conflicts.incrementAndGet(); ()
+          case e: Throwable => errs.add(e)
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek())}")
+    val rows = CommitLog.read(spark, t).where(col("k") === 7L)
+      .select("s").as[String].collect().toSeq
+    // legal outcomes: delete won and update aborted (row gone), update won
+    // and delete aborted (one updated row), or they serialized (second op
+    // re-read after the first landed; either order converges to ≤ 1 row).
+    // ILLEGAL, pre-fix: update's postimage surviving a committed delete.
+    assert(rows.size <= 1, s"duplicate live rows for one key: $rows")
+    if (conflicts.get() === 0)
+      assert(rows.isEmpty || rows === Seq("updated"),
+        s"serialized run left an inconsistent row: $rows")
+  }
+
+  test("two pure dv-deletes on the SAME row still commute (masking is idempotent)") {
+    val t = keyedTable()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try { gate.await(); CommitLog.deleteWhereDv(spark, t, col("k") < 20L); () }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"pure dv-delete vs dv-delete must keep commuting, got: ${Option(errs.peek())}")
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect().sorted
+      .toSeq === (20L until 100L))
+  }
+
+  test("append feed skips a restore that re-adds files and only retires sidecars") {
+    // the r16 advisory's low finding: a commit with adds + dvremove but no
+    // remove/dv actions used to surface as plain appends — duplicating
+    // rows that already flowed — while versionFeedRows classified the same
+    // commit as a mutation (0 rows). Both now skip it.
+    // reaching the add+dvremove-no-removes commit shape needs restore
+    // itself as the file-remover (every DML rewrite re-adds its outputs):
+    //   v0 append A, v1 append B, v2 restore→v0 (removes B),
+    //   v3 dv-delete in A (sidecar S), v4 restore→v1 (re-ADDS B, retires
+    //   S, removes NOTHING) — the advisory's exact commit.
+    val t = freshTable()
+    CommitLog.append(spark, t,
+      (0 until 50).map(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1))
+    val v1 = CommitLog.append(spark, t,
+      (50 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1))
+    CommitLog.restore(t, 0L)
+    CommitLog.deleteWhereDv(spark, t, col("k") < 10L)
+    val cursor = CommitLog.latestVersion(t)
+    val v4 = CommitLog.restore(spark, t, v1)
+    assert(v4 > cursor)
+    assert(CommitLog.read(spark, t).count() === 100L, "restore must bring all rows back")
+    assert(CommitLog.versionFeedRows(t, v4, cdc = false) === 0L)
+    val (cur, batch) = CommitLog.readChanges(spark, t, fromVersion = cursor)
+    assert(cur === v4)
+    assert(batch.isEmpty,
+      s"append feed must skip the dvremove-carrying restore (its re-added " +
+        s"rows already flowed at v1), got ${batch.map(_.count())} rows")
+  }
+
+  test("pruned reads join only the opened files' mask rows (two sidecars)") {
+    // verdict r16 "missing #3": dvMaskKeyed used to join the FULL live
+    // mask on every masked read; a pruned read now pre-filters the mask
+    // to the scanned files before the anti-join.
+    val t = keyedTable(n = 100, files = 4)
+    CommitLog.deleteWhereDv(spark, t, col("k").between(0, 9))    // sidecar 1: low files
+    CommitLog.deleteWhereDv(spark, t, col("k").between(90, 99))  // sidecar 2: high files
+    assert(CommitLog.deletionVectors(t).size === 2)
+    val total = CommitLog.deletionVectors(t).map(_._2).sum
+    assert(total === 20L)
+    val lowFiles = CommitLog.prunedFiles(t, 0d, 9d)
+    assert(lowFiles.size < CommitLog.snapshot(t).files.size,
+      "fixture must actually prune (range-clustered files)")
+    val maskRows = CommitLog.dvMaskRowsFor(spark, t, lowFiles)
+    assert(maskRows === 10L,
+      s"pruned read must pay only the opened files' mask rows, got $maskRows of $total")
+    // and the pruned read itself stays correct through the pruned mask
+    val got = CommitLog.readWhere(spark, t, "k", 0d, 20d)
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq === (10L to 20L))
+  }
 }
