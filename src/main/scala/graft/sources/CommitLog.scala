@@ -260,7 +260,7 @@ object CommitLog {
     * each add a different column commute: neither's column is lost from
     * the read schema. Same-name-different-type is the one thing that
     * cannot union; it throws the typed conflict. */
-  private final case class State(live: mutable.LinkedHashSet[String],
+  private[sources] final case class State(live: mutable.LinkedHashSet[String],
                                  bounds: mutable.Map[String, (Double, Double)],
                                  txns: mutable.Map[String, Long],
                                  schema: mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField],
@@ -333,7 +333,7 @@ object CommitLog {
     * exists — replay cost is then O(commits since checkpoint), not
     * O(table lifetime); the pre-checkpoint commit files aren't even
     * opened (CommitLogSpec proves this by corrupting them). */
-  private def replay(table: String, v: Long, store: LogStore): State = {
+  private[sources] def replay(table: String, v: Long, store: LogStore): State = {
     val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty,
       mutable.Map.empty, mutable.LinkedHashMap.empty)
     val cp = latestCheckpointAtOrBefore(table, v, store)
@@ -634,7 +634,7 @@ object CommitLog {
     * position-keyed anti-join against the (broadcast) mask, zero work
     * when no sidecar is live (the plan is the plain scan, byte-identical
     * to the pre-DV engine). */
-  private def maskedRead(spark: SparkSession, table: String, st: State,
+  private[sources] def maskedRead(spark: SparkSession, table: String, st: State,
                          files: Seq[String]): DataFrame = {
     val reader = st.schemaStruct match {
       case Some(s) => spark.read.schema(s)
@@ -1146,7 +1146,7 @@ object CommitLog {
     * filter). A legacy log with no typed schema falls back to the raw
     * string form — exact for the same-typed int/string probes it always
     * served. */
-  private def canonicalProbe(st: State, column: String, value: Any): Option[String] = {
+  private[sources] def canonicalProbe(st: State, column: String, value: Any): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
     import org.apache.spark.sql.types.StringType
     st.schemaStruct.flatMap(_.fields.find(_.name == column)).map(_.dataType) match {
@@ -1175,7 +1175,7 @@ object CommitLog {
     * kept, and a probe value that cannot be canonicalized to the write
     * side's hashed form keeps EVERYTHING (conservative — pruning is an
     * optimization, never a filter). */
-  private def bloomKeeps(st: State, column: String, value: Any): Seq[String] =
+  private[sources] def bloomKeeps(st: State, column: String, value: Any): Seq[String] =
     canonicalProbe(st, column, value) match {
       case None => st.live.toSeq
       case Some(canon) =>
@@ -2936,6 +2936,41 @@ object CommitLog {
       "user_id")
     graft.operators.Komodo.userEnergyFrom(read(spark, table))
   }
+
+  /** The SQL surface end-to-end (the r16 verdict's #2 ask): orders lands
+    * range-clustered through [[appendIndexed]], a key range is dv-deleted
+    * (merge-on-read — the mask must apply through SQL too), the table is
+    * loaded via `spark.read.format("graft-commitlog")` with the
+    * `indexCol` option naming the clustered column, registered as a temp
+    * view, and the analytic is RAW SQL TEXT over that view — the
+    * reference's native mode (every reference analytic is a SQL string,
+    * process.py:79-84). The BETWEEN predicate is pushed into the
+    * relation, which prunes files on the recorded bounds exactly as
+    * [[readWhere]] does (CommitLogRelationSpec pins the file-count
+    * equality); the oracle asserts the pruning + mask lost no rows. */
+  def occSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_sql").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey")
+    deleteWhereDv(spark, table, col("o_orderkey").between(1500, 1600))
+    spark.read.format("graft-commitlog")
+      .option("table", table).option("indexCol", "o_orderkey").load()
+      .createOrReplaceTempView("occ_sql_read_view")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM occ_sql_read_view
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val occSqlReadSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000
+      |  AND o_orderkey NOT BETWEEN 1500 AND 1600
+      |ORDER BY o_orderkey""".stripMargin
 
   val occCdcFeedSql: String =
     """SELECT n_nationkey, n_name, n_regionkey,

@@ -267,29 +267,7 @@ class CommitLogSink(sqlContext: SQLContext, table: String, appId: String,
   override def toString: String = s"CommitLogSink[$table, app=$appId]"
 }
 
-/** `DataSourceRegister` provider for [[CommitLogSink]]. */
-class CommitLogSinkProvider
-  extends org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
-
-  override def shortName(): String = "graft-commitlog"
-
-  override def createSink(sqlContext: SQLContext,
-                          parameters: Map[String, String],
-                          partitionColumns: Seq[String],
-                          outputMode: org.apache.spark.sql.streaming.OutputMode)
-      : org.apache.spark.sql.execution.streaming.Sink = {
-    require(partitionColumns.isEmpty,
-      "graft-commitlog does not take partitionBy — pass indexCol for data skipping")
-    // the sink can only APPEND: a Complete/Update stream re-emits rows
-    // across triggers, and appending those would silently duplicate them
-    // in the table — reject at stream construction, not at runtime
-    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
-      s"graft-commitlog only supports Append output mode, got $outputMode — " +
-        "Complete/Update modes re-emit rows and an append sink would duplicate them")
-    new CommitLogSink(sqlContext,
-      parameters.getOrElse("table", throw new IllegalArgumentException(
-        "graft-commitlog needs .option(\"table\", <commit-log table root>)")),
-      parameters.getOrElse("appId", "stream"),
-      parameters.get("indexCol"))
-  }
-}
+// The `graft-commitlog` DataSourceRegister provider lives in
+// [[graft.sources.CommitLogProvider]] — ONE short name serving both this
+// streaming sink and the batch read relation ([[graft.sources
+// .CommitLogRelation]], the SQL surface).

@@ -1,0 +1,159 @@
+package graft
+
+import graft.sources.{CommitLog, CommitLogRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, LessThanOrEqual}
+import java.nio.file.Files
+
+/** The batch DataSource + SQL surface over commit-log tables
+  * (`spark.read.format("graft-commitlog")` → [[CommitLogRelation]]) —
+  * the r16 verdict's #2 ask. The load-bearing claims:
+  *   - SQL text over a registered view returns exactly what the method
+  *     API returns (deletion vectors applied, snapshots honored);
+  *   - file-listing-time pruning SURVIVES the source: the file set a
+  *     pushed filter conjunction keeps equals `readWhere`'s /
+  *     `prunedFilesBloom`'s / `prunedFilesBox`'s for the same predicate;
+  *   - time travel maps through `versionAsOf` / `timestampAsOf`. */
+class CommitLogRelationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("commitlog_rel").toString
+
+  private def indexedTable(n: Int = 100, files: Int = 4): String = {
+    val t = freshTable()
+    CommitLog.appendIndexed(spark, t,
+      (0 until n).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+        .repartitionByRange(files, col("k")), "k")
+    t
+  }
+
+  private def load(t: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("graft-commitlog").option("table", t)
+      .option("indexCol", "k")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("SQL text over the view equals the method API (incl. the dv mask)") {
+    val t = indexedTable()
+    CommitLog.deleteWhereDv(spark, t, col("k").between(40, 49))
+    load(t).createOrReplaceTempView("clr_sql")
+    val viaSql = spark.sql(
+      "SELECT k, s FROM clr_sql WHERE k BETWEEN 30 AND 60 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    val viaApi = CommitLog.readWhere(spark, t, "k", 30d, 60d)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.map(_._1) === ((30L to 39L) ++ (50L to 60L)))
+  }
+
+  test("range pruning through pushed filters equals readWhere's file set") {
+    val t = indexedTable()
+    val viaApi = CommitLog.prunedFiles(t, 10d, 30d).toSet
+    val viaSource = CommitLogRelation.filesForFilters(t, Some("k"),
+      Seq(GreaterThanOrEqual("k", 10L), LessThanOrEqual("k", 30L))).toSet
+    assert(viaSource === viaApi)
+    assert(viaSource.size < CommitLog.snapshot(t).files.size,
+      "the fixture must actually prune")
+    // and the pruned read loses no rows
+    assert(load(t).where(col("k").between(10, 30)).select("k")
+      .as[Long].collect().sorted.toSeq === (10L to 30L))
+  }
+
+  test("bloom equality pruning through pushed filters equals prunedFilesBloom's") {
+    val t = freshTable()
+    CommitLog.appendBloomed(spark, t,
+      (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+        .repartition(8), "k", bits = 1 << 14)
+    val viaApi = CommitLog.prunedFilesBloom(t, "k", 123L).toSet
+    assert(viaApi.size < 8)
+    assert(CommitLogRelation.filesForFilters(t, None,
+      Seq(EqualTo("k", 123L))).toSet === viaApi)
+    // type-mismatched SQL literal canonicalizes the same way
+    assert(CommitLogRelation.filesForFilters(t, None,
+      Seq(EqualTo("k", java.lang.Double.valueOf(123.0)))).toSet === viaApi)
+    // IN = union of the per-value keeps
+    val union = CommitLog.prunedFilesBloom(t, "k", 123L).toSet
+      .union(CommitLog.prunedFilesBloom(t, "k", 7L).toSet)
+    assert(CommitLogRelation.filesForFilters(t, None,
+      Seq(In("k", Array[Any](123L, 7L)))).toSet === union)
+    // end to end through SQL text
+    load(t).createOrReplaceTempView("clr_bloom")
+    assert(spark.sql("SELECT s FROM clr_bloom WHERE k = 123")
+      .as[String].collect().toSeq === Seq("v123"))
+  }
+
+  test("zonemap box pruning through pushed filters equals prunedFilesBox's") {
+    val t = freshTable()
+    val df = (0 until 1000).map(i => (i.toLong, (i % 100).toLong, s"v$i"))
+      .toDF("a", "b", "s")
+    CommitLog.appendClustered(spark, t, df, Seq("a", "b"), files = 16)
+    val box = Map("a" -> (100d, 300d), "b" -> (10d, 40d))
+    val viaApi = CommitLog.prunedFilesBox(t, box).toSet
+    val viaSource = CommitLogRelation.filesForFilters(t, None,
+      Seq(GreaterThanOrEqual("a", 100L), LessThanOrEqual("a", 300L),
+          GreaterThanOrEqual("b", 10L), LessThanOrEqual("b", 40L))).toSet
+    assert(viaSource === viaApi)
+    assert(viaSource.size < CommitLog.snapshot(t).files.size)
+  }
+
+  test("versionAsOf / timestampAsOf time travel through the source") {
+    val t = indexedTable()
+    val ts = CommitLog.commitTimestamps(t).toMap
+    CommitLog.deleteWhere(spark, t, col("k") >= 50L)
+    assert(load(t).count() === 50L)
+    assert(load(t, Map("versionAsOf" -> "0")).count() === 100L)
+    // a timestamp at v0's monotone stamp addresses v0
+    assert(load(t, Map("timestampAsOf" -> ts(0L).toString)).count() === 100L)
+    // ISO-8601 form of the same instant
+    val iso = java.time.Instant.ofEpochMilli(ts(0L)).toString
+    assert(load(t, Map("timestampAsOf" -> iso)).count() === 100L)
+    intercept[IllegalArgumentException] {
+      load(t, Map("versionAsOf" -> "0", "timestampAsOf" -> "0")).count()
+    }
+  }
+
+  test("a registered view is a pinned snapshot; re-load sees later commits") {
+    val t = indexedTable()
+    load(t).createOrReplaceTempView("clr_pin")
+    CommitLog.append(spark, t, Seq((1000L, "late")).toDF("k", "s"))
+    assert(spark.sql("SELECT count(*) FROM clr_pin").as[Long].head() === 100L,
+      "the view must keep its load-time snapshot")
+    assert(load(t).count() === 101L)
+  }
+
+  test("count(*) (empty projection) and schema-stable empty results") {
+    val t = indexedTable()
+    load(t).createOrReplaceTempView("clr_cnt")
+    assert(spark.sql("SELECT count(*) FROM clr_cnt").as[Long].head() === 100L)
+    val empty = spark.sql("SELECT k, s FROM clr_cnt WHERE k = -5")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("k", "s"))
+  }
+
+  test("streaming sink still resolves under the unified provider") {
+    // the short name moved providers (graft.streaming.CommitLogSinkProvider
+    // -> graft.sources.CommitLogProvider); the sink face must be unchanged
+    val t = freshTable()
+    val src = Files.createTempDirectory("clr_sink_src")
+    val ckpt = Files.createTempDirectory("clr_sink_ckpt").toString
+    (0 until 10).map(i => s"""{"k":$i}""").zipWithIndex.foreach { case (l, i) =>
+      Files.write(src.resolve(s"f$i.json"), l.getBytes("UTF-8"))
+    }
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      .json(src.toString)
+      .writeStream.format("graft-commitlog")
+      .option("table", t).option("appId", "clr")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(CommitLog.read(spark, t).count() === 10L)
+    // and the batch face reads the stream-written table through SQL
+    load(t).createOrReplaceTempView("clr_roundtrip")
+    assert(spark.sql("SELECT count(*) FROM clr_roundtrip").as[Long].head() === 10L)
+  }
+}
