@@ -117,11 +117,21 @@ object Ingest {
     }
   }
 
-  /** Streaming ingest (T1): file source over the captures directory,
-    * 10-second micro-batches (the reference's poll interval,
-    * process.py:469), checkpointed parquet sink. A capture becomes
-    * visible to the source only when its file is fully committed —
-    * the analog of the reference's `end IS NOT NULL` readiness gate. */
+  /** MIGRATION SHIM — the plain-parquet streaming ingest this engine
+    * shipped before the capture fact table moved onto the commit log.
+    * New deployments use [[streamCapturesLog]]: same 10 s micro-batch
+    * file source and no-reprocess guarantee, plus the ACID layer's whole
+    * contract (txn-marker exactly-once, concurrent compaction under OCC,
+    * per-file session bounds, time travel/CDC/constraints/restore). This
+    * form is kept ONLY so an existing plain-parquet deployment can keep
+    * its checkpoint running while it migrates (drain the stream, copy
+    * the directory's rows through `CommitLog.append`, restart on the log
+    * form with a fresh checkpoint — the appId txn ledger makes a replay
+    * of the cutover batch a no-op). No engine code path calls it; the
+    * restart/no-reprocess coverage lives on the log form
+    * (StreamingSpec T2, CaptureLogSpec). */
+  @deprecated("capture ingest lives on the commit log — use streamCapturesLog " +
+    "(see the migration note in the scaladoc)", "r17")
   def streamCaptures(spark: SparkSession, inputDir: String, tableDir: String,
                      checkpointDir: String,
                      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
@@ -136,9 +146,9 @@ object Ingest {
       .trigger(trigger)
       .start()
 
-  /** Streaming ingest onto the COMMIT LOG (the one-table-layer form —
-    * [[streamCaptures]] is the reference-parity plain-parquet twin, kept
-    * for the migration story): the same 10 s micro-batch file source,
+  /** Streaming ingest onto the COMMIT LOG — THE capture ingest (the
+    * deprecated [[streamCaptures]] shim exists only for in-flight
+    * migrations off plain parquet): the same 10 s micro-batch file source,
     * landing through the `graft-commitlog` sink, so the capture fact
     * table gets the ACID layer's whole contract instead of the
     * single-writer one —

@@ -355,16 +355,21 @@ class StreamingSpec extends SparkSpec {
         .stripMargin.replace("\n", "")
     Files.writeString(java.nio.file.Paths.get(s"$in/c1.json"), rec)
 
-    val q1 = Ingest.streamCaptures(spark, in, out, ck, Trigger.AvailableNow())
+    // the log form IS the capture ingest now (the plain-parquet form is a
+    // deprecated migration shim with no engine caller)
+    val q1 = Ingest.streamCapturesLog(spark, in, out, ck,
+      trigger = Trigger.AvailableNow())
     q1.awaitTermination()
-    assert(spark.read.parquet(out).count() === 1)
+    assert(graft.sources.CommitLog.read(spark, out).count() === 1)
 
     // restart over the same checkpoint: nothing new → still exactly one row
-    val q2 = Ingest.streamCaptures(spark, in, out, ck, Trigger.AvailableNow())
+    val q2 = Ingest.streamCapturesLog(spark, in, out, ck,
+      trigger = Trigger.AvailableNow())
     q2.awaitTermination()
-    assert(spark.read.parquet(out).count() === 1)
+    assert(graft.sources.CommitLog.read(spark, out).count() === 1)
 
-    val row = spark.read.parquet(out).selectExpr("message.pos.x").first()
+    val row = graft.sources.CommitLog.read(spark, out)
+      .selectExpr("message.pos.x").first()
     assert(row.getDouble(0) === 1.0)
   }
 
