@@ -371,7 +371,7 @@ object CommitLog {
     * change files the row-level feed cannot represent them, so
     * [[readChangesCdc]] raises the typed gap. */
   private val MutationOps =
-    Set("delete", "update", "merge", "apply",
+    Set("delete", "update", "merge", "apply", "overwrite",
         "deletedv", "updatedv", "mergedv", "applydv")
 
   /** Set a table property (committed, versioned, checkpoint-carried like
@@ -944,6 +944,59 @@ object CommitLog {
     val (tip, meta) = metaFor(table, df, store)
     commit(table, infoAct("append") +: meta +:
       stage(spark, table, df, checks = checksAt(table, store)),
+      readVersion = tip, store)
+  }
+
+  /** INSERT OVERWRITE as ONE atomic commit: stage the frame, then commit
+    * remove(every live file at the read snapshot) + dvremove(every live
+    * sidecar — masks die with the data they masked) + add(staged). A
+    * reader sees the old table or the new one, never a mix; time travel
+    * keeps the pre-overwrite versions; the removes make a racing
+    * rewrite/DV commit surface as the typed conflict, while a racing
+    * APPEND commutes and its rows SURVIVE the overwrite (it was not in
+    * the snapshot being replaced — the same write-serializable rule the
+    * public lakehouse formats apply to blind appends vs overwrite).
+    *
+    * Schema stays ADDITIVE-union like every commit (an overwrite
+    * replaces DATA, not history: columns the table ever carried still
+    * read as NULL where absent, and a same-name-different-type frame
+    * still throws before staging). CHECK constraints validate the new
+    * rows. With CDC on (property or flag) the commit records the old
+    * rows as `delete` and the new as `insert` change files — without
+    * them a CDC consumer would hit the typed gap, since an overwrite is
+    * a row mutation, not a reorganization. Pass `indexCol` to record
+    * data-skipping bounds on the new files. Returns the commit version. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+                indexCol: Option[String] = None,
+                cdc: Boolean = false,
+                store: LogStore = LocalStore): Long = {
+    import org.apache.spark.sql.functions.lit
+    val (tip, meta) = metaFor(table, df, store)
+    if (tip < 0) // nothing to replace: an overwrite of no table is a create
+      return commit(table, infoAct("append") +: meta +:
+        stage(spark, table, df, indexCol), readVersion = -1L, store)
+    val st = replay(table, tip, store)
+    val adds = stage(spark, table, df, indexCol,
+      checks = constraintsOf(st.props))
+    val cdcOn = cdc || st.props.get("cdc").contains("true")
+    val cdcActs =
+      if (!cdcOn || st.live.isEmpty) Nil
+      else {
+        // old rows retract, new rows insert — both sides full-fidelity.
+        // The new side re-reads the STAGED files (not the input plan), so
+        // a non-deterministic frame cannot make the feed diverge from
+        // the table (the stage-time CHECK rationale, applied to CDC).
+        val oldRows = maskedRead(spark, table, st, st.live.toSeq)
+          .withColumn("_change_type", lit("delete"))
+        val newRows = spark.read.parquet(
+            adds.map(a => Paths.get(table, a.path).toString): _*)
+          .withColumn("_change_type", lit("insert"))
+        stageChanges(spark, table,
+          oldRows.unionByName(newRows, allowMissingColumns = true))
+      }
+    val removes = st.live.toSeq.map(Action("remove", _, 0L)) ++
+      st.dvs.toSeq.map(p => Action("dvremove", p, st.dvRowsOf.getOrElse(p, 0L)))
+    commit(table, infoAct("overwrite") +: meta +: (removes ++ adds ++ cdcActs),
       readVersion = tip, store)
   }
 
@@ -2970,6 +3023,36 @@ object CommitLog {
     """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
       |WHERE o_orderkey BETWEEN 1000 AND 2000
       |  AND o_orderkey NOT BETWEEN 1500 AND 1600
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** The batch WRITE face end-to-end: the table is created, extended and
+    * replaced purely through `df.write.format("graft-commitlog")` —
+    * ErrorIfExists create (range-clustered, indexCol bounds recorded),
+    * an Append, then an atomic Overwrite with the doubled-price
+    * projection — and read back at the tip. The oracle pins overwrite
+    * semantics: only the final projection is visible (the earlier
+    * create and append are replaced — and still time-travelable,
+    * CommitLogRelationSpec asserts that side). */
+  def occSqlWrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_sqlw").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def writer(df: DataFrame) = df.write.format("graft-commitlog")
+      .option("table", table).option("indexCol", "o_orderkey")
+    writer(o.repartitionByRange(8, col("o_orderkey")))
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save()
+    writer(o.where(col("o_orderkey") <= 100))
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    writer(o.withColumn("o_totalprice", col("o_totalprice") * 2)
+        .repartitionByRange(8, col("o_orderkey")))
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  val occSqlWriteSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
   val occCdcFeedSql: String =

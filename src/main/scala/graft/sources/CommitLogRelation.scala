@@ -201,13 +201,18 @@ object CommitLogRelation {
   }
 }
 
-/** The `graft-commitlog` format, both faces: BATCH READ (RelationProvider
-  * → [[CommitLogRelation]]) and STREAMING SINK (the exactly-once
+/** The `graft-commitlog` format, all three faces: BATCH READ
+  * (RelationProvider → [[CommitLogRelation]]), BATCH WRITE
+  * (CreatableRelationProvider → `df.write.format("graft-commitlog")
+  * .mode(...).save()`, and with it `spark.catalog.createTable` /
+  * `CREATE TABLE ... USING graft-commitlog` — a log-backed table can
+  * live in the CATALOG, the last piece of the reference's SQL-text-over-
+  * live-tables mode; the session's relation cache pins the resolved
+  * snapshot, so commits made OUTSIDE the session surface after
+  * `spark.catalog.refreshTable`, the standard data-source contract),
+  * and STREAMING SINK (the exactly-once
   * [[graft.streaming.CommitLogSink]] this short name has registered
-  * since the sink landed). One name, because it is one table layer:
-  * `readStream.format("graft-changefeed")` in, `writeStream
-  * .format("graft-commitlog")` out, `spark.read.format("graft-commitlog")`
-  * (and SQL text over the registered view) across.
+  * since the sink landed). One name, because it is one table layer.
   *
   * Read options: `table` (required — the commit-log table root),
   * `indexCol` (optional — names the [[CommitLog.appendIndexed]] column so
@@ -216,10 +221,18 @@ object CommitLogRelation {
   * ISO-8601 instant, resolved through the monotone provenance clock,
   * [[CommitLog.versionAtTimestamp]]). At most one of the AS OF options.
   *
+  * Write modes: Append → [[CommitLog.append]]/[[CommitLog.appendIndexed]]
+  * (with `indexCol` recording data-skipping bounds); Overwrite →
+  * [[CommitLog.overwrite]] (one atomic replace commit, time travel
+  * keeps history); ErrorIfExists/Ignore follow SaveMode's contract on
+  * table existence. All OCC — concurrent writers through ANY face
+  * serialize on the log.
+  *
   * Sink options: `table` (required), `appId` (default `stream`),
   * `indexCol` (optional data-skipping bounds on appended files). */
 class CommitLogProvider
-  extends RelationProvider with StreamSinkProvider with DataSourceRegister {
+  extends RelationProvider with CreatableRelationProvider
+  with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-commitlog"
 
@@ -245,6 +258,42 @@ class CommitLogProvider
     require(v >= 0 && v <= tip, s"version $v does not exist (tip is $tip)")
     new CommitLogRelation(sqlContext, table, parameters.get("indexCol"),
       v, CommitLog.LocalStore)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val table = tableOf(parameters)
+    val indexCol = parameters.get("indexCol")
+    val exists = CommitLog.latestVersion(table) >= 0
+    mode match {
+      case SaveMode.Append =>
+        indexCol match {
+          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
+          case None    => CommitLog.append(spark, table, data)
+        }
+      case SaveMode.Overwrite =>
+        CommitLog.overwrite(spark, table, data, indexCol)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"commit-log table $table already exists (SaveMode.ErrorIfExists) — " +
+            "use Append, Overwrite, or Ignore")
+        else indexCol match {
+          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
+          case None    => CommitLog.append(spark, table, data)
+        }
+      case SaveMode.Ignore =>
+        if (!exists) indexCol match {
+          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
+          case None    => CommitLog.append(spark, table, data)
+        }
+    }
+    // hand back the read relation at the NEW tip (the DataFrameWriter
+    // contract; also what the catalog stores for CREATE TABLE ... USING)
+    createRelation(sqlContext, parameters)
   }
 
   override def createSink(sqlContext: SQLContext,

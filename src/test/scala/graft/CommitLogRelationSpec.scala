@@ -131,6 +131,113 @@ class CommitLogRelationSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("k", "s"))
   }
 
+  test("batch write face: append / overwrite / errorIfExists / ignore") {
+    import org.apache.spark.sql.SaveMode
+    val t = freshTable()
+    def write(df: org.apache.spark.sql.DataFrame, mode: SaveMode) =
+      df.write.format("graft-commitlog").option("table", t)
+        .option("indexCol", "k").mode(mode).save()
+    write((0 until 50).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k")), SaveMode.ErrorIfExists)
+    write((50 until 60).map(i => (i.toLong, s"v$i")).toDF("k", "s"), SaveMode.Append)
+    assert(CommitLog.read(spark, t).count() === 60L)
+    // indexCol recorded bounds on the clustered write: range reads prune
+    assert(CommitLog.prunedFiles(t, 0d, 5d).size
+      < CommitLog.snapshot(t).files.size)
+    // ErrorIfExists refuses a second create
+    intercept[IllegalArgumentException] {
+      write(Seq((1L, "x")).toDF("k", "s"), SaveMode.ErrorIfExists)
+    }
+    // Ignore on an existing table is a no-op
+    write(Seq((999L, "ignored")).toDF("k", "s"), SaveMode.Ignore)
+    assert(CommitLog.read(spark, t).count() === 60L)
+    // Overwrite replaces the data in ONE commit; time travel keeps history
+    val tipBefore = CommitLog.latestVersion(t)
+    write((100 until 110).map(i => (i.toLong, s"n$i")).toDF("k", "s"),
+      SaveMode.Overwrite)
+    assert(CommitLog.latestVersion(t) === tipBefore + 1)
+    assert(CommitLog.read(spark, t).select("k").as[Long].collect().sorted
+      .toSeq === (100L until 110L))
+    assert(CommitLog.read(spark, t, asOf = Some(tipBefore)).count() === 60L,
+      "the overwritten snapshot must stay time-travelable")
+  }
+
+  test("overwrite is a CDC mutation: old rows retract, new rows insert (or typed gap)") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val cursor = CommitLog.latestVersion(t)
+    // without CDC, a consumer window spanning the overwrite is a LOUD gap
+    CommitLog.overwrite(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    intercept[CommitLog.CdcGapException] {
+      CommitLog.readChangesCdc(spark, t, fromVersion = cursor)
+    }
+    // with CDC on, the feed carries the full replacement
+    val t2 = freshTable()
+    CommitLog.append(spark, t2, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    CommitLog.setTableProperty(t2, "cdc", "true")
+    val c2 = CommitLog.latestVersion(t2)
+    CommitLog.overwrite(spark, t2, Seq((3L, "c")).toDF("k", "s"))
+    val (_, feed) = CommitLog.readChangesCdc(spark, t2, fromVersion = c2)
+    val changes = feed.get.select("k", "_change_type").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(changes === Seq((1L, "delete"), (2L, "delete"), (3L, "insert")))
+    // a dv-masked row is NOT retracted twice: mask applies to the old side
+    val t3 = freshTable()
+    CommitLog.append(spark, t3, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    CommitLog.deleteWhereDv(spark, t3, col("k") === 1L)
+    val c3 = CommitLog.latestVersion(t3)
+    CommitLog.overwrite(spark, t3, Seq((9L, "z")).toDF("k", "s"), cdc = true)
+    val (_, feed3) = CommitLog.readChangesCdc(spark, t3, fromVersion = c3)
+    assert(feed3.get.select("k", "_change_type").as[(Long, String)]
+      .collect().sorted.toSeq === Seq((2L, "delete"), (9L, "insert")),
+      "the dv-deleted row was already dead — it must not retract again")
+  }
+
+  test("a racing append survives an overwrite (write-serializable rule)") {
+    val t = freshTable()
+    CommitLog.append(spark, t, (0 until 20).map(i => (i.toLong, "old")).toDF("k", "s"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ops: Seq[() => Unit] = Seq(
+      () => { CommitLog.overwrite(spark, t,
+        (100 until 110).map(i => (i.toLong, "new")).toDF("k", "s")); () },
+      () => { CommitLog.append(spark, t, Seq((999L, "raced")).toDF("k", "s")); () })
+    val threads = ops.map { op =>
+      new Thread(() => {
+        try { gate.await(); op() } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failure: ${Option(errs.peek())}")
+    val ks = CommitLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+    // exactly the two legal serializations, never a torn mix: either the
+    // append was OUTSIDE the overwrite's snapshot (raced or landed after
+    // → it survives the replace), or the overwrite's snapshot read
+    // happened to include it (→ replaced with the rest — that IS
+    // overwrite semantics). The original snapshot's rows are gone either
+    // way, and nothing is half-replaced.
+    assert(ks === (100L until 110L) ++ Seq(999L) || ks === (100L until 110L),
+      s"torn overwrite/append state: $ks")
+  }
+
+  test("catalog table: CREATE TABLE USING graft-commitlog, queried as SQL text") {
+    val t = indexedTable()
+    spark.sql("DROP TABLE IF EXISTS clr_cat")
+    spark.catalog.createTable("clr_cat", "graft-commitlog",
+      Map("table" -> t, "indexCol" -> "k"))
+    try {
+      assert(spark.sql("SELECT count(*) FROM clr_cat").as[Long].head() === 100L)
+      // later commits become visible after refreshTable — the same
+      // relation-cache contract every external write to a data-source
+      // catalog table has (the cache pins the resolved snapshot)
+      CommitLog.append(spark, t, Seq((1000L, "late")).toDF("k", "s"))
+      spark.catalog.refreshTable("clr_cat")
+      assert(spark.sql("SELECT count(*) FROM clr_cat").as[Long].head() === 101L)
+      assert(spark.sql("SELECT s FROM clr_cat WHERE k = 1000").as[String]
+        .collect().toSeq === Seq("late"))
+    } finally spark.sql("DROP TABLE IF EXISTS clr_cat")
+  }
+
   test("streaming sink still resolves under the unified provider") {
     // the short name moved providers (graft.streaming.CommitLogSinkProvider
     // -> graft.sources.CommitLogProvider); the sink face must be unchanged
