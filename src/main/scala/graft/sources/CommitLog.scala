@@ -2214,6 +2214,33 @@ object CommitLog {
       readVersion = version, store)
   }
 
+  /** Policy-driven maintenance — the operator loop in one idempotent
+    * call: compact when the live set fragments past `maxFiles` (a
+    * streaming sink writes a file per trigger; ten thousand small files
+    * is the classic read-amplification failure) or when accumulated
+    * deletion-vector masks exceed `maxMaskRows` (every masked read pays
+    * the anti-join until compaction materializes the masks —
+    * [[deletionVectors]] is the gauge, this is the actuator). Re-clusters
+    * on `clusterCols` when given (restoring zonemap pruning fragmented by
+    * small appends), plain-compacts otherwise. Below both thresholds it
+    * commits NOTHING (a no-op maintenance tick is free, so it can run on
+    * a schedule). OCC as always: racing appends commute, a racing rewrite
+    * hits the typed conflict — run it beside live writers, no window.
+    * Returns the compaction version, or -1 for the no-op tick. */
+  def maintain(spark: SparkSession, table: String,
+               maxFiles: Int = 64, maxMaskRows: Long = 1000000L,
+               targetFiles: Int = 8, clusterCols: Seq[String] = Nil,
+               store: LogStore = LocalStore): Long = {
+    val tip = latestVersion(table, store)
+    require(tip >= 0, s"$table has no commits to maintain")
+    val st = replay(table, tip, store)
+    val maskRows = st.dvs.toSeq.map(st.dvRowsOf.getOrElse(_, 0L)).sum
+    if (st.live.size <= maxFiles && maskRows <= maxMaskRows) return -1L
+    if (clusterCols.nonEmpty)
+      compactClustered(spark, table, clusterCols, targetFiles, store)
+    else compact(spark, table, targetFiles, store)
+  }
+
   /** OPTIMIZE-ZORDER maintenance: compaction that RE-CLUSTERS — rewrite
     * the live set z-ordered on `clusterCols` and re-record the
     * multi-column zonemap, so a table fragmented by many small
@@ -3024,6 +3051,39 @@ object CommitLog {
       |WHERE o_orderkey BETWEEN 1000 AND 2000
       |  AND o_orderkey NOT BETWEEN 1500 AND 1600
       |ORDER BY o_orderkey""".stripMargin
+
+  /** The change feed's SQL surface: the same three-commit CDC script as
+    * [[occCdcFeed]], but the feed is loaded as a BATCH window through
+    * `spark.read.format("graft-changefeed").option("cdc", "true")`,
+    * registered as a view, and the analytic is SQL text over it — the
+    * `table_changes()` shape. Oracle: [[occCdcFeedSql]] unchanged (the
+    * window is the whole feed, and windows are immutable). */
+  def occSqlChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_sql_cdc").toString
+    val nation = Tables.nation(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    append(spark, table, nation)
+    val updates = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_regionkey", col("n_regionkey") + 100)
+    val inserts = nation.where(col("n_nationkey") < 5)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    mergeInto(spark, table, updates.unionByName(inserts),
+      Seq("n_nationkey"), cdc = true)
+    deleteWhere(spark, table,
+      col("n_nationkey") >= 20 && col("n_nationkey") < 100, cdc = true)
+    spark.read.format("graft-changefeed")
+      .option("table", table).option("cdc", "true").load()
+      .createOrReplaceTempView("occ_sql_changes_view")
+    spark.sql(
+      """SELECT n_nationkey, n_name, n_regionkey, _change_type, _commit_version
+        |FROM occ_sql_changes_view
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin)
+  }
+
+  // def, not val: occCdcFeedSql is declared later in this object and a
+  // val here would capture null during object initialization
+  def occSqlChangesSql: String = occCdcFeedSql
 
   /** The batch WRITE face end-to-end: the table is created, extended and
     * replaced purely through `df.write.format("graft-commitlog")` —

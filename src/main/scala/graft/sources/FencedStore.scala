@@ -134,6 +134,34 @@ final class FencedStore(crashBeforePublish: Boolean = false)
     new String(Files.readAllBytes(p), "UTF-8")
   }
 
+  /** Arbiter GC: drop the claim (and any leftover staged payload) of
+    * every PUBLISHED object — one tiny arbiter record per commit
+    * otherwise accumulates forever (in production: a DynamoDB TTL or
+    * sweep; here: an explicit maintenance call, the vacuum of the
+    * coordination plane). Safe by the protocol's own fast path: once the
+    * object is visible, `putIfAbsent` refuses on existence WITHOUT
+    * consulting the claim, and read/list never need repair again. A
+    * claim whose object is NOT yet published is a crashed winner's only
+    * durability record — never collected. Returns the GC'd claim names. */
+  def gcClaims(dir: Path): Seq[String] = {
+    val arb = arbiterDir(dir)
+    if (!Files.isDirectory(arb)) return Nil
+    CommitLog.LocalStore.list(arb).flatMap { c =>
+      val name = c.getFileName.toString
+      if (!name.endsWith(".claim")) None
+      else {
+        val target = dir.resolve(name.stripSuffix(".claim"))
+        if (!Files.exists(target)) None // crashed winner: keep for repair
+        else {
+          val stagedName = new String(Files.readAllBytes(c), "UTF-8").trim
+          Files.deleteIfExists(target.resolveSibling(stagedName))
+          Files.delete(c)
+          Some(name)
+        }
+      }
+    }
+  }
+
   /** Listing repairs claimed-but-unpublished objects first, so the tip
     * is visible to the next writer/reader the moment its claim lands —
     * the property [[CommitLog.latestVersion]] rests on. Staged payloads

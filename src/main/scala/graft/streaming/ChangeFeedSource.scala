@@ -157,8 +157,55 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
   override def stop(): Unit = ()
 }
 
+/** Batch face of the change feed: `spark.read.format("graft-changefeed")`
+  * loads a VERSION WINDOW of changes as a plain DataFrame — registered
+  * as a view, that is the feed's SQL surface (the `table_changes()`
+  * analog of the public lakehouse formats, completing the r17 SQL story:
+  * tables AND their change feeds are queryable as SQL text). Options:
+  * `table` (required), `cdc` (`"true"` = the row-level feed with
+  * `_change_type`/`_commit_version`, retractions included — the batch
+  * face of [[graft.sources.CommitLog.readChangesCdc]]; default = the
+  * append feed), `startingVersion` (exclusive floor, default -1 =
+  * genesis), `endingVersion` (inclusive, default tip — the window pins
+  * at load time, so a registered view is a stable batch). The window's
+  * rows are immutable (commits and change files never change), so the
+  * same window re-loaded is byte-identical — what makes feed-driven
+  * backfills replayable. */
+class ChangeFeedRelation(override val sqlContext: SQLContext,
+                         table: String, cdcMode: Boolean,
+                         fromVersion: Long, toVersion: Long)
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.TableScan {
+
+  private val spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    if (cdcMode) ChangeFeedProvider.cdcSchema(spark, table)
+    else ChangeFeedProvider.tableSchema(spark, table)
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val window: Option[DataFrame] =
+      if (cdcMode)
+        CommitLog.readChangesCdc(spark, table, fromVersion, Some(toVersion))._2
+      else
+        CommitLog.readChanges(spark, table, fromVersion, Some(toVersion))._2
+    val df = window match {
+      case Some(w) => w.select(schema.fieldNames.toSeq.map(col): _*)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    df.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+}
+
 /** `DataSourceRegister` provider for [[ChangeFeedSource]] (registered in
-  * `META-INF/services`, so `.format("graft-changefeed")` resolves).
+  * `META-INF/services`, so `.format("graft-changefeed")` resolves), and
+  * for the BATCH window face ([[ChangeFeedRelation]] — add
+  * `endingVersion` to bound the window; batch reads default to the tip).
   * Options: `table` (required — the commit-log table root),
   * `startingVersion` (optional exclusive floor; default -1 streams the
   * table from genesis, i.e. v0's rows are the first batch),
@@ -174,9 +221,23 @@ class ChangeFeedSource(sqlContext: SQLContext, table: String,
   * (optional, `"true"` switches to the row-level change feed:
   * `_change_type`-typed rows with `_commit_version`, retractions
   * included — the streaming face of [[CommitLog.readChangesCdc]]). */
-class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+class ChangeFeedProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changefeed"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val table = tableOf(parameters)
+    val tip = CommitLog.latestVersion(table)
+    require(tip >= 0, s"$table has no commits — append before reading its feed")
+    val from = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
+    val to = parameters.get("endingVersion").map(_.toLong).getOrElse(tip)
+    require(to <= tip, s"endingVersion $to does not exist (tip is $tip)")
+    require(from <= to, s"empty window: startingVersion $from > endingVersion $to")
+    new ChangeFeedRelation(sqlContext, table, cdcOf(parameters), from, to)
+  }
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("table",

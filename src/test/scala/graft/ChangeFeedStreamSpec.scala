@@ -61,6 +61,46 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(counted === 0L, "a batch was applied twice")
   }
 
+  test("batch window face: spark.read over the feed equals the streamed batches") {
+    val src = freshDir("cdfb_src")
+    CommitLog.append(spark, src, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    CommitLog.setTableProperty(src, "cdc", "true")
+    CommitLog.mergeInto(spark, src, Seq((1L, "a2"), (9L, "i")).toDF("k", "s"), Seq("k"))
+    CommitLog.deleteWhere(spark, src, col("k") === 2L)
+    // the batch window (genesis..tip) through the format, as SQL text
+    spark.read.format("graft-changefeed")
+      .option("table", src).option("cdc", "true").load()
+      .createOrReplaceTempView("cdfb_window")
+    val viaBatch = spark.sql(
+      """SELECT k, s, _change_type, _commit_version FROM cdfb_window
+        |ORDER BY _commit_version, _change_type, k""".stripMargin)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // the same window through the method API — must be identical
+    val (_, feed) = CommitLog.readChangesCdc(spark, src, fromVersion = -1L)
+    val viaApi = feed.get
+      .orderBy("_commit_version", "_change_type", "k")
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(viaBatch === viaApi)
+    assert(viaBatch.map(t => (t._1, t._3, t._4)).contains((2L, "delete", 3L)))
+    // a BOUNDED window: endingVersion pins it, re-reads are identical
+    val w1 = spark.read.format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load()
+      .select("k", "_change_type").as[(Long, String)].collect().sorted.toSeq
+    CommitLog.append(spark, src, Seq((100L, "late")).toDF("k", "s"))
+    val w2 = spark.read.format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load()
+      .select("k", "_change_type").as[(Long, String)].collect().sorted.toSeq
+    assert(w1 === w2, "a pinned version window must be replay-identical")
+    // the append feed's batch face skips the mutations, delivers appends
+    val appendFeed = spark.read.format("graft-changefeed")
+      .option("table", src).option("startingVersion", "3").load()
+      .select("k").as[Long].collect().toSeq
+    assert(appendFeed === Seq(100L))
+  }
+
   test("startingVersion floors the feed; the declared schema is the log schema") {
     val src = freshDir("cdf_floor")
     val v0 = CommitLog.append(spark, src,

@@ -1122,6 +1122,33 @@ class CommitLogSpec extends SparkSpec {
       "merge", "delete", "update", "restore"))
   }
 
+  test("maintain: no-op below thresholds, compacts fragmentation, materializes masks") {
+    val t = freshTable()
+    // 10 single-file appends = 10 live files
+    (0 until 10).foreach(i =>
+      CommitLog.append(spark, t, Seq((i.toLong, s"v$i")).toDF("k", "s").coalesce(1)))
+    // below both thresholds: a maintenance tick commits NOTHING
+    val tip = CommitLog.latestVersion(t)
+    assert(CommitLog.maintain(spark, t, maxFiles = 64) === -1L)
+    assert(CommitLog.latestVersion(t) === tip, "a no-op tick must not commit")
+    // fragmentation past maxFiles triggers a compaction to targetFiles
+    val v = CommitLog.maintain(spark, t, maxFiles = 4, targetFiles = 2)
+    assert(v > tip)
+    assert(CommitLog.snapshot(t).files.size <= 2)
+    assert(CommitLog.read(spark, t).count() === 10L)
+    // accumulated masks past maxMaskRows trigger materialization
+    CommitLog.deleteWhereDv(spark, t, col("k") < 3L)
+    assert(CommitLog.deletionVectors(t).map(_._2).sum === 3L)
+    assert(CommitLog.maintain(spark, t, maxFiles = 64, maxMaskRows = 2L) > v)
+    assert(CommitLog.deletionVectors(t).isEmpty,
+      "maintenance must materialize and retire the masks")
+    assert(CommitLog.read(spark, t).count() === 7L)
+    // and the history says exactly what happened
+    val ops = CommitLog.history(spark, t).orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.count(_ == "compact") === 2)
+  }
+
   test("registered query forms: occ_restore and occ_history at sf0.001") {
     val r = CommitLog.occRestore(spark, sf)
     val nation = Tables.nation(spark, sf)

@@ -155,6 +155,27 @@ class FencedStoreSpec extends SparkSpec {
     assert(store.read(target) === "payload")
   }
 
+  test("claim GC drops published claims only; the protocol survives it") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"), store = store)
+    CommitLog.append(spark, t, Seq((2L, "b")).toDF("k", "s"), store = store)
+    // open a crash window at v2: claim exists, object does not
+    CommitLog.append(spark, t, Seq((3L, "c")).toDF("k", "s"),
+      store = new FencedStore(crashBeforePublish = true))
+    val logDir = Paths.get(t, "_log")
+    val gone = store.gcClaims(logDir)
+    assert(gone.sorted === Seq("v000000000000.json.claim", "v000000000001.json.claim"),
+      s"only the two PUBLISHED claims may be collected, got $gone")
+    // the crashed v2 is still repairable after GC, and the log continues
+    val fresh = new FencedStore()
+    assert(CommitLog.latestVersion(t, fresh) === 2L)
+    assert(CommitLog.read(spark, t, store = fresh).count() === 3L)
+    // a GC'd version still refuses a second writer (object-existence fast path)
+    assert(!fresh.putIfAbsent(logDir.resolve("v000000000000.json"), "usurper"))
+    assert(CommitLog.append(spark, t, Seq((4L, "d")).toDF("k", "s"),
+      store = fresh) === 3L)
+  }
+
   test("checkpoints, time travel and the DV mask work unchanged through the store") {
     val t = freshTable()
     CommitLog.appendIndexed(spark, t,
