@@ -3052,6 +3052,38 @@ object CommitLog {
       |  AND o_orderkey NOT BETWEEN 1500 AND 1600
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Maintenance through the gate: orders lands as EIGHT fragmented
+    * single-file appends (the streaming-sink shape), a key range is
+    * dv-deleted, then ONE [[maintain]] tick — over threshold on both
+    * gauges — compacts the fragments and materializes the mask, and a
+    * second tick proves idempotence (no-op, nothing committed). The
+    * oracle asserts maintenance changed NOTHING a reader can see: the
+    * tip equals the plain complement filter. CommitLogSpec asserts the
+    * physical side (file counts, retired sidecars, no-op tick). */
+  def occMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_maint").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    (0 until 8).foreach { i =>
+      append(spark, table, o.where(pmod8(col("o_orderkey")) === i).coalesce(1))
+    }
+    deleteWhereDv(spark, table, col("o_orderkey").between(1000, 3000))
+    val v = maintain(spark, table, maxFiles = 4, maxMaskRows = 0L, targetFiles = 2)
+    require(v >= 0, "the over-threshold tick must compact")
+    require(maintain(spark, table, maxFiles = 4, maxMaskRows = 0L) == -1L,
+      "the second tick must be a no-op")
+    read(spark, table).orderBy("o_orderkey")
+  }
+
+  private def pmod8(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(c, org.apache.spark.sql.functions.lit(8))
+
+  val occMaintainSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The change feed's SQL surface: the same three-commit CDC script as
     * [[occCdcFeed]], but the feed is loaded as a BATCH window through
     * `spark.read.format("graft-changefeed").option("cdc", "true")`,
