@@ -179,9 +179,22 @@ class ChangeFeedRelation(override val sqlContext: SQLContext,
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType =
-    if (cdcMode) ChangeFeedProvider.cdcSchema(spark, table)
-    else ChangeFeedProvider.tableSchema(spark, table)
+  /** Schema AS OF the window's END, not the tip: a bounded window that
+    * predates a schema evolution must type as the schema its rows were
+    * committed under — resolving at the tip would select columns the
+    * window's change files don't carry. (The streaming source pins the
+    * tip schema instead because its window END is the moving tip.) */
+  override val schema: StructType = {
+    val base = CommitLog.tableSchema(table, Some(toVersion)).getOrElse(
+      ChangeFeedProvider.tableSchema(spark, table)) // legacy meta-less log
+    if (cdcMode)
+      StructType(base.fields.map(_.copy(nullable = true)) ++
+        Seq(org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType)))
+    else base
+  }
 
   override def needConversion: Boolean = false
 

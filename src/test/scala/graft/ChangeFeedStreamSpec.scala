@@ -99,6 +99,22 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .option("table", src).option("startingVersion", "3").load()
       .select("k").as[Long].collect().toSeq
     assert(appendFeed === Seq(100L))
+    // a window ending BEFORE a schema evolution types as the schema its
+    // rows were committed under, not the tip's wider one
+    CommitLog.append(spark, src,
+      Seq((200L, "w", 7L)).toDF("k", "s", "extra"))
+    val preEvo = spark.read.format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load()
+    assert(!preEvo.columns.contains("extra"),
+      "a pre-evolution window must not carry the later column")
+    assert(preEvo.count() === w1.size)
+    val postEvo = spark.read.format("graft-changefeed")
+      .option("table", src).option("cdc", "true")
+      .option("startingVersion", "4").load()
+    assert(postEvo.columns.contains("extra"))
+    assert(postEvo.select("k", "extra").as[(Long, Long)].collect().toSeq
+      === Seq((200L, 7L)))
   }
 
   test("startingVersion floors the feed; the declared schema is the log schema") {

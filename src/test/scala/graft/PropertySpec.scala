@@ -132,4 +132,31 @@ class PropertySpec extends SparkSpec {
       got == refSpans(corpus)
     }, n = 8)
   }
+
+  test("property: PNG gray8 encode→decode is the identity for every shape and content") {
+    import org.apache.spark.sql.graft.PngKernel
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    check(Prop.forAll(gen) { case (w, h, px) =>
+      val back = PngKernel.decodeGray8(PngKernel.encodeGray8(w, h, px))
+      back != null && java.util.Arrays.equals(back, px)
+    }, n = 60)
+  }
+
+  test("property: truncating an encoded PNG anywhere decodes to NULL, never garbage") {
+    import org.apache.spark.sql.graft.PngKernel
+    val gen = for {
+      w <- Gen.chooseNum(1, 16)
+      h <- Gen.chooseNum(1, 16)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+      full = PngKernel.encodeGray8(w, h, px.map(_.toByte).toArray)
+      cut <- Gen.chooseNum(0, full.length - 1)
+    } yield full.take(cut)
+    check(Prop.forAll(gen) { truncated =>
+      PngKernel.decodeGray8(truncated) == null
+    }, n = 60)
+  }
 }
