@@ -947,6 +947,32 @@ object CommitLog {
       readVersion = tip, store)
   }
 
+  /** Atomic CREATE: stage the frame, then claim EXACTLY version 0 with one
+    * `putIfAbsent` — never the rebase loop, so two racing creators cannot
+    * both land (the r17 ADVICE hole in SaveMode.ErrorIfExists/Ignore: a
+    * check-then-append pair lets both racers see exists=false and both
+    * append, silently merging the loser's rows into the winner's table).
+    * Returns Some(0) iff THIS call created the table; None if any other
+    * commit owns v0 — the caller maps None to its SaveMode contract
+    * (typed already-exists error for ErrorIfExists, no-op for Ignore).
+    * A lost race deletes the staged files: they are uuid-named and
+    * unreferenced, so the cleanup can never touch another writer's data. */
+  def createOnly(spark: SparkSession, table: String, df: DataFrame,
+                 indexCol: Option[String] = None,
+                 store: LogStore = LocalStore): Option[Long] = {
+    Files.createDirectories(logDir(table))
+    if (latestVersion(table, store) >= 0) return None // fast path: no staging
+    val meta = Action("meta", schemaToken(df.schema), 0L)
+    val adds = stage(spark, table, df, indexCol)
+    if (store.putIfAbsent(versionFile(table, 0L),
+        encode(infoAct("append") +: meta +: adds)))
+      Some(0L)
+    else {
+      adds.foreach(a => Files.deleteIfExists(Paths.get(table, a.path)))
+      None
+    }
+  }
+
   /** INSERT OVERWRITE as ONE atomic commit: stage the frame, then commit
     * remove(every live file at the read snapshot) + dvremove(every live
     * sidecar — masks die with the data they masked) + add(staged). A
@@ -988,11 +1014,18 @@ object CommitLog {
         // the table (the stage-time CHECK rationale, applied to CDC).
         val oldRows = maskedRead(spark, table, st, st.live.toSeq)
           .withColumn("_change_type", lit("delete"))
-        val newRows = spark.read.parquet(
-            adds.map(a => Paths.get(table, a.path).toString): _*)
-          .withColumn("_change_type", lit("insert"))
-        stageChanges(spark, table,
-          oldRows.unionByName(newRows, allowMissingColumns = true))
+        // An empty frame can stage ZERO files (a truncate-shaped
+        // overwrite); reading an empty path list throws schema-inference
+        // errors, and the correct feed there is pure retraction anyway
+        // (r17 ADVICE).
+        val feed =
+          if (adds.isEmpty) oldRows
+          else oldRows.unionByName(
+            spark.read.parquet(
+                adds.map(a => Paths.get(table, a.path).toString): _*)
+              .withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true)
+        stageChanges(spark, table, feed)
       }
     val removes = st.live.toSeq.map(Action("remove", _, 0L)) ++
       st.dvs.toSeq.map(p => Action("dvremove", p, st.dvRowsOf.getOrElse(p, 0L)))
@@ -3145,6 +3178,50 @@ object CommitLog {
   val occSqlWriteSql: String =
     """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
       |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SQL-text DML end-to-end (the r17 verdict's #3 ask): the table is
+    * catalog-registered (`CREATE TABLE … USING graft-commitlog`), then
+    * mutated purely with SQL statements — `INSERT OVERWRITE` (the doubled-
+    * price even keys replace the seed atomically) followed by
+    * `INSERT INTO` (the odd keys append) — the reference's native write
+    * idiom (INSERT INTO … SELECT / INSERT VALUES, process.py:79-84,
+    * 301-303), routed through [[CommitLogRelation.insert]] into the same
+    * OCC commit paths as every other face. The INSERT INTO resolves the
+    * relation AFTER the overwrite's cache invalidation, so the statement
+    * pair also pins tip-following across in-session SQL writes; the final
+    * SELECT is SQL text over the catalog name. Constraint/txn semantics
+    * through this face are CommitLogRelationSpec's side. */
+  def occSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_sqli").toString
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    o.write.format("graft-commitlog").option("table", table)
+      .option("indexCol", "o_orderkey")
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save()
+    o.createOrReplaceTempView("occ_sqli_src")
+    spark.sql("DROP TABLE IF EXISTS occ_sqli")
+    spark.sql(
+      s"""CREATE TABLE occ_sqli USING `graft-commitlog`
+         |OPTIONS (table '$table', indexCol 'o_orderkey')""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE occ_sqli
+        |SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |FROM occ_sqli_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO occ_sqli
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM occ_sqli_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM occ_sqli ORDER BY o_orderkey")
+  }
+
+  val occSqlInsertSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
   val occCdcFeedSql: String =

@@ -54,7 +54,7 @@ class CommitLogRelation(override val sqlContext: SQLContext,
                         table: String, indexCol: Option[String],
                         pinnedVersion: Long,
                         store: CommitLog.LogStore)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val spark = sqlContext.sparkSession
   // the pinned snapshot's full state: file list, bounds/zonemaps/blooms,
@@ -90,6 +90,31 @@ class CommitLogRelation(override val sqlContext: SQLContext,
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.toSeq.map(col): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** SQL-text `INSERT INTO <log table> SELECT …` / `INSERT OVERWRITE` —
+    * the reference's native write idiom (process.py:79-84,301-303) routed
+    * through the SAME commit paths as the method/DataFrameWriter faces:
+    * CHECK constraints validate at stage time, CDC records the change
+    * batch when the table property asks for it, OCC serializes racing
+    * writers, and `indexCol` (from the table's `USING` options) records
+    * data-skipping bounds on the inserted files. Spark casts the query to
+    * this relation's schema before calling in (PreprocessTableInsertion),
+    * so positional INSERT semantics are the planner's, not ours.
+    *
+    * After the commit the session's relation cache is invalidated: a DSv1
+    * relation pins its snapshot at resolution time, so without this an
+    * INSERT-then-SELECT over the same catalog name would read the
+    * pre-insert snapshot (the refreshTable contract, applied for the
+    * caller because the write happened THROUGH the relation). */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    if (overwrite) CommitLog.overwrite(spark, table, data, indexCol, store = store)
+    else indexCol match {
+      case Some(c) => CommitLog.appendIndexed(spark, table, data, c, store)
+      case None    => CommitLog.append(spark, table, data, store)
+    }
+    org.apache.spark.sql.graft.SessionUtils.invalidateRelationCache(spark)
   }
 }
 
@@ -219,7 +244,14 @@ object CommitLogRelation {
   * range predicates prune on the unnamed per-file bounds), `versionAsOf`
   * (optional time travel), `timestampAsOf` (optional — epoch-ms long or
   * ISO-8601 instant, resolved through the monotone provenance clock,
-  * [[CommitLog.versionAtTimestamp]]). At most one of the AS OF options.
+  * [[CommitLog.versionAtTimestamp]]), `store` (optional — a LogStore
+  * registered via [[CommitLogProvider.registerStore]]; default the
+  * local-FS store). At most one of the AS OF options.
+  *
+  * SQL-text DML: the relation is [[InsertableRelation]], so
+  * `INSERT INTO <catalog log table> SELECT …` and `INSERT OVERWRITE`
+  * route through [[CommitLog.append]]/[[CommitLog.overwrite]] with
+  * constraints, CDC, and OCC intact (see `insert`).
   *
   * Write modes: Append → [[CommitLog.append]]/[[CommitLog.appendIndexed]]
   * (with `indexCol` recording data-skipping bounds); Overwrite →
@@ -244,20 +276,21 @@ class CommitLogProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val table = tableOf(parameters)
-    val tip = CommitLog.latestVersion(table)
+    val store = CommitLogProvider.storeFor(parameters)
+    val tip = CommitLog.latestVersion(table, store)
     require(tip >= 0, s"$table has no commits — append before reading it")
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTs = parameters.get("timestampAsOf").map { raw =>
       val ms = raw.trim.toLongOption.getOrElse(
         java.time.Instant.parse(raw.trim).toEpochMilli)
-      CommitLog.versionAtTimestamp(table, ms)
+      CommitLog.versionAtTimestamp(table, ms, store)
     }
     require(byVersion.isEmpty || byTs.isEmpty,
       "pass versionAsOf OR timestampAsOf, not both")
     val v = byVersion.orElse(byTs).getOrElse(tip)
     require(v >= 0 && v <= tip, s"version $v does not exist (tip is $tip)")
     new CommitLogRelation(sqlContext, table, parameters.get("indexCol"),
-      v, CommitLog.LocalStore)
+      v, store)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -268,28 +301,26 @@ class CommitLogProvider
     val spark = sqlContext.sparkSession
     val table = tableOf(parameters)
     val indexCol = parameters.get("indexCol")
-    val exists = CommitLog.latestVersion(table) >= 0
+    val store = CommitLogProvider.storeFor(parameters)
     mode match {
       case SaveMode.Append =>
         indexCol match {
-          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
-          case None    => CommitLog.append(spark, table, data)
+          case Some(c) => CommitLog.appendIndexed(spark, table, data, c, store)
+          case None    => CommitLog.append(spark, table, data, store)
         }
       case SaveMode.Overwrite =>
-        CommitLog.overwrite(spark, table, data, indexCol)
+        CommitLog.overwrite(spark, table, data, indexCol, store = store)
+      // ErrorIfExists/Ignore are CREATE modes: both go through the atomic
+      // v0 claim (r17 ADVICE — a check-then-append pair let two racing
+      // creators both land, silently merging the loser's rows), so exactly
+      // one racer creates and the other gets its SaveMode contract.
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalArgumentException(
-          s"commit-log table $table already exists (SaveMode.ErrorIfExists) — " +
-            "use Append, Overwrite, or Ignore")
-        else indexCol match {
-          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
-          case None    => CommitLog.append(spark, table, data)
-        }
+        if (CommitLog.createOnly(spark, table, data, indexCol, store).isEmpty)
+          throw new IllegalArgumentException(
+            s"commit-log table $table already exists (SaveMode.ErrorIfExists) — " +
+              "use Append, Overwrite, or Ignore")
       case SaveMode.Ignore =>
-        if (!exists) indexCol match {
-          case Some(c) => CommitLog.appendIndexed(spark, table, data, c)
-          case None    => CommitLog.append(spark, table, data)
-        }
+        CommitLog.createOnly(spark, table, data, indexCol, store); ()
     }
     // hand back the read relation at the NEW tip (the DataFrameWriter
     // contract; also what the catalog stores for CREATE TABLE ... USING)
@@ -314,4 +345,34 @@ class CommitLogProvider
       parameters.getOrElse("appId", "stream"),
       parameters.get("indexCol"))
   }
+}
+
+object CommitLogProvider {
+  /** Named [[CommitLog.LogStore]]s for the DataSource faces' `store`
+    * option (r17 ADVICE: the faces hardcoded LocalStore, so a table whose
+    * tip commit was claimed-but-unpublished under [[FencedStore]] read a
+    * stale tip through SQL). A LogStore is a live object (it may wrap
+    * fencing state), not a string, so selection is by REGISTERED NAME:
+    * the deployment wires its store once at session setup and every
+    * read/write/`CREATE TABLE … USING` picks it with
+    * `.option("store", name)` / `OPTIONS (store '<name>')`. Unset or
+    * `local` = the local-FS store, exactly as before. In production the
+    * same seam maps URI schemes to object-store clients; here it is what
+    * lets FencedStoreSpec drive a fenced table through the SQL path. */
+  private val namedStores =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitLog.LogStore]()
+
+  def registerStore(name: String, store: CommitLog.LogStore): Unit = {
+    require(name != "local", "'local' is reserved for CommitLog.LocalStore")
+    namedStores.put(name, store); ()
+  }
+
+  private[sources] def storeFor(parameters: Map[String, String]): CommitLog.LogStore =
+    parameters.get("store") match {
+      case None | Some("local") => CommitLog.LocalStore
+      case Some(n) => Option(namedStores.get(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no LogStore registered under '$n' — call " +
+            "CommitLogProvider.registerStore(name, store) at session setup"))
+    }
 }

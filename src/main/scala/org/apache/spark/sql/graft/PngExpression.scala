@@ -168,6 +168,11 @@ object PngKernel {
       }
       off += 12 + len
     }
+    // IEND must be the LAST bytes of the stream: trailing garbage after it
+    // is malformed under the documented "every malformed byte decodes to
+    // NULL" contract (r17 ADVICE — the pixels would still be correct, but
+    // lenient acceptance here is exactly how decoder contracts erode).
+    if (off != png.length) return null
     val expected = h * (w + 1)
     val filtered = new Array[Byte](expected)
     val inflater = new java.util.zip.Inflater()

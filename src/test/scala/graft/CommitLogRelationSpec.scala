@@ -238,6 +238,131 @@ class CommitLogRelationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS clr_cat")
   }
 
+  test("ErrorIfExists/Ignore create is atomic: racing creators land exactly one v0") {
+    import org.apache.spark.sql.SaveMode
+    // r17 ADVICE: the old check-then-append pair let BOTH racers see
+    // exists=false and both append (adds-only commits commute), silently
+    // merging the loser's rows. The create path now claims exactly v0.
+    for (mode <- Seq(SaveMode.ErrorIfExists, SaveMode.Ignore)) {
+      val t = freshTable()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, String]]
+      val threads = Seq("alpha", "beta").map { tag =>
+        new Thread(() => {
+          try {
+            gate.await()
+            (0 until 10).map(i => (i.toLong, tag)).toDF("k", "s")
+              .write.format("graft-commitlog").option("table", t)
+              .mode(mode).save()
+            outcomes.add(Right(tag))
+          } catch { case e: Throwable => outcomes.add(Left(e)) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(CommitLog.latestVersion(t) === 0L, s"$mode must never commit past v0")
+      val tags = CommitLog.read(spark, t).select("s").distinct()
+        .as[String].collect().toSeq
+      assert(tags.size === 1, s"$mode merged both racers' rows: $tags")
+      assert(CommitLog.read(spark, t).count() === 10L)
+      val (losses, wins) = outcomes.toArray(Array.empty[Either[Throwable, String]])
+        .partition(_.isLeft)
+      if (mode == SaveMode.ErrorIfExists) {
+        assert(wins.size === 1 && losses.size === 1,
+          s"exactly one racer must create (got wins=$wins losses=$losses)")
+        assert(losses.head.swap.exists(_.getMessage.contains("already exists")),
+          "the loser must get the typed already-exists error")
+      } else assert(losses.isEmpty && wins.size === 2,
+        "Ignore: the losing racer is a silent no-op, never an error")
+      // the loser's staged files were cleaned up: every data file is live
+      val dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+        .toArray.length
+      assert(dataFiles === CommitLog.snapshot(t).files.size,
+        "a lost create race must delete its orphaned staged files")
+    }
+  }
+
+  test("truncate-shaped overwrite with CDC records a pure retraction") {
+    // r17 ADVICE: an empty frame can stage ZERO parquet files, and the
+    // CDC branch read that empty path list → untyped schema-inference
+    // error. The feed for a truncate is deletes only.
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    CommitLog.setTableProperty(t, "cdc", "true")
+    val cursor = CommitLog.latestVersion(t)
+    CommitLog.overwrite(spark, t, Seq.empty[(Long, String)].toDF("k", "s"))
+    assert(CommitLog.read(spark, t).count() === 0L)
+    val (_, feed) = CommitLog.readChangesCdc(spark, t, fromVersion = cursor)
+    assert(feed.get.select("k", "_change_type").as[(Long, String)]
+      .collect().sorted.toSeq === Seq((1L, "delete"), (2L, "delete")),
+      "a truncate overwrite's change batch is the full retraction, nothing else")
+  }
+
+  test("SQL-text INSERT INTO / INSERT OVERWRITE a catalog log table") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "seed")).toDF("k", "s"))
+    spark.sql("DROP TABLE IF EXISTS clr_ins")
+    spark.catalog.createTable("clr_ins", "graft-commitlog", Map("table" -> t))
+    try {
+      spark.sql("INSERT INTO clr_ins VALUES (2, 'ins'), (3, 'ins')")
+      // visible WITHOUT refreshTable: the write went through the relation,
+      // which invalidates the session's relation cache itself
+      assert(spark.sql("SELECT count(*) FROM clr_ins").as[Long].head() === 3L)
+      val tipBefore = CommitLog.latestVersion(t)
+      spark.sql("INSERT OVERWRITE clr_ins SELECT k + 10, s FROM clr_ins")
+      assert(spark.sql("SELECT k FROM clr_ins ORDER BY k").as[Long]
+        .collect().toSeq === Seq(11L, 12L, 13L))
+      assert(CommitLog.read(spark, t, asOf = Some(tipBefore)).count() === 3L,
+        "INSERT OVERWRITE must stay one atomic, time-travelable commit")
+    } finally spark.sql("DROP TABLE IF EXISTS clr_ins")
+  }
+
+  test("SQL-text INSERT respects CHECK constraints and the OCC commit path") {
+    val t = freshTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    CommitLog.addConstraint(spark, t, "k_pos", "k > 0")
+    spark.sql("DROP TABLE IF EXISTS clr_chk")
+    spark.catalog.createTable("clr_chk", "graft-commitlog", Map("table" -> t))
+    try {
+      spark.sql("INSERT INTO clr_chk VALUES (5, 'ok')")
+      val before = CommitLog.latestVersion(t)
+      val e = intercept[Throwable] {
+        spark.sql("INSERT INTO clr_chk VALUES (-1, 'bad'), (6, 'fine')")
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(_.isInstanceOf[CommitLog.ConstraintViolationException]),
+        s"expected a typed constraint violation, got $e")
+      assert(CommitLog.latestVersion(t) === before,
+        "a violating INSERT must commit NOTHING (the whole batch aborts)")
+      assert(spark.sql("SELECT k FROM clr_chk ORDER BY k").as[Long]
+        .collect().toSeq === Seq(1L, 5L))
+    } finally spark.sql("DROP TABLE IF EXISTS clr_chk")
+  }
+
+  test("the store option routes the batch faces through a registered LogStore") {
+    import graft.sources.{CommitLogProvider, FencedStore}
+    val t = freshTable()
+    CommitLogProvider.registerStore("clr-fenced", new FencedStore())
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+      .write.format("graft-commitlog").option("table", t)
+      .option("store", "clr-fenced")
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save()
+    // a claimed-but-unpublished tip (the crash window) is repaired by the
+    // SQL read path when it goes through the SAME protocol — the exact
+    // staleness the hardcoded LocalStore suffered (r17 ADVICE)
+    new FencedStore(crashBeforePublish = true)
+      .putIfAbsent(java.nio.file.Paths.get(t, "_log", f"v${1L}%012d.json"),
+        "") // claim v1 without publishing: content is staged, object absent
+    val viaSql = spark.read.format("graft-commitlog")
+      .option("table", t).option("store", "clr-fenced").load()
+    assert(viaSql.count() === 2L)
+    assert(CommitLog.latestVersion(t, new FencedStore()) >= 0L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-commitlog").option("table", t)
+        .option("store", "no-such-store").load()
+    }
+  }
+
   test("streaming sink still resolves under the unified provider") {
     // the short name moved providers (graft.streaming.CommitLogSinkProvider
     // -> graft.sources.CommitLogProvider); the sink face must be unchanged

@@ -73,6 +73,9 @@ class PngSpec extends SparkSpec {
     assert(PngKernel.decodeGray8(hostile(zlib = Array.fill[Byte](20)(0x7F))) === null)
     assert(PngKernel.decodeGray8(null) === null)
     assert(PngKernel.decodeGray8(Array.emptyByteArray) === null)
+    // trailing bytes after IEND (r17 ADVICE): strictly malformed
+    assert(PngKernel.decodeGray8(good :+ 0x00.toByte) === null,
+      "bytes after IEND must be refused, not ignored")
   }
 
   /** A CRC-valid chunk with a small (< 256 B) payload. */

@@ -159,4 +159,20 @@ class PropertySpec extends SparkSpec {
       PngKernel.decodeGray8(truncated) == null
     }, n = 60)
   }
+
+  test("property: bytes appended after IEND make the PNG decode to NULL (strict tail)") {
+    // r17 ADVICE: the decoder used to stop at the first IEND and accept
+    // trailing garbage — strictly malformed under the documented contract.
+    import org.apache.spark.sql.graft.PngKernel
+    val gen = for {
+      w <- Gen.chooseNum(1, 16)
+      h <- Gen.chooseNum(1, 16)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+      full = PngKernel.encodeGray8(w, h, px.map(_.toByte).toArray)
+      tail <- Gen.nonEmptyListOf(Gen.chooseNum(0, 255))
+    } yield full ++ tail.map(_.toByte)
+    check(Prop.forAll(gen) { garbaged =>
+      PngKernel.decodeGray8(garbaged) == null
+    }, n = 60)
+  }
 }
