@@ -18,6 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is real (tune it).
   *
   *   SPARK_DRIVER_MEM=64g sbt "Test/runMain graft.AbWeak /root/testdata/sf1 5"
+  *
+  * r18: generalized — an optional third arg names ANY comma-separated
+  * subset of [[SparkEntry.queries]] (the r17 verdict's task 1 runs it on
+  * `split_leakage,events_funnel` at sf0.1); no third arg keeps the r16
+  * trio, so every recorded BASELINE.md A/B stays reproducible verbatim.
   */
 object AbWeak {
   def main(args: Array[String]): Unit = {
@@ -32,10 +37,17 @@ object AbWeak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries: Seq[(String, () => DataFrame)] = Seq(
-      "skew_salted_join" -> (() => Skew.saltedJoinAgg(spark, sfDir)),
-      "grouping_sets" -> (() => Relational.groupingSets(spark, sfDir)),
-      "hybrid_topk" -> (() => Hybrid.hybridTopK(spark, sfDir)))
+    val queries: Seq[(String, () => DataFrame)] =
+      if (args.length > 2)
+        args(2).split(',').toSeq.map { name =>
+          val fn = SparkEntry.queries.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown query $name"))
+          name -> (() => fn(spark, sfDir))
+        }
+      else Seq(
+        "skew_salted_join" -> (() => Skew.saltedJoinAgg(spark, sfDir)),
+        "grouping_sets" -> (() => Relational.groupingSets(spark, sfDir)),
+        "hybrid_topk" -> (() => Hybrid.hybridTopK(spark, sfDir)))
 
     // warmup round: codegen + JIT + page cache, not measured
     queries.foreach { case (_, mk) => mk().count() }
