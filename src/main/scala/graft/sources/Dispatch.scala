@@ -37,7 +37,24 @@ object Dispatch {
     * for the same inputs, so None is the exact same set of requests. */
   final case class Req(id: Long, fn: String,
                        sessionId: Option[String], clientId: Option[String],
-                       entityType: Option[String], interactionType: Option[String])
+                       entityType: Option[String], interactionType: Option[String],
+                       sql: Option[String] = None)
+
+  /** Refuse anything but a single read-only query BEFORE execution:
+    * `spark.sql` runs commands EAGERLY, so the guard inspects the parse
+    * tree (a `ParseException` on malformed/multi-statement text propagates
+    * as the request's failure). The scan covers the WHOLE tree, not the
+    * root — `WITH cte AS (…) INSERT INTO …` parses to a write node UNDER
+    * the CTE wrapper. */
+  private[graft] def requireReadOnly(spark: SparkSession, text: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, ParsedStatement}
+    val plan = org.apache.spark.sql.graft.SessionUtils.parsePlan(spark, text)
+    val writes = plan.collect {
+      case p: LogicalPlan if p.isInstanceOf[Command] || p.isInstanceOf[ParsedStatement] => p
+    }
+    require(writes.isEmpty,
+      s"dispatch sql mode is read-only — refused ${writes.head.nodeName}")
+  }
 
   /** Route one request to its analytic with its own parameters bound.
     * Right = runnable; Left(Some(msg)) = known function, invalid args
@@ -63,6 +80,19 @@ object Dispatch {
         case (Some(c), Some(et)) => Right((sp, d) => Komodo.userEnergy(sp, d, Some(c), Some(et)))
         case _ => Left(Some("Argument(s) for user_energy not valid!"))
       }
+    // Raw-SQL mode (r17 verdict #5): the reference's literal idiom — every
+    // analytic IS a SQL string over live tables (process.py:96 builds the
+    // dispatch query as raw text; 79-84,145-150 are the analytics) — now
+    // that log tables are catalog-registerable, a request may carry the
+    // statement itself in message.sql. Same ledger/CSV semantics as the
+    // routed functions; the statement must be ONE read-only query
+    // (validated against the parse tree at execution, requireReadOnly —
+    // a serving loop must never let a request queue mutate tables).
+    case "sql" => r.sql match {
+      case Some(text) if text.trim.nonEmpty =>
+        Right((sp, _) => { requireReadOnly(sp, text); sp.sql(text) })
+      case _ => Left(Some("Argument(s) for sql not valid!"))
+    }
     case _ => Left(None)
   }
 
@@ -155,11 +185,13 @@ object Dispatch {
         get_json_object(col("message"), "$.sessionId"),
         get_json_object(col("message"), "$.clientId"),
         get_json_object(col("message"), "$.entityType"),
-        get_json_object(col("message"), "$.interactionType"))
+        get_json_object(col("message"), "$.interactionType"),
+        get_json_object(col("message"), "$.sql"))
       .collect()
       .map(r => Req(r.getLong(0), r.getString(1),
         Option(r.getString(2)), Option(r.getString(3)),
-        Option(r.getString(4)), Option(r.getString(5))))
+        Option(r.getString(4)), Option(r.getString(5)),
+        Option(r.getString(6))))
     def runOne(exec: SparkSession)(req: Req): Option[(Long, String)] = route(req) match {
       case Right(fn) =>
         // A failing request must not abort the pass (the reference loop

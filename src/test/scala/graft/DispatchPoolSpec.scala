@@ -94,4 +94,46 @@ class DispatchPoolSpec extends SparkSpec {
     assert(Dispatch.run(spark, sf, requests, outB, ledger).isEmpty)
     assert(spark.read.parquet(ledger).count() == validIds.size)
   }
+
+  test("sql-mode request: raw SQL over a registered log table, read-only, exactly-once") {
+    import spark.implicits._
+    import graft.sources.CommitLog
+    val t = tmp("pool_sqltbl")
+    CommitLog.append(spark, t,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    spark.sql("DROP TABLE IF EXISTS pool_sql_tbl")
+    spark.catalog.createTable("pool_sql_tbl", "graft-commitlog", Map("table" -> t))
+    try {
+      val q = "SELECT k, v * 2 AS v2 FROM pool_sql_tbl WHERE k >= 2 ORDER BY k"
+      val requests = Seq(
+        (500L, "sql", 0, s"""{"sql": "$q"}"""),
+        // a write statement must be REFUSED before execution (and, being a
+        // failure rather than an invalid-arg skip, stays pending)
+        (501L, "sql", 0, """{"sql": "INSERT INTO pool_sql_tbl VALUES (9, 9.0)"}"""),
+        // CTE-wrapped write: the guard scans the whole tree, not the root
+        (502L, "sql", 0,
+          """{"sql": "WITH c AS (SELECT 9 AS k, 9.0 AS v) INSERT INTO pool_sql_tbl SELECT * FROM c"}"""),
+        (503L, "sql", 0, """{"other": 1}""")) // missing sql arg: skip
+        .toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+      val out = tmp("pool_sqlout")
+      val ledger = tmp("pool_sqlled") + "/ledger"
+      val done = Dispatch.run(spark, sf, requests, out, ledger)
+      assert(done.map(_._1) == Seq(500L), s"only the read-only statement fulfills: $done")
+      val dirs = csvDirsFor(out, 500L)
+      assert(dirs.length == 1)
+      val lines = java.nio.file.Files.readAllLines(
+        new java.io.File(dirs.head, "part-00000.csv").toPath)
+      assert(lines.toArray.toSeq == Seq("k,v2", "2,40.0", "3,60.0"),
+        s"the CSV must hold the statement's result: $lines")
+      assert(CommitLog.read(spark, t).count() == 3,
+        "a refused write statement must mutate NOTHING")
+      Seq(501L, 502L, 503L).foreach(id =>
+        assert(csvDirsFor(out, id).isEmpty, s"request $id must write nothing"))
+      // exactly-once across passes: the fulfilled request is never re-run
+      assert(Dispatch.run(spark, sf, requests, out, ledger).isEmpty)
+      assert(csvDirsFor(out, 500L).length == 1)
+      assert(spark.read.parquet(ledger).select("request_id").as[Long]
+        .collect().toSeq == Seq(500L))
+    } finally spark.sql("DROP TABLE IF EXISTS pool_sql_tbl")
+  }
 }
