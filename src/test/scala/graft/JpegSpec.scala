@@ -1,0 +1,177 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{JpegFunctions, JpegKernel}
+
+/** The baseline-JPEG gray8 codec (r17 verdict ask #2): real Huffman +
+  * dequant + IDCT entropy decode behind `mm_phash_jpeg`. Claims pinned:
+  *   - EXACT roundtrip on block-constant images (the fixture's lossless
+  *     envelope — the property the shared BMP oracle rests on);
+  *   - bounded-error roundtrip on ARBITRARY pixels (the full AC path:
+  *     run-lengths, ZRL, EOB, both-sign coefficients, edge clipping);
+  *   - the codec agrees with an INDEPENDENT direct (non-separable)
+  *     DCT/IDCT reimplementation, so a transposed table or mis-scaled
+  *     basis in both halves cannot cancel;
+  *   - malformed/unsupported inputs decode to NULL, never a misread;
+  *   - the query plan decodes each payload once per join side;
+  *   - JPEG fingerprints equal BMP fingerprints bit for bit. */
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  // ------------------------------------------------------------ roundtrips
+
+  test("block-constant images roundtrip EXACTLY (the fixture's lossless envelope)") {
+    val r = rng(41)
+    for (trial <- 0 until 5) {
+      val wB = 1 + r.nextInt(8)
+      val hB = 1 + r.nextInt(8)
+      val vals = Array.fill(wB * hB)(r.nextInt(256))
+      val jpeg = JpegKernel.encodeGray8Blocks(wB, hB, vals, s"t$trial".getBytes)
+      val pix = JpegKernel.decodeGray8(jpeg)
+      assert(pix != null, s"trial $trial must decode")
+      assert(pix.length === wB * 8 * hB * 8)
+      val means = JpegKernel.blockMeans(pix, wB * 8, hB * 8)
+      assert(means.toSeq === vals.toSeq,
+        s"trial $trial (${wB}x$hB blocks): lossy roundtrip must be exact here")
+      // and every pixel individually, not just the means
+      for (y <- 0 until hB * 8; x <- 0 until wB * 8)
+        assert((pix(y * wB * 8 + x) & 0xFF) === vals((y / 8) * wB + (x / 8)))
+    }
+  }
+
+  test("arbitrary pixels roundtrip within the quantization-rounding bound (full AC path)") {
+    val r = rng(42)
+    // dims deliberately NOT multiples of 8: edge blocks replicate on
+    // encode and clip on decode
+    for ((w, h) <- Seq((24, 16), (10, 6), (8, 8), (33, 9))) {
+      val px = Array.fill(w * h)(r.nextInt(256).toByte)
+      val out = JpegKernel.decodeGray8(JpegKernel.encodeGray8(w, h, px, Array.empty))
+      assert(out != null && out.length === w * h, s"${w}x$h must decode")
+      val maxErr = px.indices.map(i => math.abs((px(i) & 0xFF) - (out(i) & 0xFF))).max
+      // all-ones quant: per-coefficient rounding error <= 0.5, worst-case
+      // pixel error ~7.4 theoretical, ~2 observed; 6 is ~20 sigma
+      assert(maxErr <= 6, s"${w}x$h: max pixel error $maxErr exceeds the rounding bound")
+    }
+  }
+
+  test("the codec agrees with an independent direct DCT/IDCT reimplementation") {
+    // textbook O(64^2) direct transforms, written independently of the
+    // kernel's separable ones — a shared scaling/transposition bug in the
+    // kernel's FDCT and IDCT would cancel in roundtrips but not here
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    def directFdct(f: Array[Double]): Array[Double] =
+      Array.tabulate(64) { i =>
+        val u = i % 8; val v = i / 8
+        var s = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += f(y * 8 + x) * math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        0.25 * c(u) * c(v) * s
+      }
+    def directIdct(big: Array[Double]): Array[Double] =
+      Array.tabulate(64) { i =>
+        val x = i % 8; val y = i / 8
+        var s = 0.0
+        for (v <- 0 until 8; u <- 0 until 8)
+          s += c(u) * c(v) * big(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        0.25 * s
+      }
+    val r = rng(43)
+    val px = Array.fill(64)(r.nextInt(256).toByte)
+    // expected pipeline, reimplemented end to end on one 8x8 block
+    val shifted = px.map(b => (b & 0xFF) - 128.0)
+    val quantized = directFdct(shifted).map(d => math.round(d).toDouble)
+    val expected = directIdct(quantized).map { d =>
+      val v = math.round(d).toInt + 128
+      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    }
+    val got = JpegKernel.decodeGray8(JpegKernel.encodeGray8(8, 8, px, Array.empty))
+    assert(got.toSeq === expected.toSeq,
+      "kernel separable transforms must match the direct-form pipeline exactly")
+  }
+
+  // --------------------------------------------------------------- taxonomy
+
+  private def goodJpeg: Array[Byte] =
+    JpegKernel.encodeGray8Blocks(2, 2, Array(40, 90, 140, 200), "m".getBytes)
+
+  test("malformed inputs decode to NULL, never a misread: the taxonomy") {
+    val good = goodJpeg
+    assert(JpegKernel.decodeGray8(good) != null)
+    // truncation at EVERY byte boundary
+    for (cut <- 0 until good.length)
+      assert(JpegKernel.decodeGray8(good.take(cut)) === null, s"truncated at $cut")
+    // trailing garbage after EOI (the PNG strict-tail rule)
+    assert(JpegKernel.decodeGray8(good :+ 0x00.toByte) === null)
+    // bad SOI
+    val badSoi = good.clone(); badSoi(1) = 0xD7.toByte
+    assert(JpegKernel.decodeGray8(badSoi) === null)
+    assert(JpegKernel.decodeGray8(null) === null)
+    assert(JpegKernel.decodeGray8(Array.emptyByteArray) === null)
+    // progressive frame: SOF0 -> SOF2 marker byte
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(JpegKernel.decodeGray8(prog) === null,
+      "progressive must be refused, never misread as baseline")
+    // a restart-interval segment before SOS: unsupported, refused
+    val driBody = Array[Byte](0xFF.toByte, 0xDD.toByte, 0, 4, 0, 8)
+    val withDri = good.take(sofAt) ++ driBody ++ good.drop(sofAt)
+    assert(JpegKernel.decodeGray8(withDri) === null)
+    // multi-component (color) stream: the existing header fixture is a
+    // 3-component JPEG with no scan — both reasons to refuse
+    val color = Multimodal.jpegPayloads(spark, sf).select("payload")
+      .as[Array[Byte]].head()
+    assert(JpegKernel.decodeGray8(color) === null)
+  }
+
+  test("oversized declared dimensions are refused before any allocation") {
+    val good = goodJpeg
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0).get
+    val big = good.clone()
+    big(sofAt + 5) = 0x10.toByte // height 0x1010 = 4112 > MaxDim
+    assert(JpegKernel.decodeGray8(big) === null)
+  }
+
+  // ------------------------------------------------------------- the query
+
+  test("the expressions run codegen'd over a frame; malformed rows filter, not fail") {
+    val df = Seq(1L, 2L).toDF("doc_id")
+      .withColumn("payload", JpegFunctions.jpeg_encode_gray8_blocks(
+        lit(2), lit(2), typedLit(Array(10, 60, 110, 160)),
+        concat(lit("d"), col("doc_id"))))
+      .withColumn("payload",
+        when(col("doc_id") === 2L, expr("substring(payload, 1, 40)"))
+          .otherwise(col("payload")))
+      .withColumn("pix", JpegFunctions.jpeg_decode_gray8(col("payload")))
+      .withColumn("bm", JpegFunctions.gray_block_means(col("pix"), lit(16), lit(16)))
+    val ok = df.where(col("pix").isNotNull)
+      .select(col("doc_id"), col("bm")).as[(Long, Seq[Int])].collect().toSeq
+    assert(ok === Seq((1L, Seq(10, 60, 110, 160))),
+      "the truncated payload must decode to NULL inside the query, not error")
+  }
+
+  test("the plan decodes each payload ONCE per join side (no optimizer re-inlining)") {
+    val plan = Multimodal.mmPhashJpeg(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "jpeg_decode_gray8".r.findAllMatchIn(plan).length
+    assert(n === 2, s"jpeg_decode_gray8 must appear once per self-join side, got $n")
+  }
+
+  test("JPEG fingerprints equal BMP fingerprints bit for bit (shared-oracle property)") {
+    val jpeg = Multimodal.mmPhashJpeg(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    val bmp = Multimodal.mmPhashNeardup(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(jpeg.nonEmpty, "the fixture must produce near-dup pairs")
+    assert(jpeg === bmp,
+      "Huffman+dequant+IDCT+downsample must reproduce the BMP ground truth exactly")
+  }
+}
