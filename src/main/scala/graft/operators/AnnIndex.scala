@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.sources.CommitLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED, MAINTAINED ANN index — the r17 verdict's #4 ask: the
+  * trained-ANN queries re-run Lloyd per execution ("correct for the
+  * oracle, wrong for production"); the production shape stores the
+  * trained coarse quantizer and the corpus assignments as transactional
+  * tables and serves searches from them, maintaining assignments
+  * incrementally as new embeddings arrive. All pieces existed
+  * ([[Codebooks]] trains once, [[graft.streaming.AssignStream]] assigns
+  * online, the commit log stores); this object is their composition.
+  *
+  * Layout under an index root — three commit-log tables:
+  *   - `codebook`    — (c_label, s, cl): the trained coarse quantizer,
+  *     replaced wholesale on retrain (one atomic overwrite commit);
+  *   - `assignments` — (vec_id, cluster): nearest-centroid assignment of
+  *     every indexed vector, appended incrementally (exactly-once via
+  *     [[CommitLog.appendOnce]]) and rebuilt on retrain;
+  *   - `manifest`    — (codebook_version, assignments_version): ONE row
+  *     appended per publish, pinning the snapshot pair a reader serves
+  *     from.
+  *
+  * The manifest is what makes a RETRAIN SWAP ATOMIC: retraining commits
+  * a new codebook version and a new assignments version (two tables,
+  * two commits — readable mid-swap only through the log, not through
+  * the index), then publishes both in ONE manifest append. A reader
+  * resolves the manifest tip once and snapshot-reads each table AS OF
+  * its pinned version, so it sees the old pair or the new pair, never a
+  * codebook joined to another codebook's assignments. The same pointer
+  * discipline gives incremental publishes their visibility point: a
+  * batch becomes searchable exactly when its manifest row lands.
+  *
+  * Scale shape: the codebook is kilobytes (broadcast); assignments are
+  * one (long, int) row per vector — appended in batch-sized files,
+  * compactable with the table layer's own [[CommitLog.maintain]];
+  * search cost is [[Similarity.ivfSearchFrom]]'s (probe-pruned corpus
+  * join, no training, no corpus shuffle beyond the per-query top-k).
+  * Serving does ZERO training — [[searchFrom]] never touches a trainer. */
+object AnnIndex {
+
+  private def cbTable(root: String) = s"$root/codebook"
+  private def asTable(root: String) = s"$root/assignments"
+  private def manifestTable(root: String) = s"$root/manifest"
+
+  /** The pinned (codebook_version, assignments_version) pair a reader
+    * serves from: the manifest row with the newest assignments version
+    * (commit versions are monotone, so this is the latest publish).
+    * Optionally resolved AS OF a manifest version — time travel for the
+    * whole INDEX, not just one table. */
+  def current(spark: SparkSession, root: String,
+              asOf: Option[Long] = None): (Long, Long) = {
+    val r = CommitLog.read(spark, manifestTable(root), asOf)
+      .orderBy(col("assignments_version").desc, col("codebook_version").desc)
+      .select("codebook_version", "assignments_version")
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def publish(spark: SparkSession, root: String,
+                      cbV: Long, asV: Long): Long = {
+    import spark.implicits._
+    CommitLog.append(spark, manifestTable(root),
+      Seq((cbV, asV)).toDF("codebook_version", "assignments_version"))
+  }
+
+  /** Build or RETRAIN: store the quantizer and the full corpus
+    * assignment, then publish the pair in one manifest commit (the
+    * atomic swap point). Returns the published (codebook_version,
+    * assignments_version). */
+  def rebuildFrom(spark: SparkSession, emb: DataFrame, cb: DataFrame,
+                  root: String): (Long, Long) = {
+    val cbV = CommitLog.overwrite(spark, cbTable(root), cb)
+    val asV = CommitLog.overwrite(spark, asTable(root),
+      Similarity.assignClusters(emb, cb))
+    publish(spark, root, cbV, asV)
+    (cbV, asV)
+  }
+
+  /** Build from a fixture corpus directory: train-once via
+    * [[Codebooks.ivf]] (materialized, so repeated builds in one session
+    * pay Lloyd once), then [[rebuildFrom]]. */
+  def build(spark: SparkSession, dir: String, root: String): (Long, Long) =
+    rebuildFrom(spark, Tables.embeddings(spark, dir), Codebooks.ivf(spark, dir), root)
+
+  /** Incremental maintenance — one micro-batch of NEW embeddings
+    * (vec_id, embedding), e.g. a change-feed trigger: assign against the
+    * PINNED stored codebook (never retrain in the hot path), append
+    * exactly-once ((appId, batchId) txn marker — a replayed batch is a
+    * no-op and is NOT re-published), publish. The new vectors are
+    * searchable at the manifest row this commits. */
+  def appendBatch(spark: SparkSession, root: String, newEmb: DataFrame,
+                  appId: String, batchId: Long): Unit = {
+    val (cbV, _) = current(spark, root)
+    val cb = CommitLog.read(spark, cbTable(root), Some(cbV))
+    val v = CommitLog.appendOnce(spark, asTable(root),
+      Similarity.assignClusters(newEmb, cb), appId, batchId)
+    if (v >= 0) { publish(spark, root, cbV, v); () }
+  }
+
+  /** Serve a top-k IVF search from the STORED index: resolve the
+    * manifest once, snapshot-read the pinned pair, probe + re-rank via
+    * the shared [[Similarity.ivfSearchFrom]]. No training, ever. */
+  def searchFrom(spark: SparkSession, corpus: DataFrame, root: String,
+                 k: Int = 10, asOf: Option[Long] = None): DataFrame = {
+    val (cbV, asV) = current(spark, root, asOf)
+    Similarity.ivfSearchFrom(corpus,
+      CommitLog.read(spark, cbTable(root), Some(cbV)),
+      CommitLog.read(spark, asTable(root), Some(asV)), k)
+  }
+
+  /** The gate query: build the index (train-once codebook, stored
+    * tables, manifest publish), then SERVE from it. The oracle is the
+    * existing trainer-replay twin ([[Similarity.annIvfTrainedSql]]) —
+    * store → snapshot-read → probe must reproduce the in-query trained
+    * search exactly, or persistence corrupted the index. */
+  def occAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("occ_ann").toString
+    build(spark, dir, root)
+    searchFrom(spark, Tables.embeddings(spark, dir), root)
+  }
+
+  val occAnnServeSql: String = Similarity.annIvfTrainedSql
+}

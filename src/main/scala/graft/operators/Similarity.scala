@@ -1124,11 +1124,33 @@ object Similarity {
     * the final per-query top-k. */
   def annIvfTrained(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val cb = Codebooks.ivf(spark, dir)
-    val clusters = assignCodes(subvectors(spark, dir, 1, 64), cb)
-      .select(col("vec_id"), col("code").as("cluster"))
-    val corpus = withNorm(Tables.embeddings(spark, dir))
+    val emb = Tables.embeddings(spark, dir)
+    ivfSearchFrom(emb, cb, assignClusters(emb, cb), k)
+  }
+
+  /** Full-vector cluster assignment of an embeddings FRAME against a
+    * coarse quantizer table (c_label, s, cl) → (vec_id, cluster) — the
+    * [[annIvfTrained]] assignment step, frame-parameterized so the
+    * persisted-index maintenance path ([[AnnIndex]]: stored codebook,
+    * incremental batches off the change feed) provably assigns EXACTLY
+    * as the in-query path does. */
+  private[graft] def assignClusters(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = emb.select(col("vec_id"), lit(0).as("s"),
+      expr("slice(embedding, 1, 64)").as("sv"))
+    assignCodes(sub, cb).select(col("vec_id"), col("code").as("cluster"))
+  }
+
+  /** IVF multi-probe + exact-cosine re-rank from a GIVEN codebook and
+    * assignment relation — shared by the in-query trained path and the
+    * persisted-index serve path ([[AnnIndex.searchFrom]]), which is what
+    * makes "stored-index search == trainer-replay oracle" a structural
+    * property rather than a hope. Queries are `corpus.vec_id < 5`, the
+    * family's fixed probe set. */
+  private[graft] def ivfSearchFrom(emb: DataFrame, cb: DataFrame,
+                                   clusters: DataFrame, k: Int = 10): DataFrame = {
+    val corpus = withNorm(emb)
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val queries = withNorm(Tables.embeddings(spark, dir).filter(col("vec_id") < 5))
+    val queries = withNorm(emb.filter(col("vec_id") < 5))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
     val wp = Window.partitionBy("q_id").orderBy(col("pd"), col("cluster"))
@@ -1140,7 +1162,8 @@ object Similarity {
       .filter(col("rn") <= IvfProbes)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cluster"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(clusters, "vec_id")
+    corpus.join(clusters.select(col("vec_id"),
+        col("cluster").cast("int").as("cluster")), "vec_id")
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", dot("embedding", "q_emb") / (col("norm") * col("q_norm")))

@@ -301,12 +301,10 @@ object CommitLog {
     def mergeSchema(s: org.apache.spark.sql.types.StructType): Unit =
       s.fields.foreach { f =>
         schema.get(f.name) match {
-          case Some(prev) if prev.dataType != f.dataType =>
-            throw new SchemaConflictException(
-              s"column ${f.name}: ${prev.dataType.simpleString} vs " +
-                s"${f.dataType.simpleString} — evolution is additive-only")
-          case Some(_) => ()
-          case None    => schema(f.name) = f.copy(nullable = true)
+          case Some(prev) =>
+            schema(f.name) = prev.copy(
+              dataType = widenNullability(f.name, prev.dataType, f.dataType))
+          case None => schema(f.name) = f.copy(nullable = true)
         }
       }
     def schemaStruct: Option[org.apache.spark.sql.types.StructType] =
@@ -333,6 +331,35 @@ object CommitLog {
     * exists — replay cost is then O(commits since checkpoint), not
     * O(table lifetime); the pre-checkpoint commit files aren't even
     * opened (CommitLogSpec proves this by corrupting them). */
+  /** The union of two occurrences of one column's type, nullability-wise:
+    * the same STRUCTURE with differing array/map/struct nullability flags
+    * merges to the more-nullable form (a parquet-seeded table and a
+    * `Seq(...).toDF` frame routinely disagree only on `containsNull` —
+    * that is schema NOISE, not evolution); a structural difference is the
+    * typed additive-only conflict, exactly as before. */
+  private def widenNullability(name: String,
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        ArrayType(widenNullability(name, ea, eb), na || nb)
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        MapType(widenNullability(name, ka, kb), widenNullability(name, va, vb), na || nb)
+      case (StructType(fa), StructType(fb))
+          if fa.length == fb.length && fa.map(_.name).sameElements(fb.map(_.name)) =>
+        StructType(fa.zip(fb).map { case (x, y) =>
+          StructField(x.name, widenNullability(name, x.dataType, y.dataType),
+            x.nullable || y.nullable, x.metadata)
+        })
+      case _ =>
+        throw new SchemaConflictException(
+          s"column $name: ${a.simpleString} vs " +
+            s"${b.simpleString} — evolution is additive-only")
+    }
+  }
+
   private[sources] def replay(table: String, v: Long, store: LogStore): State = {
     val st = State(mutable.LinkedHashSet.empty, mutable.Map.empty,
       mutable.Map.empty, mutable.LinkedHashMap.empty)
@@ -916,10 +943,16 @@ object CommitLog {
             .foreach { tok =>
               val theirFields = tokenToSchema(tok).fields.map(f => f.name -> f.dataType).toMap
               ourMetaFields.foreach { case (name, dt) =>
+                // nullability-only differences widen at replay (mergeSchema);
+                // only a STRUCTURAL mismatch is the race loser's conflict
                 theirFields.get(name).filter(_ != dt).foreach { theirDt =>
-                  throw new SchemaConflictException(
-                    s"commit v$v added column $name: ${theirDt.simpleString} vs " +
-                      s"our ${dt.simpleString} — evolution is additive-only")
+                  try { widenNullability(name, theirDt, dt); () }
+                  catch {
+                    case _: SchemaConflictException =>
+                      throw new SchemaConflictException(
+                        s"commit v$v added column $name: ${theirDt.simpleString} vs " +
+                          s"our ${dt.simpleString} — evolution is additive-only")
+                  }
                 }
               }
             }
