@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorFunctions.vecDotDescription)
     ext.injectFunction(org.apache.spark.sql.graft.BpeFunctions.bpeCountDescription)
+    // the media kernels: PNG + baseline-JPEG pixel codecs and the
+    // perceptual block-mean downsample, callable from raw SQL strings
+    org.apache.spark.sql.graft.PngFunctions.descriptions.foreach(ext.injectFunction)
+    org.apache.spark.sql.graft.JpegFunctions.descriptions.foreach(ext.injectFunction)
     // declarative aggregate(zip_with(...)) dot products → FloatVecDot
     // (see graft.plans.VecDotRewrite for the soundness gate)
     ext.injectOptimizerRule(_ => graft.plans.VecDotRewrite)

@@ -103,6 +103,24 @@ object AnnIndex {
     if (v >= 0) { publish(spark, root, cbV, v); () }
   }
 
+  /** Index maintenance: compact the assignment fragments the incremental
+    * path accumulates (one small file per published batch) through the
+    * table layer's own policy tick ([[CommitLog.maintain]]), then publish
+    * the compacted version so NEW readers list the compacted file set —
+    * compaction preserves rows, so the published pair serves identical
+    * results (AnnIndexSpec pins it). Readers pinned on an older manifest
+    * row keep reading the pre-compaction snapshot (removed files survive
+    * until vacuum retention passes, the table layer's own rule). Returns
+    * the compaction version, or -1 when under threshold (no-op, nothing
+    * published). */
+  def maintain(spark: SparkSession, root: String,
+               maxFiles: Int = 16, targetFiles: Int = 2): Long = {
+    val v = CommitLog.maintain(spark, asTable(root),
+      maxFiles = maxFiles, targetFiles = targetFiles)
+    if (v >= 0) { val (cbV, _) = current(spark, root); publish(spark, root, cbV, v) }
+    v
+  }
+
   /** Serve a top-k IVF search from the STORED index: resolve the
     * manifest once, snapshot-read the pinned pair, probe + re-rank via
     * the shared [[Similarity.ivfSearchFrom]]. No training, ever. */

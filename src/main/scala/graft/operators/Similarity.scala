@@ -533,7 +533,17 @@ object Similarity {
     * (vector, subspace) — shared by code assignment and the trainer. */
   private def subvectors(spark: SparkSession, dir: String,
                          subspaces: Int, width: Int): DataFrame =
-    Tables.embeddings(spark, dir)
+    subvectorsFrom(Tables.embeddings(spark, dir), subspaces, width)
+
+  /** Frame-parameterized [[subvectors]]. The generated `s` attribute is
+    * deliberately NON-FOLDABLE (it comes out of the Generate): a literal
+    * `s` column constant-folds out of the assignment join's key set and
+    * the broadcast HASH join silently degrades to a nested-loop join —
+    * the r18 assignClusters first cut did exactly that (PlanGuardSpec's
+    * exact BNLJ counts caught it). */
+  private def subvectorsFrom(emb: DataFrame,
+                             subspaces: Int, width: Int): DataFrame =
+    emb
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${subspaces - 1}), s -> " +
           s"named_struct('s', cast(s as int), 'sv', slice(embedding, s*$width+1, $width)))"))
@@ -1134,11 +1144,9 @@ object Similarity {
     * persisted-index maintenance path ([[AnnIndex]]: stored codebook,
     * incremental batches off the change feed) provably assigns EXACTLY
     * as the in-query path does. */
-  private[graft] def assignClusters(emb: DataFrame, cb: DataFrame): DataFrame = {
-    val sub = emb.select(col("vec_id"), lit(0).as("s"),
-      expr("slice(embedding, 1, 64)").as("sv"))
-    assignCodes(sub, cb).select(col("vec_id"), col("code").as("cluster"))
-  }
+  private[graft] def assignClusters(emb: DataFrame, cb: DataFrame): DataFrame =
+    assignCodes(subvectorsFrom(emb, 1, 64), cb)
+      .select(col("vec_id"), col("code").as("cluster"))
 
   /** IVF multi-probe + exact-cosine re-rank from a GIVEN codebook and
     * assignment relation — shared by the in-query trained path and the

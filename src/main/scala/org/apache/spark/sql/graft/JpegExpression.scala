@@ -249,7 +249,16 @@ object JpegKernel {
         }
         fdct(block, freq)
         var i = 0
-        while (i < 64) { zz(i) = math.round(freq(Zigzag(i))).toInt; i += 1 }
+        while (i < 64) {
+          // T.81 F.1.1.4: 8-bit-precision DCT coefficients lie in
+          // [-1023, 1023] (the Annex K AC table has no size-11 symbols);
+          // the mathematical FDCT max is ±1024 on adversarial blocks, so
+          // clamp — at most ±1 of coefficient error on a pattern no
+          // natural image produces, and the stream stays well-formed.
+          val q = math.round(freq(Zigzag(i))).toInt
+          zz(i) = if (i == 0) q else math.max(-1023, math.min(1023, q))
+          i += 1
+        }
         // DC difference
         val diff = zz(0) - pred
         pred = zz(0)
@@ -679,6 +688,8 @@ case class GrayBlockMeans(first: Expression, second: Expression, third: Expressi
 
 object JpegFunctions {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import org.apache.spark.sql.classic.ExpressionUtils
 
   def jpeg_decode_gray8(payload: Column): Column =
@@ -694,4 +705,26 @@ object JpegFunctions {
     ExpressionUtils.column(GrayBlockMeans(
       ExpressionUtils.expression(pixels), ExpressionUtils.expression(w),
       ExpressionUtils.expression(h)))
+
+  /** SQL-text descriptors (the vec_dot discipline; see
+    * [[PngFunctions.descriptions]]). */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (new FunctionIdentifier("jpeg_decode_gray8"),
+      new ExpressionInfo(classOf[JpegDecodeGray8].getName, "jpeg_decode_gray8"),
+      cs => { require(cs.length == 1, s"jpeg_decode_gray8 expects 1 arg, got ${cs.length}")
+        JpegDecodeGray8(cs.head) }),
+    (new FunctionIdentifier("jpeg_encode_gray8_blocks"),
+      new ExpressionInfo(classOf[JpegEncodeGray8Blocks].getName, "jpeg_encode_gray8_blocks"),
+      cs => { require(cs.length == 4, s"jpeg_encode_gray8_blocks expects 4 args, got ${cs.length}")
+        JpegEncodeGray8Blocks(cs(0), cs(1), cs(2), cs(3)) }),
+    (new FunctionIdentifier("gray_block_means"),
+      new ExpressionInfo(classOf[GrayBlockMeans].getName, "gray_block_means"),
+      cs => { require(cs.length == 3, s"gray_block_means expects 3 args, got ${cs.length}")
+        GrayBlockMeans(cs(0), cs(1), cs(2)) }))
+
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

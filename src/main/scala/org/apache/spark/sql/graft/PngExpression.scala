@@ -287,6 +287,8 @@ case class PngEncodeGray8(first: Expression, second: Expression, third: Expressi
 
 object PngFunctions {
   import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import org.apache.spark.sql.classic.ExpressionUtils
 
   def png_decode_gray8(payload: Column): Column =
@@ -296,4 +298,23 @@ object PngFunctions {
     ExpressionUtils.column(PngEncodeGray8(
       ExpressionUtils.expression(w), ExpressionUtils.expression(h),
       ExpressionUtils.expression(pixels)))
+
+  /** SQL-text descriptors (the vec_dot discipline): injected by
+    * GraftExtensions so SQL-string callers — the reference's native mode
+    * — reach the codegen'd decoders, not a UDF stand-in. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (new FunctionIdentifier("png_decode_gray8"),
+      new ExpressionInfo(classOf[PngDecodeGray8].getName, "png_decode_gray8"),
+      cs => { require(cs.length == 1, s"png_decode_gray8 expects 1 arg, got ${cs.length}")
+        PngDecodeGray8(cs.head) }),
+    (new FunctionIdentifier("png_encode_gray8"),
+      new ExpressionInfo(classOf[PngEncodeGray8].getName, "png_encode_gray8"),
+      cs => { require(cs.length == 3, s"png_encode_gray8 expects 3 args, got ${cs.length}")
+        PngEncodeGray8(cs(0), cs(1), cs(2)) }))
+
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -88,6 +88,16 @@ class AnnIndexSpec extends SparkSpec {
     assert(CommitLog.read(spark, s"$root/assignments")
       .where(col("vec_id") === 90001L).count() === 1L)
 
+    // maintenance: compact the per-batch assignment fragments through
+    // the table layer's policy tick; the published pair serves the
+    // identical rows from fewer files
+    val filesBefore = CommitLog.snapshot(s"$root/assignments").files.size
+    assert(AnnIndex.maintain(spark, root, maxFiles = 1, targetFiles = 1) >= 0,
+      "an over-threshold tick must compact")
+    assert(CommitLog.snapshot(s"$root/assignments").files.size < filesBefore)
+    assert(rows(AnnIndex.searchFrom(spark, grown, root)) === after,
+      "compaction must not change what the index serves")
+
     // retrain swap: two table overwrites, ONE manifest commit — readers
     // move atomically, the old pair stays addressable
     val mv0 = CommitLog.latestVersion(s"$root/manifest")

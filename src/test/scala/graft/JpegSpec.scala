@@ -165,6 +165,18 @@ class JpegSpec extends SparkSpec {
     assert(n === 2, s"jpeg_decode_gray8 must appear once per self-join side, got $n")
   }
 
+  test("the codec is callable from raw SQL text (the GraftExtensions surface)") {
+    org.apache.spark.sql.graft.JpegFunctions.registerSql(spark)
+    Seq((1L, Seq(5, 55, 105, 155))).toDF("doc_id", "bv")
+      .createOrReplaceTempView("jpeg_sql_src")
+    val out = spark.sql(
+      """SELECT gray_block_means(jpeg_decode_gray8(
+        |         jpeg_encode_gray8_blocks(2, 2, bv, concat('d', doc_id))),
+        |       16, 16) AS bm
+        |FROM jpeg_sql_src""".stripMargin).as[Seq[Int]].head()
+    assert(out === Seq(5, 55, 105, 155))
+  }
+
   test("JPEG fingerprints equal BMP fingerprints bit for bit (shared-oracle property)") {
     val jpeg = Multimodal.mmPhashJpeg(spark, sf)
       .as[(Long, Long, Int)].collect().toSeq

@@ -24,6 +24,9 @@ class PlanGuardSpec extends SparkSpec {
     "semdedup" -> 1, "semdedup_trained" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
+    // occ_ann_serve: ann_ivf_trained's probe shape (queries x broadcast
+    // codebook — both tiny) served from the stored index tables
+    "occ_ann_serve" -> 1,
     "sql_q15" -> 1, "sql_q22" -> 1, "customer_rfm" -> 1,
     "customer_rfm_approx" -> 1,
     // sql_q11: the 1%-of-total threshold is a one-row broadcast joined

@@ -134,6 +134,16 @@ class PngSpec extends SparkSpec {
     assert(bytes === good.toSeq)
   }
 
+  test("the codec is callable from raw SQL text (the GraftExtensions surface)") {
+    org.apache.spark.sql.graft.PngFunctions.registerSql(spark)
+    Seq((1L, (0 until 64).toList)).toDF("doc_id", "px")
+      .createOrReplaceTempView("png_sql_src")
+    val n = spark.sql(
+      "SELECT octet_length(png_decode_gray8(png_encode_gray8(8, 8, px))) AS n " +
+        "FROM png_sql_src").as[Int].head()
+    assert(n === 64)
+  }
+
   test("the plan inflates each payload ONCE per join side (no optimizer re-inlining)") {
     // without the Generate barrier in pngAHash, predicate pushdown
     // substituted the pix alias back into decode(payload) and each
