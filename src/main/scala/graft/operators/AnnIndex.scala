@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   * discipline gives incremental publishes their visibility point: a
   * batch becomes searchable exactly when its manifest row lands.
   *
+  * Writer contract: READER atomicity is the manifest's (above); WRITER
+  * serialization follows the table layer's standing single-maintenance-
+  * writer rule (SCALE.md §Writers) — one maintenance pipeline owns the
+  * index (the change-feed stream in AnnIndexSpec is that pipeline, and
+  * a retrain is a stop-rebuild-restart of the same pipeline). A retrain
+  * RACING an incremental append from a second writer is out of
+  * contract: the append's rows, assigned under the old codebook,
+  * survive the overwrite as a blind append and would publish a mixed
+  * pair. Within the contract the composition is exactly-once end to
+  * end. [[appendBatch]] is the APPEND-ONLY maintenance arm — corpus
+  * deletes/updates require a rebuild (or a DV pass over assignments),
+  * the same posture every write-optimized secondary index takes.
+  *
   * Scale shape: the codebook is kilobytes (broadcast); assignments are
   * one (long, int) row per vector — appended in batch-sized files,
   * compactable with the table layer's own [[CommitLog.maintain]];

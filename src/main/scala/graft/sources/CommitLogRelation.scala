@@ -53,7 +53,8 @@ import java.nio.file.Paths
 class CommitLogRelation(override val sqlContext: SQLContext,
                         table: String, indexCol: Option[String],
                         pinnedVersion: Long,
-                        store: CommitLog.LogStore)
+                        store: CommitLog.LogStore,
+                        asOfPinned: Boolean = false)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val spark = sqlContext.sparkSession
@@ -109,6 +110,12 @@ class CommitLogRelation(override val sqlContext: SQLContext,
     * caller because the write happened THROUGH the relation). */
   override def insert(data: org.apache.spark.sql.DataFrame,
                       overwrite: Boolean): Unit = {
+    // an AS OF relation names a historical snapshot; a write through it
+    // would land at the TIP while every read through the same name keeps
+    // showing the past — refuse loudly instead of "succeeding" invisibly
+    require(!asOfPinned,
+      s"$table was resolved with versionAsOf/timestampAsOf (v$pinnedVersion) — " +
+        "INSERT targets the live table; resolve it without AS OF to write")
     if (overwrite) CommitLog.overwrite(spark, table, data, indexCol, store = store)
     else indexCol match {
       case Some(c) => CommitLog.appendIndexed(spark, table, data, c, store)
@@ -290,7 +297,7 @@ class CommitLogProvider
     val v = byVersion.orElse(byTs).getOrElse(tip)
     require(v >= 0 && v <= tip, s"version $v does not exist (tip is $tip)")
     new CommitLogRelation(sqlContext, table, parameters.get("indexCol"),
-      v, store)
+      v, store, asOfPinned = byVersion.nonEmpty || byTs.nonEmpty)
   }
 
   override def createRelation(sqlContext: SQLContext,

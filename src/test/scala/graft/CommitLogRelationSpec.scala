@@ -316,6 +316,26 @@ class CommitLogRelationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS clr_ins")
   }
 
+  test("INSERT through an AS OF relation is refused, never a silent tip write") {
+    val t = indexedTable()
+    spark.sql("DROP TABLE IF EXISTS clr_asof")
+    spark.catalog.createTable("clr_asof", "graft-commitlog",
+      Map("table" -> t, "versionAsOf" -> "0"))
+    try {
+      val tip = CommitLog.latestVersion(t)
+      val e = intercept[Throwable] {
+        spark.sql("INSERT INTO clr_asof VALUES (777, 'nope')")
+      }
+      def chain(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: chain(x.getCause)
+      assert(chain(e).exists(_.getMessage != null)
+        && chain(e).exists(c => Option(c.getMessage).exists(_.contains("AS OF"))),
+        s"expected the typed AS OF refusal, got $e")
+      assert(CommitLog.latestVersion(t) === tip,
+        "a refused INSERT must commit nothing")
+    } finally spark.sql("DROP TABLE IF EXISTS clr_asof")
+  }
+
   test("SQL-text INSERT respects CHECK constraints and the OCC commit path") {
     val t = freshTable()
     CommitLog.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
