@@ -100,6 +100,18 @@ object PhashStream {
                         stateDir: String, batchId: Long): Unit =
     processBatch(spark, newDocsRaw, stateDir, batchId, Multimodal.wavEnergyHash)
 
+  /** The JPEG form of [[processBatch]]: real baseline-JPEG entropy
+    * decode ([[Multimodal.jpegAHash]] — Huffman + dequant + IDCT, then
+    * the 64×64 → 8×8 block-mean downsample) through the SAME state
+    * layout and banding, so the compressed-corpus stream provably bands
+    * like its batch twin (`mm_phash_jpeg`). A payload the decoder
+    * refuses — truncated scan, progressive frame, trailer garbage — is
+    * admitted as seen with no fingerprint row: the malformed-image
+    * no-op rule, applied to a lossy entropy-coded format. */
+  def processJpegBatch(spark: SparkSession, newDocsRaw: DataFrame,
+                       stateDir: String, batchId: Long): Unit =
+    processBatch(spark, newDocsRaw, stateDir, batchId, Multimodal.jpegAHash)
+
   /** The streaming query: `foreachBatch` over a (doc_id, payload)
     * binary stream. */
   def phashStream(docsStream: DataFrame, stateDir: String, checkpointDir: String,
@@ -121,6 +133,19 @@ object PhashStream {
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processAudioBatch(batch.sparkSession, batch, stateDir, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The JPEG streaming query — [[processJpegBatch]] per micro-batch
+    * (own `stateDir`, like the audio form). */
+  def jpegNeardupStream(docsStream: DataFrame, stateDir: String,
+                        checkpointDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processJpegBatch(batch.sparkSession, batch, stateDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

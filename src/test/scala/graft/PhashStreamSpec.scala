@@ -96,4 +96,50 @@ class PhashStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$st/docs").filter(col("doc_id") === 900002L).count() == 1)
     assert(finalPairs.forall { case (d1, d2, _) => d1 != 900002L && d2 != 900002L })
   }
+
+  test("JPEG twin: compressed stream equals one-shot; a truncated JPEG is a seen no-op") {
+    val st = tmp("jpeg-stream")
+    val all = Multimodal.jpegPhashPayloads(spark, sf).localCheckpoint(true)
+    def oneShotJpeg(payloads: DataFrame): Set[(Long, Long, Int)] = {
+      val ch = Multimodal.ahashChunks(Multimodal.jpegAHash(payloads))
+      pairSet(Multimodal.phashPairs(ch, ch))
+    }
+    val batches = (0 until 3).map(k => all.filter(col("doc_id") % 3 === k))
+    // a REAL jpeg truncated mid-scan: the decoder must refuse it, the
+    // stream must admit it as seen and never fingerprint it
+    val truncated = {
+      import spark.implicits._
+      val full = all.limit(1).select("payload").as[Array[Byte]].head()
+      full.take(full.length - 8)
+    }
+    var seen = all.filter(lit(false))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val input = if (i == 1) {
+        import spark.implicits._
+        b.unionByName(Seq((900003L, truncated)).toDF("doc_id", "payload"))
+      } else b
+      PhashStream.processJpegBatch(spark, input, st, i.toLong)
+      seen = seen.unionByName(b)
+      val streamed = pairSet(PhashStream.pairs(spark, st))
+      val expected = oneShotJpeg(seen)
+      assert(streamed == expected,
+        s"jpeg after batch $i: stream ${streamed.size} vs one-shot ${expected.size}")
+    }
+    val finalPairs = pairSet(PhashStream.pairs(spark, st))
+    assert(finalPairs.nonEmpty)
+    assert(finalPairs.exists { case (d1, d2, _) => d1 % 3 != d2 % 3 },
+      "no cross-batch jpeg pair — the fixture split is degenerate")
+    // the streamed JPEG pairs also equal the BMP family's one-shot pairs
+    // over the same corpus — the shared-oracle property holds ONLINE too
+    assert(finalPairs == oneShot(Multimodal.bmpPayloads(spark, sf)),
+      "streamed JPEG fingerprints must match the BMP ground truth")
+    assert(spark.read.parquet(s"$st/docs").filter(col("doc_id") === 900003L).count() == 1)
+    assert(finalPairs.forall { case (d1, d2, _) => d1 != 900003L && d2 != 900003L })
+    // replay idempotence with partial state loss (the BMP test's rule)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$st/chunks/batch=1")).deleteRecursively()
+    PhashStream.processJpegBatch(spark, batches(1), st, 1L)
+    assert(pairSet(PhashStream.pairs(spark, st)) == finalPairs,
+      "replay after losing a batch partition must converge")
+  }
 }
