@@ -3118,6 +3118,45 @@ object CommitLog {
       |  AND o_orderkey NOT BETWEEN 1500 AND 1600
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The OBJECT-STORE commit protocol under the gate (r18): the same
+    * script as [[occSqlRead]] — range-clustered append, dv delete, SQL
+    * text over the loaded view — but EVERY log access goes through
+    * [[FencedStore]] (staged blind PUT + claim arbiter + read repair,
+    * the no-atomic-rename protocol), selected via the DataSource `store`
+    * option. Before the read, a SECOND writer claims the next version
+    * and crashes before publishing (the step-3→4 crash window), so the
+    * SQL path itself must read-repair the claimed tip to resolve the
+    * snapshot. Oracle: [[occSqlReadSql]] verbatim — a commit protocol
+    * must never change one row. */
+  def occStoreFenced(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val table = Files.createTempDirectory("occ_fenced").toString
+    val store = new FencedStore()
+    CommitLogProvider.registerStore("occ-fenced", store)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
+      "o_orderkey", store)
+    deleteWhereDv(spark, table, col("o_orderkey").between(1500, 1600),
+      store = store)
+    // the crash window: a claim with no published object (its content —
+    // an empty commit — is durable in the staged payload the repair
+    // replays; FencedStoreSpec proves the non-empty forms)
+    new FencedStore(crashBeforePublish = true).putIfAbsent(
+      Paths.get(table, "_log", f"v${latestVersion(table, store) + 1}%012d.json"), "")
+    spark.read.format("graft-commitlog")
+      .option("table", table).option("indexCol", "o_orderkey")
+      .option("store", "occ-fenced").load()
+      .createOrReplaceTempView("occ_fenced_view")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM occ_fenced_view
+        |WHERE o_orderkey BETWEEN 1000 AND 2000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val occStoreFencedSql: String = occSqlReadSql
+
   /** Maintenance through the gate: orders lands as EIGHT fragmented
     * single-file appends (the streaming-sink shape), a key range is
     * dv-deleted, then ONE [[maintain]] tick — over threshold on both
