@@ -45,15 +45,47 @@ object Dispatch {
     * tree (a `ParseException` on malformed/multi-statement text propagates
     * as the request's failure). The scan covers the WHOLE tree, not the
     * root — `WITH cte AS (…) INSERT INTO …` parses to a write node UNDER
-    * the CTE wrapper. */
+    * the CTE wrapper.
+    *
+    * ALLOWLIST, not blacklist (ADVICE r18, high): the r18 guard refused
+    * `Command`/`ParsedStatement` subtypes, but Spark 4.1.2 parses
+    * `INSERT OVERWRITE DIRECTORY '/path' … SELECT …` to `InsertIntoDir`,
+    * which extends NEITHER — the "read-only" loop could delete arbitrary
+    * directories. A deny-list over an open node hierarchy re-breaks on
+    * the next such node, so the guard now refuses unless EVERY node in
+    * the parse tree is a known plain-query operator. Fail-closed: an
+    * unlisted node costs a false refusal (the request stays pending and
+    * is complained about), never a write from the serving loop. */
   private[graft] def requireReadOnly(spark: SparkSession, text: String): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, ParsedStatement}
     val plan = org.apache.spark.sql.graft.SessionUtils.parsePlan(spark, text)
-    val writes = plan.collect {
-      case p: LogicalPlan if p.isInstanceOf[Command] || p.isInstanceOf[ParsedStatement] => p
+    val offending = plan.collect { case p if !readOnlyNode(p) => p }
+    require(offending.isEmpty,
+      s"dispatch sql mode is read-only — refused ${offending.head.nodeName}")
+  }
+
+  /** The plain-query operator allowlist: every logical node the SQL
+    * parser emits for SELECT-shaped text (relations, row ops, aggregates,
+    * windows, joins incl. lateral, set ops, CTEs, limits/sampling,
+    * pivot/unpivot, hints). Nothing here can create, mutate, or delete
+    * catalog or filesystem state. Deliberately ABSENT: every `Command`
+    * and `ParsedStatement` subtype, `InsertIntoStatement`, and
+    * `InsertIntoDir` (the node the r18 blacklist missed). */
+  private def readOnlyNode(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedHaving, UnresolvedInlineTable, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableValuedFunction}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: UnresolvedRelation | _: UnresolvedInlineTable |
+           _: UnresolvedTableValuedFunction | _: UnresolvedSubqueryColumnAliases |
+           _: UnresolvedHaving | _: UnresolvedWith | _: UnresolvedHint |
+           _: CTERelationDef | _: CTERelationRef |
+           _: Project | _: Filter | _: Aggregate | _: Sort | _: Window |
+           _: WithWindowDefinition | _: Generate | _: Join | _: LateralJoin |
+           _: Union | _: Intersect | _: Except | _: Distinct | _: Deduplicate |
+           _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail | _: Sample |
+           _: Pivot | _: Unpivot | _: SubqueryAlias | _: OneRowRelation |
+           _: LocalRelation => true
+      case _ => false
     }
-    require(writes.isEmpty,
-      s"dispatch sql mode is read-only — refused ${writes.head.nodeName}")
   }
 
   /** Route one request to its analytic with its own parameters bound.

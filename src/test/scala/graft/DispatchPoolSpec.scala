@@ -136,4 +136,65 @@ class DispatchPoolSpec extends SparkSpec {
         .collect().toSeq == Seq(500L))
     } finally spark.sql("DROP TABLE IF EXISTS pool_sql_tbl")
   }
+
+  test("sql-mode guard: allowlist refuses every write shape incl. InsertIntoDir") {
+    def refused(sql: String): Boolean =
+      try { Dispatch.requireReadOnly(spark, sql); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("read-only") }
+
+    // The r18 ADVICE hole: InsertIntoDir extends neither Command nor
+    // ParsedStatement, so the old blacklist EXECUTED this eagerly —
+    // deleting/overwriting an arbitrary directory from the serving loop.
+    val dir = tmp("pool_guard_dir")
+    assert(refused(s"INSERT OVERWRITE DIRECTORY '$dir' USING parquet SELECT 1 AS a"),
+      "INSERT OVERWRITE DIRECTORY must be refused")
+    assert(refused(s"INSERT OVERWRITE LOCAL DIRECTORY '$dir' USING csv SELECT 1 AS a"))
+    assert(!new java.io.File(dir, "_SUCCESS").exists,
+      "the refused statement must not have written the directory")
+    // the rest of the write/DDL/command surface stays refused
+    Seq(
+      "INSERT INTO t VALUES (1)",
+      "WITH c AS (SELECT 1 AS k) INSERT INTO t SELECT * FROM c",
+      "CREATE TABLE t (a INT) USING parquet",
+      "CREATE TABLE t2 AS SELECT 1 AS a",
+      "DROP TABLE IF EXISTS t",
+      "TRUNCATE TABLE t",
+      "ALTER TABLE t ADD COLUMNS (b INT)",
+      "UPDATE t SET a = 1",
+      "DELETE FROM t WHERE a = 1",
+      "MERGE INTO t USING s ON t.a = s.a WHEN MATCHED THEN DELETE",
+      "CACHE TABLE t",
+      "UNCACHE TABLE t",
+      "REFRESH TABLE t",
+      "SET spark.sql.shuffle.partitions=1",
+      "ANALYZE TABLE t COMPUTE STATISTICS",
+      "SHOW TABLES",
+      "DESCRIBE TABLE t",
+      "EXPLAIN SELECT 1").foreach(s => assert(refused(s), s"must refuse: $s"))
+
+    // fail-closed must not over-refuse: the read-only shapes the serving
+    // loop exists for (each exercising distinct parser nodes) all pass
+    Seq(
+      "SELECT 1 AS a",
+      "SELECT a, count(*) AS c FROM t WHERE a > 0 GROUP BY a HAVING count(*) > 1 ORDER BY a LIMIT 5",
+      "SELECT a, count(*) AS c FROM t GROUP BY a LIMIT 5 OFFSET 2",
+      "WITH c AS (SELECT 1 AS k) SELECT * FROM c JOIN c c2 ON c.k = c2.k",
+      "SELECT DISTINCT a FROM t",
+      "SELECT a FROM t UNION ALL SELECT a FROM u",
+      "SELECT a FROM t INTERSECT SELECT a FROM u",
+      "SELECT a FROM t EXCEPT SELECT a FROM u",
+      "SELECT a, row_number() OVER (PARTITION BY b ORDER BY a) AS rn FROM t",
+      "SELECT a, row_number() OVER w AS rn FROM t WINDOW w AS (ORDER BY a)",
+      "SELECT * FROM t TABLESAMPLE (10 PERCENT)",
+      "SELECT * FROM range(10)",
+      "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(k, s)",
+      "SELECT t.a, e.x FROM t LATERAL VIEW explode(arr) e AS x",
+      "SELECT * FROM t, LATERAL (SELECT a + 1 AS b)",
+      "SELECT * FROM (SELECT a, b FROM t) PIVOT (sum(b) FOR a IN (1, 2))",
+      "SELECT * FROM t UNPIVOT (v FOR c IN (a, b))",
+      "SELECT /*+ BROADCAST(t) */ a FROM t",
+      "SELECT a FROM t WHERE a IN (SELECT a FROM u WHERE u.b = t.b)",
+      "SELECT (SELECT max(a) FROM u) AS m FROM t").foreach(s =>
+      assert(!refused(s), s"allowlist must accept read-only: $s"))
+  }
 }
