@@ -101,8 +101,16 @@ object Bench {
       }
     }
 
+    // Optional subset run (the sf10 heavy-tail soak, r18 verdict #4):
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c limits the pass to those names.
+    // Subset artifacts must be pointed elsewhere via SPARK_GRAFT_BENCH_OUT
+    // so they never masquerade as a full-registry record.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, List[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         // Defense in depth against any operator that pins storage: no
         // entry's timing may inherit another's (or its own warmup's)
         // cached blocks — operators manage persistence internally per

@@ -40,14 +40,25 @@ import org.apache.spark.sql.functions._
   * serialization follows the table layer's standing single-maintenance-
   * writer rule (SCALE.md §Writers) — one maintenance pipeline owns the
   * index (the change-feed stream in AnnIndexSpec is that pipeline, and
-  * a retrain is a stop-rebuild-restart of the same pipeline). A retrain
-  * RACING an incremental append from a second writer is out of
-  * contract: the append's rows, assigned under the old codebook,
-  * survive the overwrite as a blind append and would publish a mixed
-  * pair. Within the contract the composition is exactly-once end to
-  * end. [[appendBatch]] is the APPEND-ONLY maintenance arm — corpus
-  * deletes/updates require a rebuild (or a DV pass over assignments),
-  * the same posture every write-optimized secondary index takes.
+  * a retrain is a stop-rebuild-restart of the same pipeline). The
+  * RETRAIN-vs-APPEND interleave is additionally IN contract (r18
+  * verdict #3): [[appendBatch]] validates the codebook version it
+  * assigned under against the manifest tip at publish time — one OCC
+  * conflict check, the manifest as arbiter — and on mismatch REPAIRS
+  * (re-assigns the batch under the tip codebook, replacing any stale
+  * rows the append left in the post-retrain table) before publishing,
+  * so a racing retrain yields a clean old pair or a clean new pair,
+  * never a mixed one. Fully concurrent multi-writer operation beyond
+  * that interleave stays out of contract. [[appendBatch]] is the
+  * APPEND-ONLY arm; corpus deletes flow through [[applyDeletes]] /
+  * [[syncDeletes]] (r18 verdict #2) — a copy-on-write anti-join over
+  * `assignments` fed by the corpus table's CDC delete rows, so a
+  * deleted vector stops being searchable at the next manifest publish,
+  * not the next retrain. Vacuum safety: the pre-delete assignment
+  * snapshot stays addressable (index time travel) until the table
+  * layer's vacuum retention passes — retention on `assignments` is
+  * therefore also the retention of the right-to-be-forgotten window,
+  * and a compliance delete must be followed by a vacuum.
   *
   * Scale shape: the codebook is kilobytes (broadcast); assignments are
   * one (long, int) row per vector — appended in batch-sized files,
@@ -106,14 +117,95 @@ object AnnIndex {
     * PINNED stored codebook (never retrain in the hot path), append
     * exactly-once ((appId, batchId) txn marker — a replayed batch is a
     * no-op and is NOT re-published), publish. The new vectors are
-    * searchable at the manifest row this commits. */
+    * searchable at the manifest row this commits.
+    *
+    * Publish is OCC-checked against the manifest (the retrain-race
+    * arbiter, r18 verdict #3): if a retrain swapped the codebook between
+    * this batch's manifest read and its publish, the batch was assigned
+    * under a codebook that is no longer the tip — publishing would
+    * either roll visibility back to a superseded snapshot (retrain
+    * overwrote after our append) or pin a MIXED pair (our stale-assigned
+    * rows landed inside the retrained table). On mismatch the batch is
+    * REPAIRED: re-assign under the tip codebook and copy-on-write the
+    * table so each batch vec_id carries exactly one tip-codebook row
+    * (idempotent whether or not the retrain's own rebuild already
+    * covered the batch), then re-check. Bounded retries — repeated
+    * conflict means concurrent retrains, which stays out of contract. */
+  /** Test seam (AnnIndexSpec's deterministic race injection, the
+    * [[Truncate]] injectable-checkpoint discipline): invoked after the
+    * batch has pinned the codebook version it will assign under and
+    * BEFORE its exactly-once append — the widest retrain-race window
+    * (a retrain completing here leaves the batch's stale-assigned rows
+    * inside the post-retrain table, the mixed-pair danger the publish
+    * check must repair). Production: no-op. */
+  private[graft] var raceSeam: () => Unit = () => ()
+
   def appendBatch(spark: SparkSession, root: String, newEmb: DataFrame,
                   appId: String, batchId: Long): Unit = {
     val (cbV, _) = current(spark, root)
     val cb = CommitLog.read(spark, cbTable(root), Some(cbV))
+    raceSeam()
     val v = CommitLog.appendOnce(spark, asTable(root),
       Similarity.assignClusters(newEmb, cb), appId, batchId)
-    if (v >= 0) { publish(spark, root, cbV, v); () }
+    if (v < 0) return // replayed batch: already applied and published
+    var pubCb = cbV
+    var pubV = v
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val (tipCb, _) = current(spark, root)
+      if (tipCb == pubCb) { publish(spark, root, pubCb, pubV); done = true }
+      else {
+        attempts += 1
+        require(attempts <= 8,
+          s"ann index $root: publish conflicted $attempts times — " +
+            "concurrent retrains are out of contract")
+        val cbNew = CommitLog.read(spark, cbTable(root), Some(tipCb))
+        val cur = CommitLog.read(spark, asTable(root))
+        val repaired = cur
+          .join(newEmb.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .unionByName(Similarity.assignClusters(newEmb, cbNew))
+        pubV = CommitLog.overwrite(spark, asTable(root), repaired)
+        pubCb = tipCb
+      }
+    }
+  }
+
+  /** DELETE propagation (r18 verdict #2): copy-on-write the assignments
+    * table to drop `deletedIds` (one column, `vec_id`), publish under the
+    * UNCHANGED codebook — the deleted vectors stop being searchable at
+    * this manifest row, not at the next retrain. Deleting an absent id is
+    * a no-op, so replays are idempotent. The pre-delete snapshot stays
+    * addressable via index time travel until `assignments` is vacuumed
+    * (see the object scaladoc's vacuum-safety note). */
+  def applyDeletes(spark: SparkSession, root: String,
+                   deletedIds: DataFrame): Unit = {
+    val (cbV, asV) = current(spark, root)
+    val cur = CommitLog.read(spark, asTable(root), Some(asV))
+    val remaining = cur.join(
+      deletedIds.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    val v = CommitLog.overwrite(spark, asTable(root), remaining)
+    publish(spark, root, cbV, v)
+  }
+
+  /** The CDC composition: pull the corpus table's change rows in
+    * `(fromVersion, toVersion]` and feed the DELETE rows to
+    * [[applyDeletes]]. Returns the version the caller should checkpoint
+    * as the next `fromVersion`; a window with no delete rows publishes
+    * nothing. (An UPDATE — preimage+postimage — needs both arms in
+    * order: applyDeletes on the preimage ids BEFORE appendBatch on the
+    * postimage rows, since applyDeletes drops every assignment row of a
+    * vec_id; the single-maintenance-writer pipeline owns that ordering.) */
+  def syncDeletes(spark: SparkSession, root: String, corpusTable: String,
+                  fromVersion: Long, toVersion: Option[Long] = None): Long = {
+    val (to, cdc) = CommitLog.readChangesCdc(spark, corpusTable, fromVersion, toVersion)
+    cdc.foreach { changes =>
+      val dels = changes
+        .filter(col("_change_type") === "delete")
+        .select(col("vec_id"))
+      if (!dels.isEmpty) applyDeletes(spark, root, dels)
+    }
+    to
   }
 
   /** Index maintenance: compact the assignment fragments the incremental
@@ -157,4 +249,26 @@ object AnnIndex {
   }
 
   val occAnnServeSql: String = Similarity.annIvfTrainedSql
+
+  /** The DELETE gate query (r18 verdict #2): corpus in a commit-log
+    * table, index built from it, then a real `DELETE WHERE vec_id % 7 =
+    * 3` on the corpus whose CDC delete rows flow through [[syncDeletes]]
+    * into the assignments table. Serving afterwards must equal the
+    * trainer-replay search over the FILTERED corpus with the FULL-corpus
+    * codebook ([[Similarity.annIvfDeleteSql]]) — i.e. a deleted vector
+    * (including deleted QUERY vec_id 3) is unsearchable at the next
+    * manifest publish, with zero retraining. */
+  def occAnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("occ_annd").toString
+    val corpusT = s"$root/corpus"
+    CommitLog.append(spark, corpusT,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    build(spark, dir, root)
+    val v0 = CommitLog.latestVersion(corpusT)
+    CommitLog.deleteWhere(spark, corpusT, col("vec_id") % 7 === 3, cdc = true)
+    syncDeletes(spark, root, corpusT, v0)
+    searchFrom(spark, CommitLog.read(spark, corpusT), root)
+  }
+
+  val occAnnDeleteSql: String = Similarity.annIvfDeleteSql
 }

@@ -634,6 +634,72 @@ object Multimodal {
     * [[jpegPhashPayloads]] for why the lossy format still pins it). */
   val mmPhashJpegSql: String = mmPhashNeardupSql
 
+  // --- perceptual image near-dup over COLOR baseline JPEGs (r18 ask #1) ----
+
+  /** 3-component YCbCr baseline JPEGs from the SAME Y ground truth as
+    * [[jpegPhashPayloads]] — the dominant real-corpus payload shape. Per
+    * doc, the fixture varies EVERYTHING the widened decoder must handle:
+    * chroma subsampling cycles 4:4:4 / 4:2:2 / 4:2:0 with `doc_id % 3`,
+    * the restart interval cycles 0..6 MCUs with `doc_id % 7` (0 = no DRI;
+    * the non-dividing intervals put RST markers at every alignment), and
+    * the chroma planes are block-constant values seeded per doc — so a
+    * decoder that mis-walks the interleaved MCU stream, misplaces a
+    * restart, or lets chroma coefficients leak into the Y predictor
+    * desyncs (NULL row) or shifts a fingerprint, and the shared oracle
+    * catches it. The Y plane stays the block-constant lossless envelope,
+    * so luma decode must be EXACT across all three samplings. */
+  private[graft] def jpegColorPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val px = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
+      .select(col("doc_id"), col("s"), expr(bmpPixelSql("s")).as("pv"))
+    px.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, pv))), x -> x.pv)")
+        .as("pxs"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.JpegFunctions.jpeg_encode_color_blocks(
+          lit(8), lit(8),
+          concat(array(col("doc_id").cast("int") % 3, // mode: 444/422/420
+            col("doc_id").cast("int") % 7, // restart interval (0 = none)
+            (col("doc_id").cast("int") * 131 + 17) % 251), // chroma seed
+            col("pxs")),
+          concat(lit("doc:"), col("doc_id").cast("string"), lit(":"),
+            expr("repeat('y', cast(doc_id % 13 as int))"))).as("payload"))
+      // fixture barrier, same rationale as [[bmpPayloads]]
+      .localCheckpoint(true)
+  }
+
+  /** aHash from the DECODED LUMA PLANE of the color JPEGs: one
+    * `jpeg_decode_luma8` per payload under the same Generate barrier,
+    * then the shared 64×64 → 8×8 downsample and [[laneAHash]]. */
+  private[graft] def jpegColorAHash(payloads: DataFrame): DataFrame = {
+    val decoded = payloads
+      .select(col("doc_id"), explode(array(
+        org.apache.spark.sql.graft.JpegFunctions.jpeg_decode_luma8(col("payload"))))
+        .as("pix"))
+      .filter(col("pix").isNotNull && length(col("pix")) === lit(4096))
+    val means = decoded
+      .select(col("doc_id"), org.apache.spark.sql.graft.JpegFunctions
+        .gray_block_means(col("pix"), lit(64), lit(64)).as("bm"))
+      .select(col("doc_id"), posexplode(col("bm")))
+      .select(col("doc_id"), col("pos").as("i"), col("col").cast("long").as("p"))
+    laneAHash(means)
+  }
+
+  /** Perceptual near-dup over the COLOR JPEG corpus: the [[mmPhashJpeg]]
+    * pipeline with the 3-component luma decoder in front — same banding,
+    * same verification, same BMP ground-truth oracle (the Y planes are
+    * identical, so the pairs must be bit-identical to the gray family's
+    * across every sampling/restart combination the fixture cycles). */
+  def mmPhashJpegColor(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = ahashChunks(jpegColorAHash(jpegColorPayloads(spark, dir)))
+    phashPairs(chunks, chunks)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(1000)
+  }
+
+  /** The BMP family's ground-truth oracle verbatim, fourth format. */
+  val mmPhashJpegColorSql: String = mmPhashNeardupSql
+
   // --- perceptual audio near-dup (energy fingerprint over real WAV) --------
 
   /** Samples per fixture clip: 60 energy chunks × 4 samples. */

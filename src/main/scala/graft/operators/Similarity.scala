@@ -1242,11 +1242,15 @@ object Similarity {
       |  FROM cb1 LEFT JOIN cb2m ON cb1.c_label = cb2m.c_label
       |)""".stripMargin
 
-  /** The trainer replayed full-vector (one subspace), then assignment,
-    * nprobe-2 probe ranking, and exact-cosine re-rank. */
-  val annIvfTrainedSql: String =
-    s"""WITH $ivfTrainerCtes, s3 AS (""" +
-    """
+  /** The serve tail — assignment, norms, queries, nprobe-2 probe
+    * ranking, exact-cosine re-rank — parameterized by a KEEP predicate
+    * over `vec_id` applied to the assignment relation and the query set
+    * (the trainer always sees the FULL corpus: a stored codebook does
+    * not forget deleted vectors, their assignments and queries do —
+    * exactly [[graft.operators.AnnIndex.applyDeletes]]'s semantics).
+    * `keep = "TRUE"` is the undeleted serve ([[annIvfTrainedSql]]). */
+  private def ivfServeTail(keep: String): String =
+    """s3 AS (
       |  SELECT emb.vec_id, cb2.c_label,
       |         list_sum(list_transform(range(64),
       |           i -> (CAST(embedding[i+1] AS DOUBLE) - cl[i+1])
@@ -1256,13 +1260,14 @@ object Similarity {
       |  SELECT vec_id, cluster FROM (
       |    SELECT vec_id, CAST(c_label AS INT) AS cluster,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label) AS rn
-      |    FROM s3) WHERE rn = 1
+      |    FROM s3) WHERE rn = 1 AND (""".stripMargin + keep + """)
       |), c AS (
       |  SELECT vec_id, embedding,
       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM emb
       |), q AS (
-      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c WHERE vec_id < 5
+      |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM c
+      |  WHERE vec_id < 5 AND (""".stripMargin + keep + """)
       |), probe AS (
       |  SELECT q_id, cluster FROM (
       |    SELECT q.q_id, CAST(cb2.c_label AS INT) AS cluster,
@@ -1288,6 +1293,18 @@ object Similarity {
       |  FROM scored
       |) WHERE rank <= 10
       |ORDER BY q_id, rank""".stripMargin
+
+  /** The trainer replayed full-vector (one subspace), then assignment,
+    * nprobe-2 probe ranking, and exact-cosine re-rank. */
+  val annIvfTrainedSql: String = s"WITH $ivfTrainerCtes, ${ivfServeTail("TRUE")}"
+
+  /** The DELETE-AWARE serve twin ([[graft.operators.AnnIndex]]'s
+    * `occ_ann_delete`): the trainer replays on the FULL corpus (the
+    * stored codebook predates the delete), but assignments and queries
+    * keep only `vec_id % 7 <> 3` — the oracle for "post-delete search ==
+    * search over the filtered corpus". */
+  val annIvfDeleteSql: String =
+    s"WITH $ivfTrainerCtes, ${ivfServeTail("vec_id % 7 <> 3")}"
 
   // --- recall@k vs brute force ----------------------------------------------
   /** Recall@10 of every approximate ANN variant against the exact

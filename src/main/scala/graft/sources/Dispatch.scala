@@ -378,4 +378,55 @@ object Dispatch {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The raw-SQL serving path under the oracle gate (r18 verdict #5):
+    * an end-to-end dispatch pass whose request carries SQL TEXT over a
+    * catalog-registered commit-log table — route → [[requireReadOnly]] →
+    * execute → CSV → ledger — plus a poison request (`INSERT OVERWRITE
+    * DIRECTORY`, the exact r18 ADVICE bypass) that must be refused
+    * before execution and stay pending. The returned frame is the CSV
+    * read BACK with an explicit schema, so the gate hashes the bytes
+    * that actually transited the serving path (numeric round-trip is
+    * exact: the CSV writer emits shortest-roundtrip doubles). In-query
+    * `require`s turn any guard or ledger violation into a gate failure. */
+  def occSqlDispatch(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("occ_disp").toString
+    val table = s"$root/t"
+    graft.sources.CommitLog.append(spark, table, graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+    spark.sql("DROP TABLE IF EXISTS occ_dispatch_tbl")
+    spark.catalog.createTable("occ_dispatch_tbl", "graft-commitlog",
+      Map("table" -> table))
+    try {
+      import spark.implicits._
+      val q = "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM occ_dispatch_tbl WHERE o_orderkey BETWEEN 1000 AND 2000 " +
+        "ORDER BY o_orderkey"
+      val poisonDir = s"$root/pwn"
+      val poison =
+        s"INSERT OVERWRITE DIRECTORY '$poisonDir' USING parquet SELECT 1 AS a"
+      val requests = Seq(
+        (600L, "sql", 0, s"""{"sql": "$q"}"""),
+        (601L, "sql", 0, s"""{"sql": "$poison"}"""))
+        .toDF("request_id", "aggregation_function", "is_it_fulfilled", "message")
+      val done = run(spark, dir, requests, s"$root/out", s"$root/ledger")
+      require(done.map(_._1) == Seq(600L),
+        s"only the read-only request may fulfill, got $done")
+      require(!new java.io.File(poisonDir).exists,
+        "the poison request must not have touched the filesystem")
+      val ledgered = spark.read.parquet(s"$root/ledger")
+        .select("request_id").as[Long].collect().toSeq
+      require(ledgered == Seq(600L), s"ledger must hold exactly the fulfilled id: $ledgered")
+      spark.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true")
+        .csv(done.head._2)
+        .orderBy(col("o_orderkey"))
+    } finally spark.sql("DROP TABLE IF EXISTS occ_dispatch_tbl")
+  }
+
+  val occSqlDispatchSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 2000
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -112,6 +112,14 @@ object PhashStream {
                        stateDir: String, batchId: Long): Unit =
     processBatch(spark, newDocsRaw, stateDir, batchId, Multimodal.jpegAHash)
 
+  /** The COLOR-JPEG form: 3-component YCbCr luma decode
+    * ([[Multimodal.jpegColorAHash]] — interleaved MCUs, subsampled
+    * chroma, restart markers) through the same state layout, twinning
+    * `mm_phash_jpeg_color`. Refused payloads are seen no-ops, as ever. */
+  def processJpegColorBatch(spark: SparkSession, newDocsRaw: DataFrame,
+                            stateDir: String, batchId: Long): Unit =
+    processBatch(spark, newDocsRaw, stateDir, batchId, Multimodal.jpegColorAHash)
+
   /** The streaming query: `foreachBatch` over a (doc_id, payload)
     * binary stream. */
   def phashStream(docsStream: DataFrame, stateDir: String, checkpointDir: String,
@@ -146,6 +154,19 @@ object PhashStream {
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processJpegBatch(batch.sparkSession, batch, stateDir, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The color-JPEG streaming query — [[processJpegColorBatch]] per
+    * micro-batch (own `stateDir`, like the audio and gray-JPEG forms). */
+  def jpegColorNeardupStream(docsStream: DataFrame, stateDir: String,
+                             checkpointDir: String,
+                             trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processJpegColorBatch(batch.sparkSession, batch, stateDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

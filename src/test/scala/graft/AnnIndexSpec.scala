@@ -113,4 +113,88 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(AnnIndex.searchFrom(spark, grown, root)) === after,
       "same corpus + same trainer: the rebuilt index serves the same answer")
   }
+
+  test("delete propagation: a CDC corpus delete is unsearchable at the next publish, no retrain") {
+    val root = freshDir("ann_del")
+    val corpusT = s"$root/corpus"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    CommitLog.append(spark, corpusT, emb)
+    AnnIndex.build(spark, sf, root)
+    val mvBefore = CommitLog.latestVersion(s"$root/manifest")
+    val before = rows(AnnIndex.searchFrom(spark, emb, root))
+    assert(before.exists { case (_, vid, _, _) => vid % 7 == 3 } &&
+      before.exists { case (qid, _, _, _) => qid == 3L },
+      "fixture degenerate: the delete set must contain served neighbors AND query 3")
+
+    val v0 = CommitLog.latestVersion(corpusT)
+    CommitLog.deleteWhere(spark, corpusT, col("vec_id") % 7 === 3, cdc = true)
+    val fits = Codebooks.fitCount.get()
+    val to = AnnIndex.syncDeletes(spark, root, corpusT, v0)
+    assert(Codebooks.fitCount.get() === fits, "delete maintenance must not retrain")
+    val kept = CommitLog.read(spark, corpusT)
+    val served = rows(AnnIndex.searchFrom(spark, kept, root))
+    assert(served.forall { case (qid, vid, _, _) => qid % 7 != 3 && vid % 7 != 3 },
+      "no deleted vector may appear as a query or a neighbor")
+    // oracle twin: the in-query trained search over the filtered corpus
+    // under the FULL-corpus codebook (assignment is per-row, so filtering
+    // assignments == assigning the kept rows)
+    val cb = Codebooks.ivf(spark, sf)
+    val expected = rows(Similarity.ivfSearchFrom(kept, cb,
+      Similarity.assignClusters(kept, cb)))
+    assert(served === expected,
+      "post-delete serve must equal the filtered-corpus trained search")
+    // replaying the same CDC window is idempotent in content
+    assert(AnnIndex.syncDeletes(spark, root, corpusT, v0) === to)
+    assert(rows(AnnIndex.searchFrom(spark, kept, root)) === served)
+    // vacuum safety: the pre-delete pair stays addressable (index time
+    // travel) until assignments is vacuumed — the right-to-be-forgotten
+    // window is the table's retention window
+    assert(rows(AnnIndex.searchFrom(spark, emb, root, asOf = Some(mvBefore))) === before)
+  }
+
+  test("a retrain racing an append publishes a clean pair, never a mixed one") {
+    val root = freshDir("ann_race")
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    AnnIndex.build(spark, sf, root)
+    val (cb0, _) = AnnIndex.current(spark, root)
+    // the racing batch: a near-clone of query 1
+    val q1 = emb.where(col("vec_id") === 1L).select("embedding")
+      .as[Array[Float]].head()
+    val novel = q1.clone(); novel(1) = novel(1) + 1e-3f
+    val batch = Seq((90101L, novel)).toDF("vec_id", "embedding")
+    // a DIFFERENT codebook for the retrain (every centroid shifted), so a
+    // mixed publish would be detectable as cross-codebook rows
+    val grown = emb.unionByName(batch)
+    val cbNew = Codebooks.ivf(spark, sf)
+      .withColumn("cl", expr("transform(cl, x -> x + 0.5d)"))
+      .localCheckpoint(true)
+    // inject the retrain into the widest race window: after the append
+    // pinned codebook cb0, before its rows land — the stale-assigned rows
+    // arrive INSIDE the post-retrain table
+    var fired = false
+    AnnIndex.raceSeam = () => if (!fired) {
+      fired = true
+      AnnIndex.rebuildFrom(spark, grown, cbNew, root)
+    }
+    try AnnIndex.appendBatch(spark, root, batch, "ann-race", 0L)
+    finally AnnIndex.raceSeam = () => ()
+    assert(fired, "the race must have been injected")
+    // the published pair must be CLEAN: tip codebook is the retrain's,
+    // and every assignment row agrees with a fresh assignment under it
+    val (cbTip, asTip) = AnnIndex.current(spark, root)
+    assert(cbTip > cb0, "the retrain's codebook must have won the tip")
+    val assignments = CommitLog.read(spark, s"$root/assignments", Some(asTip))
+      .as[(Long, Int)].collect().toMap
+    val fresh = Similarity.assignClusters(grown,
+      CommitLog.read(spark, s"$root/codebook", Some(cbTip)))
+      .as[(Long, Int)].collect().toMap
+    assert(assignments === fresh,
+      "published assignments must all be the tip codebook's — a stale row " +
+        "would make the pair mixed")
+    // and the batch is searchable through the repaired publish
+    val after = rows(AnnIndex.searchFrom(spark, grown, root))
+    assert(after.exists { case (qid, vid, _, rank) =>
+      qid == 1L && vid == 90101L && rank == 1 },
+      s"the raced batch must still become searchable: ${after.filter(_._1 == 1L).take(3)}")
+  }
 }

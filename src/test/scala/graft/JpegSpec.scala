@@ -186,4 +186,146 @@ class JpegSpec extends SparkSpec {
     assert(jpeg === bmp,
       "Huffman+dequant+IDCT+downsample must reproduce the BMP ground truth exactly")
   }
+
+  // ------------------------------------------ color (3-component) + restarts
+
+  test("color block-constant Y roundtrips EXACTLY across 4:4:4/4:2:2/4:2:0 and restart intervals") {
+    val r = rng(44)
+    for (mode <- 0 to 2; ri <- Seq(0, 1, 3, 7, 1000)) {
+      val (wB, hB) = (4 + r.nextInt(4), 4 + r.nextInt(4))
+      val vals = Array.fill(wB * hB)(r.nextInt(256))
+      val jpeg = JpegKernel.encodeColorBlocks(wB, hB, vals, mode, ri,
+        r.nextInt(1 << 20), s"m$mode r$ri".getBytes)
+      val pix = JpegKernel.decodeLuma8(jpeg)
+      assert(pix != null, s"mode $mode ri $ri (${wB}x$hB blocks) must decode")
+      assert(pix.length === wB * 8 * hB * 8)
+      for (y <- 0 until hB * 8; x <- 0 until wB * 8)
+        assert((pix(y * wB * 8 + x) & 0xFF) === vals((y / 8) * wB + (x / 8)),
+          s"mode $mode ri $ri pixel ($x,$y)")
+      // the strict gray decoder must keep REFUSING color, never misread
+      assert(JpegKernel.decodeGray8(jpeg) === null)
+    }
+  }
+
+  test("color luma equals gray decode on ARBITRARY pixels (interleaved general-AC path)") {
+    val r = rng(45)
+    // dims deliberately not multiples of the MCU size: partial MCUs
+    // replicate on encode, clip on decode — incl. Y blocks fully outside
+    // the image (w=12 at 4:2:0: the MCU's right column of Y blocks)
+    for ((w, h) <- Seq((24, 16), (12, 10), (33, 9), (8, 8)); mode <- 0 to 2; ri <- Seq(0, 2)) {
+      val px = Array.fill(w * h)(r.nextInt(256).toByte)
+      val gray = JpegKernel.decodeGray8(JpegKernel.encodeGray8(w, h, px, Array.empty))
+      val luma = JpegKernel.decodeLuma8(
+        JpegKernel.encodeColor(w, h, px, mode, ri, 7, Array.empty))
+      assert(luma != null, s"${w}x$h mode $mode ri $ri must decode")
+      assert(luma.toSeq === gray.toSeq,
+        s"${w}x$h mode $mode ri $ri: the Y reconstruction must not depend on " +
+          "chroma sampling or restart framing (same quant, same Huffman source)")
+    }
+  }
+
+  test("decodeLuma8 on grayscale payloads equals decodeGray8; gray+DRI only the wide decoder accepts") {
+    val good = goodJpeg
+    assert(JpegKernel.decodeLuma8(good).toSeq === JpegKernel.decodeGray8(good).toSeq)
+    val r = rng(46)
+    val px = Array.fill(24 * 16)(r.nextInt(256).toByte)
+    val withRst = JpegKernel.encodeGray8(24, 16, px, "g".getBytes, 2)
+    assert(JpegKernel.decodeGray8(withRst) === null,
+      "the strict gray decoder keeps its r18 no-DRI contract")
+    assert(JpegKernel.decodeLuma8(withRst).toSeq ===
+      JpegKernel.decodeGray8(JpegKernel.encodeGray8(24, 16, px, "g".getBytes)).toSeq,
+      "restart framing must not change one pixel")
+  }
+
+  test("color/restart malformed taxonomy: NULL, never a misread") {
+    val r = rng(47)
+    val vals = Array.fill(16)(r.nextInt(256))
+    def mk(mode: Int, ri: Int) =
+      JpegKernel.encodeColorBlocks(4, 4, vals, mode, ri, 99, "t".getBytes)
+    val c = mk(2, 3) // 4:2:0, restarts every 3 of 4 MCUs
+    assert(JpegKernel.decodeLuma8(c) != null)
+    // truncation at EVERY byte boundary, color + restart stream
+    for (cut <- 0 until c.length)
+      assert(JpegKernel.decodeLuma8(c.take(cut)) === null, s"truncated at $cut")
+    assert(JpegKernel.decodeLuma8(c :+ 0x00.toByte) === null, "strict tail")
+    def sosAt(b: Array[Byte]) = (0 until b.length - 1).find(i =>
+      (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xDA).get
+    def rstAt(b: Array[Byte]) = (sosAt(b) until b.length - 1).find(i =>
+      (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) >= 0xD0 && (b(i + 1) & 0xFF) <= 0xD7)
+    // the restart marker is really in the stream; corrupt its INDEX
+    val rst = rstAt(c).get
+    val wrongIdx = c.clone()
+    wrongIdx(rst + 1) = (0xD0 + 5).toByte // expected RST0, claim RST5
+    assert(JpegKernel.decodeLuma8(wrongIdx) === null, "out-of-order RST index")
+    // remove the marker entirely: predictor framing desyncs or trailer breaks
+    val dropped = c.take(rst) ++ c.drop(rst + 2)
+    assert(JpegKernel.decodeLuma8(dropped) === null, "missing RST marker")
+    // declare a restart interval but write no markers
+    val noRst = mk(2, 0)
+    val sof = (0 until noRst.length - 1).find(i =>
+      (noRst(i) & 0xFF) == 0xFF && (noRst(i + 1) & 0xFF) == 0xC0).get
+    val driBody = Array[Byte](0xFF.toByte, 0xDD.toByte, 0, 4, 0, 3)
+    val declaredOnly = noRst.take(sof) ++ driBody ++ noRst.drop(sof)
+    assert(JpegKernel.decodeLuma8(declaredOnly) === null,
+      "a declared interval with no markers must desync to NULL")
+    // SOS component order differing from SOF order: out of envelope
+    val sos = sosAt(c)
+    val swapped = c.clone()
+    val tmpId = swapped(sos + 5); swapped(sos + 5) = swapped(sos + 7); swapped(sos + 7) = tmpId
+    val tmpTb = swapped(sos + 6); swapped(sos + 6) = swapped(sos + 8); swapped(sos + 8) = tmpTb
+    assert(JpegKernel.decodeLuma8(swapped) === null, "scan order != frame order")
+    // 2-component frames and chroma subsampling != 1x1: out of envelope
+    val twoComp = c.clone()
+    twoComp(sof + 9) = 2 // Nf 3 -> 2 (now also a length mismatch: refused)
+    assert(JpegKernel.decodeLuma8(twoComp) === null)
+    val badChroma = c.clone()
+    badChroma(sof + 14) = 0x21.toByte // Cb sampling 1x1 -> 2x1
+    assert(JpegKernel.decodeLuma8(badChroma) === null)
+    // duplicate component ids
+    val dupId = c.clone()
+    dupId(sof + 13) = dupId(sof + 10) // Cb id := Y id
+    assert(JpegKernel.decodeLuma8(dupId) === null)
+    // oversubscribed DHT BITS (ADVICE r18): three 1-bit DC codes — the
+    // canonical code space admits two; must refuse, not decode garbage
+    val dhtAt = (0 until c.length - 1).find(i =>
+      (c(i) & 0xFF) == 0xFF && (c(i + 1) & 0xFF) == 0xC4).get
+    val overSub = c.clone()
+    overSub(dhtAt + 5) = 3 // BITS(1): 0 -> 3 (luma DC table, Annex K has 0)
+    assert(JpegKernel.decodeLuma8(overSub) === null, "oversubscribed Huffman BITS")
+    assert(JpegKernel.decodeGray8(JpegFixtures.overSubGray) === null,
+      "the strict decoder refuses the same oversubscription")
+  }
+
+  test("the color query plan decodes each payload ONCE per join side") {
+    val plan = Multimodal.mmPhashJpegColor(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = "jpeg_decode_luma8".r.findAllMatchIn(plan).length
+    assert(n === 2, s"jpeg_decode_luma8 must appear once per self-join side, got $n")
+  }
+
+  test("COLOR JPEG fingerprints equal BMP fingerprints bit for bit (shared-oracle property)") {
+    val color = Multimodal.mmPhashJpegColor(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    val bmp = Multimodal.mmPhashNeardup(spark, sf)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(color.nonEmpty, "the fixture must produce near-dup pairs")
+    assert(color === bmp,
+      "luma decode across sampling modes and restart intervals must reproduce " +
+        "the BMP ground truth exactly")
+  }
+}
+
+/** Hand-built malformed fixtures that no conformant encoder will emit. */
+private object JpegFixtures {
+  /** A grayscale stream whose DC DHT declares BITS=[3,0,...] — three
+    * 1-bit codes, an oversubscribed canonical code space (T.81 C.2). */
+  def overSubGray: Array[Byte] = {
+    val good = org.apache.spark.sql.graft.JpegKernel
+      .encodeGray8Blocks(1, 1, Array(128), "x".getBytes)
+    val dhtAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC4).get
+    val bad = good.clone()
+    bad(dhtAt + 5) = 3 // first BITS byte of the DC table
+    bad
+  }
 }

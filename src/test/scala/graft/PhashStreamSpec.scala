@@ -142,4 +142,51 @@ class PhashStreamSpec extends SparkSpec {
     assert(pairSet(PhashStream.pairs(spark, st)) == finalPairs,
       "replay after losing a batch partition must converge")
   }
+
+  test("color-JPEG twin: 3-component stream equals one-shot; a truncated color JPEG is a seen no-op") {
+    val st = tmp("jpegc-stream")
+    val all = Multimodal.jpegColorPayloads(spark, sf).localCheckpoint(true)
+    def oneShotColor(payloads: DataFrame): Set[(Long, Long, Int)] = {
+      val ch = Multimodal.ahashChunks(Multimodal.jpegColorAHash(payloads))
+      pairSet(Multimodal.phashPairs(ch, ch))
+    }
+    val batches = (0 until 3).map(k => all.filter(col("doc_id") % 3 === k))
+    // the batch split by doc_id % 3 is ALSO the sampling-mode split, so
+    // each micro-batch arrives in a single chroma subsampling — and the
+    // truncated payload is a 4:2:0 stream cut inside the entropy scan
+    val truncated = {
+      import spark.implicits._
+      val full = all.filter(col("doc_id") % 3 === 2).limit(1)
+        .select("payload").as[Array[Byte]].head()
+      full.take(full.length - 8)
+    }
+    var seen = all.filter(lit(false))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val input = if (i == 1) {
+        import spark.implicits._
+        b.unionByName(Seq((900004L, truncated)).toDF("doc_id", "payload"))
+      } else b
+      PhashStream.processJpegColorBatch(spark, input, st, i.toLong)
+      seen = seen.unionByName(b)
+      val streamed = pairSet(PhashStream.pairs(spark, st))
+      val expected = oneShotColor(seen)
+      assert(streamed == expected,
+        s"color jpeg after batch $i: stream ${streamed.size} vs one-shot ${expected.size}")
+    }
+    val finalPairs = pairSet(PhashStream.pairs(spark, st))
+    assert(finalPairs.nonEmpty)
+    assert(finalPairs.exists { case (d1, d2, _) => d1 % 3 != d2 % 3 },
+      "no cross-sampling-mode pair — the luma planes must band identically " +
+        "across 4:4:4/4:2:2/4:2:0")
+    // shared-oracle property online: color-JPEG pairs == BMP pairs
+    assert(finalPairs == oneShot(Multimodal.bmpPayloads(spark, sf)),
+      "streamed color-JPEG fingerprints must match the BMP ground truth")
+    assert(spark.read.parquet(s"$st/docs").filter(col("doc_id") === 900004L).count() == 1)
+    assert(finalPairs.forall { case (d1, d2, _) => d1 != 900004L && d2 != 900004L })
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$st/chunks/batch=1")).deleteRecursively()
+    PhashStream.processJpegColorBatch(spark, batches(1), st, 1L)
+    assert(pairSet(PhashStream.pairs(spark, st)) == finalPairs,
+      "replay after losing a batch partition must converge")
+  }
 }

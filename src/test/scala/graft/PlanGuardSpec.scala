@@ -24,6 +24,9 @@ class PlanGuardSpec extends SparkSpec {
     "semdedup" -> 1, "semdedup_trained" -> 1,
     "tfidf_terms" -> 1, "ann_pq_adc" -> 1, "txt_lm_score" -> 1,
     "ann_pq_trained" -> 1, "ann_ivf_trained" -> 1, "ann_recall" -> 4,
+    // occ_ann_delete: the same serve path over the delete-filtered
+    // assignments — same single probe BNLJ
+    "occ_ann_delete" -> 1,
     // occ_ann_serve: ann_ivf_trained's probe shape (queries x broadcast
     // codebook — both tiny) served from the stored index tables
     "occ_ann_serve" -> 1,
