@@ -57,6 +57,12 @@ class CommitLogRelation(override val sqlContext: SQLContext,
                         asOfPinned: Boolean = false)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  /** The commit-log directory this relation reads/writes — the identity
+    * [[insert]]'s targeted cache invalidation matches on (a path-based
+    * table may be catalog-registered under many names; the path is the
+    * one stable key). */
+  private[graft] def tablePath: String = table
+
   private val spark = sqlContext.sparkSession
   // the pinned snapshot's full state: file list, bounds/zonemaps/blooms,
   // live deletion vectors, log-carried schema — one replay at load time
@@ -103,11 +109,17 @@ class CommitLogRelation(override val sqlContext: SQLContext,
     * this relation's schema before calling in (PreprocessTableInsertion),
     * so positional INSERT semantics are the planner's, not ours.
     *
-    * After the commit the session's relation cache is invalidated: a DSv1
-    * relation pins its snapshot at resolution time, so without this an
-    * INSERT-then-SELECT over the same catalog name would read the
-    * pre-insert snapshot (the refreshTable contract, applied for the
-    * caller because the write happened THROUGH the relation). */
+    * After the commit, the cached catalog→relation resolutions that point
+    * at THIS table's path are invalidated (a DSv1 relation pins its
+    * snapshot at resolution time, so without this an INSERT-then-SELECT
+    * over the same catalog name would read the pre-insert snapshot — the
+    * refreshTable contract, applied for the caller because the write
+    * happened THROUGH the relation). The invalidation is targeted by
+    * matching the cached relation's path, not session-wide: dropping
+    * every entry made unrelated `CACHE TABLE` resolutions re-resolve to
+    * NEW relation objects and silently detach from CacheManager's cached
+    * data on every SQL INSERT. Falls back to the session-wide drop only
+    * if the cache internals are unreachable. */
   override def insert(data: org.apache.spark.sql.DataFrame,
                       overwrite: Boolean): Unit = {
     // an AS OF relation names a historical snapshot; a write through it
@@ -121,7 +133,10 @@ class CommitLogRelation(override val sqlContext: SQLContext,
       case Some(c) => CommitLog.appendIndexed(spark, table, data, c, store)
       case None    => CommitLog.append(spark, table, data, store)
     }
-    org.apache.spark.sql.graft.SessionUtils.invalidateRelationCache(spark)
+    org.apache.spark.sql.graft.SessionUtils.invalidateRelationCacheWhere(spark) {
+      case r: CommitLogRelation => r.tablePath == table
+      case _                    => false
+    }
   }
 }
 

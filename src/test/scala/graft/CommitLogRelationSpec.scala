@@ -316,6 +316,36 @@ class CommitLogRelationSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS clr_ins")
   }
 
+  test("SQL INSERT invalidates only the written table's cached resolutions") {
+    val tA = freshTable(); val tB = freshTable()
+    CommitLog.append(spark, tA, Seq((1L, "a")).toDF("k", "s"))
+    CommitLog.append(spark, tB, Seq((1L, "b")).toDF("k", "s"))
+    spark.sql("DROP TABLE IF EXISTS clr_tgt"); spark.sql("DROP TABLE IF EXISTS clr_other")
+    spark.catalog.createTable("clr_tgt", "graft-commitlog", Map("table" -> tA))
+    spark.catalog.createTable("clr_other", "graft-commitlog", Map("table" -> tB))
+    try {
+      spark.sql("SELECT * FROM clr_tgt").count()
+      spark.sql("SELECT * FROM clr_other").count()
+      val keys = org.apache.spark.sql.graft.SessionUtils.cachedRelationKeys(spark)
+      // the reflective key listing is the selectivity test's precondition;
+      // if Spark ever hides the cache entirely, the WHERE path falls back
+      // to the session-wide drop and this spec's premise goes away with it
+      assume(keys.exists(_.contains("clr_tgt")) && keys.exists(_.contains("clr_other")),
+        s"relation cache not observable (keys=$keys)")
+      spark.sql("INSERT INTO clr_tgt VALUES (2, 'ins')")
+      val after = org.apache.spark.sql.graft.SessionUtils.cachedRelationKeys(spark)
+      assert(!after.exists(_.contains("clr_tgt")),
+        "the written table's resolution must drop (INSERT-then-SELECT reads the new snapshot)")
+      assert(after.exists(_.contains("clr_other")),
+        "an unrelated table's cached resolution must SURVIVE the insert — " +
+          "session-wide invalidation detaches unrelated CACHE TABLE plans from CacheManager")
+      assert(spark.sql("SELECT count(*) FROM clr_tgt").as[Long].head() === 2L)
+      assert(spark.sql("SELECT count(*) FROM clr_other").as[Long].head() === 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS clr_tgt"); spark.sql("DROP TABLE IF EXISTS clr_other")
+    }
+  }
+
   test("INSERT through an AS OF relation is refused, never a silent tip write") {
     val t = indexedTable()
     spark.sql("DROP TABLE IF EXISTS clr_asof")
