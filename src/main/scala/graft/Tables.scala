@@ -30,6 +30,41 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     withNanosAsLong(spark).read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan widening (optimization guide §2.5, "input skew:
+    * one huge unsplittable file → repartition immediately after the
+    * read"). The fixture tables are single-file, single-row-group
+    * parquet, so a scan plans as ONE input partition and expensive
+    * per-row scan-side work (md5 shingling, tokenize+hash, image
+    * encode/decode kernels) serializes on one core until the first
+    * exchange — measured 1.0 s single-task for the classifier's feature
+    * hashing at sf0.1 on local[32]. When (and only when) the scan yields
+    * fewer partitions than the cluster's parallelism, redistribute the
+    * small raw rows once so the expensive projection above runs wide.
+    * On a production layout (files/row groups ≥ cores) the guard is
+    * false and NO shuffle is inserted — the call is a no-op, so this is
+    * not a local-only constant but the standard unsplittable-input
+    * defense. Apply it only under provably expensive per-row pipelines:
+    * for a cheap projection the added exchange costs more than the
+    * serial scan. */
+  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Keyed variant of [[widened]]: hash-distributes on `keys`, so a
+    * downstream aggregation or window clustered on (a superset of)
+    * `keys` reuses this ONE exchange instead of adding its own — the
+    * widening shuffle and the operator's shuffle collapse into one
+    * (guide §2.4 "two operations keyed the same way share one
+    * exchange"). The explicit partition count pins the stage width
+    * against AQE's byte-based coalescing, which under-parallelizes
+    * CPU-dense small-byte stages (image encode/decode, md5 hashing:
+    * measured 2 tasks on a 2.3 MB shuffle at local[32]). */
+  def widenedBy(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -490,6 +490,9 @@ object TextAnalytics {
     * corpus scale, unlike the unigram vocab). The `size >= 2` guard is
     * the packSequences descending-sequence rule. */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // (scan widening was TRIED here and reverted: the map-side partial
+    // aggregate already shuffles compact (doc,bigram,f) rows, and moving
+    // raw text through a widening exchange measured slower at sf0.1.)
     val bg = Tables.documents(spark, dir)
       .withColumn("t", toks)
       .filter(size(col("t")) >= 2)
@@ -896,7 +899,15 @@ object TextAnalytics {
     * cost a corpus-keyed shuffle — the dsir caller's reason). */
   private def hashedFeatures(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val keepCols = keep.map(col)
-    docs.select((col("doc_id") +: keepCols) :+
+    // Scale-adaptive widening (guide §2.5): the explode+md5 below is the
+    // expensive per-row stage, and on the single-file fixtures the scan
+    // above it is ONE partition (measured: 1.0 s single-task at sf0.1 on
+    // local[32]). Keyed by doc_id so every downstream doc_id-clustered
+    // step (the per-(doc,bucket) count, the per-doc window, the scoring
+    // aggregation) reuses this ONE exchange instead of adding its own.
+    // At production scan widths the guard is false and nothing changes.
+    Tables.widenedBy(docs, col("doc_id"))
+      .select((col("doc_id") +: keepCols) :+
         filter(toks, t => t =!= lit("")).as("tk"): _*)
       .select((col("doc_id") +: keepCols) :+
         explode(concat(col("tk"),
@@ -996,17 +1007,34 @@ object TextAnalytics {
   private[graft] def hashClassifierFit(docs: DataFrame, labels: DataFrame,
       rounds: Int = 20, lr: Double = 10.0,
       truncate: Option[graft.operators.Truncate] = None,
-      link: String = "logistic"): DataFrame = {
+      link: String = "logistic"): DataFrame =
+    hashClassifierFitCore(docs, labels, rounds, lr, truncate, link)._1
+
+  /** The fit with its materialized per-(doc, bucket) feature table
+    * exposed: `cnt` rides the checkpoint so a fit-then-score composition
+    * ([[classifierFitScore]]) can run the scoring tail over the SAME
+    * frame — Σ cnt·w ≡ the per-occurrence Σ w — instead of re-running
+    * the tokenize+md5 feature pass over the corpus a second time (guide
+    * §1.2 step 1: don't compute things twice). */
+  private[graft] def hashClassifierFitCore(docs: DataFrame, labels: DataFrame,
+      rounds: Int = 20, lr: Double = 10.0,
+      truncate: Option[graft.operators.Truncate] = None,
+      link: String = "logistic"): (DataFrame, DataFrame) = {
     val ck = graft.operators.Truncate.resolve(truncate)
     val nDocs = labels.count().toDouble
     val perDoc = hashedFeatures(docs)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val feats = ck(perDoc
+    // mark (lazy) + a following action: the checkpoint materializes inside
+    // the consumer's job instead of costing its own (the Truncate.mark
+    // fusion — see the CC loop). feats materializes in the weights-init
+    // distinct; each round's weights materialize in the next round's (or
+    // the emit projection's) broadcast collect.
+    val feats = ck.mark(perDoc
       .withColumn("x", col("cnt").cast("double") / sum(col("cnt")).over(wn))
       .join(labels.select(col("doc_id"), col("y").cast("double").as("y")), "doc_id")
-      .select(col("doc_id"), col("bucket"), col("x"), col("y")))
-    var weights = ck(feats.select(col("bucket")).distinct()
+      .select(col("doc_id"), col("bucket"), col("cnt"), col("x"), col("y")))
+    var weights = ck.mark(feats.select(col("bucket")).distinct()
       .withColumn("w", lit(0.0)))
     for (_ <- 0 until rounds) {
       val scored = feats.join(broadcast(weights), Seq("bucket"))
@@ -1021,13 +1049,13 @@ object TextAnalytics {
           expr("CAST(round((p - y) * x, 12) AS DECIMAL(28,12))"))
       val grad = scored.groupBy(col("bucket"))
         .agg(expr("CAST(sum(gterm) AS DOUBLE)").as("g"))
-      weights = ck(weights.join(grad, Seq("bucket"), "left")
+      weights = ck.mark(weights.join(grad, Seq("bucket"), "left")
         .select(col("bucket"),
           round(col("w") - lit(lr) * coalesce(col("g"), lit(0.0)) / lit(nDocs), 6)
             .as("w")))
     }
-    weights.select(col("bucket"),
-      round(col("w") * lit(1e6)).cast("long").as("weight"))
+    (weights.select(col("bucket"),
+      round(col("w") * lit(1e6)).cast("long").as("weight")), feats)
   }
 
   /** REGISTERED fit-then-score: train the quality filter on the fixture's
@@ -1045,9 +1073,24 @@ object TextAnalytics {
     val docs = Tables.documents(spark, dir)
     val labels = docs.select(col("doc_id"),
       (col("lang") === "en").cast("int").as("y"))
-    val model = hashClassifierFit(docs, labels, rounds = 2, lr = 10.0,
-      link = "rational")
-    hashClassifierWithModel(docs, model)
+    val (model, feats) = hashClassifierFitCore(docs, labels, rounds = 2,
+      lr = 10.0, link = "rational")
+    // Score from the fit's materialized (doc_id, bucket, cnt) table
+    // instead of a second hashedFeatures corpus pass: the per-occurrence
+    // Σ w over a doc equals Σ cnt·w over its distinct buckets, and
+    // n_feats = Σ cnt — integer-exact, so the result is bit-identical to
+    // hashClassifierWithModel(docs, model) (the spec pins the equality).
+    // Here the fit trains on every document (labels = the whole corpus),
+    // so feats covers exactly the docs the scorer would keep.
+    feats
+      .join(broadcast(model), Seq("bucket"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * coalesce(col("weight"), lit(0L))).as("score_raw"))
+      .select(col("doc_id"), col("n_feats"), col("score_raw"),
+        (col("score_raw").cast("double") / col("n_feats")).as("score_mean"),
+        (col("score_raw") >= lit(0L)).as("label"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB twin of [[classifierFitScore]]: the whole two-round fit

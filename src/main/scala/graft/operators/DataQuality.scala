@@ -37,6 +37,12 @@ object DataQuality {
     }
     val stackArgs = ProfileCols
       .map(c => s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    // (scan widening was TRIED here and reverted: for a plain aggregate
+    // the widening exchange's map side writes every row from the same
+    // single scan task the partial aggregate would have consumed — the
+    // A/B showed no win for the exact profile and a clear loss for the
+    // two-pass approx twin. Widening pays only where downstream per-row
+    // work dwarfs a shuffle write — the md5/codec pipelines.)
     Tables.lineitem(spark, dir)
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +

@@ -508,8 +508,12 @@ object Dedup {
     // interpreted and was ~100x slower at sf0.1). Persisted: the DAG
     // references it from the signature build and both verification joins,
     // and at any scale the shingle table is the artifact you materialize
-    // once per corpus.
-    val sh = shingleRows(docs).persist()
+    // once per corpus. Widened by doc_id before the explode (guide §2.5:
+    // on the single-file fixture the scan is ONE partition, serializing
+    // the tokenize+md5 front on one core — measured 0.6-0.9 s at sf0.1
+    // on local[32]); the signature groupBy(doc_id) reuses the keyed
+    // exchange, so the pipeline's shuffle count is unchanged.
+    val sh = shingleRows(graft.Tables.widenedBy(docs, col("doc_id"))).persist()
     // 60 minhash slots from TWO 60-bit base hashes per shingle — the two
     // halves of ONE md5 (hex digits 1-15 and 17-31), so one string hash
     // yields both. Slot i's hash = rot60(h1, 7i mod 60) XOR
@@ -810,8 +814,13 @@ object Dedup {
     // the corpus scan AND the distinct-content groupBy shuffle. keyed
     // itself is deliberately NOT materialized — its second evaluation is
     // a narrow codegen'd scan (the boilerplateRatio trade).
-    val reps = ck(keyed.groupBy(col("ckey"))
+    val reps = ck.mark(keyed.groupBy(col("ckey"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text")))
+    // (widening reps before the shingle explode was TRIED here and
+    // reverted: unlike the hashing pipelines, this explode carries no
+    // md5 work — the A/B showed the extra exchange's task overhead eats
+    // the parallelism gain at bench scale, and at 100 TB reps is already
+    // wide.)
     val sh = shingleRows(reps)
     // Per-shingle doc count AND per-shingle min doc in one window pass:
     // the min seeds each node's label, so every single-shingle clique is
@@ -843,16 +852,23 @@ object Dedup {
     // Materialize the self-join ONCE (eager checkpoint), then size the
     // loop from a cheap scan of the materialized edges — previously the
     // sizing count and the sym build each executed the join.
-    val edgesCk = ck(edges)
+    // mark (lazy) + count: the count IS the materializing action, so the
+    // checkpoint costs no extra job — same fusion on every loop table
+    // below (the loop's cost at bench scale is almost pure per-job
+    // scheduling latency; at 100 TB the same fusion just saves one pass).
+    val edgesCk = ck.mark(edges)
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (edgesCk.count() / 100000L).toInt))
     // Symmetric edges partitioned on dst — the key every loop join probes
     // — so the per-round join never re-shuffles the edge table.
     val sym = edgesCk.union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(nParts, col("dst")).transform(ck(_))
+      .repartition(nParts, col("dst")).transform(ck.mark(_))
+    // labels stays EAGER: rare.unpersist() below requires both of rare's
+    // consumers materialized, and labels is the last one (sym reads the
+    // already-counted edgesCk blocks, so its lazy mark is safe)
     var labels = ck(rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
       .repartition(nParts, col("doc_id")))
-    rare.unpersist() // both consumers are materialized (eager checkpoints)
+    rare.unpersist() // both consumers are materialized
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -879,8 +895,9 @@ object Dedup {
         .join(prelim.select(col("doc_id").as("lab"), col("lab").as("lab2")).as("q"),
           Seq("lab"), "left")
         .select(col("doc_id"), coalesce(col("lab2"), col("lab")).as("lab"), col("prev"))
-        .transform(ck(_))
-      // cheap scan of the just-materialized checkpoint, not a join
+        .transform(ck.mark(_))
+      // the convergence count doubles as the checkpoint's materializing
+      // action — one job per round, not two
       val changed = next.filter(col("lab") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("lab"))
       converged = changed == 0
@@ -1023,7 +1040,10 @@ object Dedup {
     * decided against the token count from the same aggregation — half the
     * generated code per bit vs the when/otherwise form. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // widenedBy(doc_id) (guide §2.5): per-token md5 at scan width; the
+    // signature groupBy(doc_id) reuses the keyed exchange. No-op at
+    // production scan widths.
+    val toks = graft.Tables.widenedBy(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", graft.functions.EngineHash.md5Bits60(col("tok")))
     // Lane-packed bit counting: aggregate k (k = 0..14) accumulates the
@@ -1156,7 +1176,13 @@ object Dedup {
     // are compiled projections. The window shuffle also lands the frame
     // already partitioned by doc_id — exactly the partitioning the span
     // merge window downstream needs.
-    val tok = df.withColumn("toks", split(col("text"), " "))
+    // widenedBy(doc_id) (guide §2.5): the per-token md5 below is the
+    // expensive stage and the single-file fixture scans as ONE partition;
+    // keyed on doc_id, the lead()-window's required distribution is
+    // already satisfied, so the widening exchange REPLACES the window's
+    // own rather than adding one. No-op at production scan widths.
+    val tok = graft.Tables.widenedBy(df, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
       .select(col("doc_id"), posexplode(col("toks")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -1485,7 +1511,11 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(0, WinnowW - 1)
-    docs
+    // widenedBy(doc_id) (guide §2.5): per-gram md5 is the expensive stage
+    // and the single-file fixture scans as ONE partition; the winnowing
+    // window is doc_id-clustered, so the widening exchange replaces the
+    // window's own. No-op at production scan widths.
+    graft.Tables.widenedBy(docs, col("doc_id"))
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= lit("")).as("tk"))
       .where(size(col("tk")) >= WinnowK)

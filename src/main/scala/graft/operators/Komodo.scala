@@ -133,6 +133,11 @@ object Komodo {
       clientId.map(c => col("user_id") === c),
       entityType.map(e => col("k") % 4 === e)
     ).flatten.foldLeft(col("event_type") === "view")(_ && _)
+    // (scan widening was TRIED here and reverted: the JSON-parse
+    // projection sits BELOW a user repartition in the optimized plan —
+    // Catalyst does not hoist projects above exchanges — so the parse
+    // stayed single-task and the extra exchange was pure cost, measured
+    // slower at sf0.1.)
     ev
       .filter(scoped)
       .select(col("user_id"), col("event_id"), col("ts_ms"),

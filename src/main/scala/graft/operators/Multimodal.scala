@@ -334,7 +334,12 @@ object Multimodal {
     // call, and a transform() lambda evaluates interpreted (md5 per
     // element outside codegen); the exploded shape keeps both the plan
     // small and the hashing codegen'd.
-    val px = Tables.documents(spark, dir)
+    // widenedBy(doc_id): the explode+md5 pixel synthesis is the expensive
+    // stage and the single-file fixture scans as ONE partition (guide
+    // §2.5); keyed on doc_id so the groupBy below reuses the exchange and
+    // the encode projection after it runs at full width instead of the
+    // 2-3 partitions AQE's byte-based coalescing would pick.
+    val px = Tables.widenedBy(Tables.documents(spark, dir), d)
       .select(d.as("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
       .select(col("doc_id"), col("s"),
         repeat(lpad(hex(expr(bmpPixelSql("(7 - s div 8) * 8 + s % 8"))),
@@ -509,7 +514,10 @@ object Multimodal {
     * the oracle: deflate → inflate → defilter → parse has to be the
     * identity or the hashes diverge. */
   private[graft] def pngPayloads(spark: SparkSession, dir: String): DataFrame = {
-    val px = Tables.documents(spark, dir)
+    // widenedBy(doc_id): see [[bmpPayloads]] — parallelizes the md5 pixel
+    // synthesis AND pins the encode stage's width through the reused
+    // exchange (the PNG deflate encoder is the CPU-dense step here).
+    val px = Tables.widenedBy(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
       .select(col("doc_id"), col("s"), expr(bmpPixelSql("s")).as("pv"))
     px.groupBy(col("doc_id"))
@@ -583,7 +591,9 @@ object Multimodal {
     * diverge. (General non-constant blocks — the full AC path — are
     * JpegSpec's bounded-error + independent-IDCT side.) */
   private[graft] def jpegPhashPayloads(spark: SparkSession, dir: String): DataFrame = {
-    val px = Tables.documents(spark, dir)
+    // widenedBy(doc_id): see [[bmpPayloads]] — parallelizes the md5 pixel
+    // synthesis AND pins the JPEG entropy-encode stage's width.
+    val px = Tables.widenedBy(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
       .select(col("doc_id"), col("s"), expr(bmpPixelSql("s")).as("pv"))
     px.groupBy(col("doc_id"))
@@ -649,7 +659,9 @@ object Multimodal {
     * catches it. The Y plane stays the block-constant lossless envelope,
     * so luma decode must be EXACT across all three samplings. */
   private[graft] def jpegColorPayloads(spark: SparkSession, dir: String): DataFrame = {
-    val px = Tables.documents(spark, dir)
+    // widenedBy(doc_id): see [[bmpPayloads]] — parallelizes the md5 pixel
+    // synthesis AND pins the 3-component encode stage's width.
+    val px = Tables.widenedBy(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(expr("sequence(0, 63)")).as("s"))
       .select(col("doc_id"), col("s"), expr(bmpPixelSql("s")).as("pv"))
     px.groupBy(col("doc_id"))
@@ -753,7 +765,9 @@ object Multimodal {
     // projection over doc×40 exploded rows, blocks reassembled in
     // order by a sorted collect_list (map-side partial aggregation; the
     // groupBy shuffles 40 short hex strings per doc).
-    val blocks = Tables.documents(spark, dir)
+    // widenedBy(doc_id): see [[bmpPayloads]] — parallelizes the per-block
+    // md5 synthesis; the groupBy below reuses the keyed exchange.
+    val blocks = Tables.widenedBy(Tables.documents(spark, dir), d)
       .select(d.as("doc_id"),
         explode(expr(s"sequence(0, ${WavToneSamples / WavSamplesPerMd5 - 1})")).as("tc"))
       .select(col("doc_id"), col("tc"),

@@ -908,8 +908,11 @@ object Similarity {
                 maxIters: Int = 20,
                 truncate: Option[Truncate] = None): DataFrame = {
     val ck = Truncate.resolve(truncate)
-    val embs = ck(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-    var cent = ck(embs.filter(col("vec_id") < k)
+    // ck.mark (lazy) + following action: each round's convergence count
+    // (or the next broadcast) materializes the checkpoint inside its own
+    // job instead of paying one extra job per frame (Truncate.mark).
+    val embs = ck.mark(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    var cent = ck.mark(embs.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_label"),
         expr("transform(embedding, x -> round(cast(x as double), 6))").as("cl")))
     val w = Window.partitionBy("vec_id").orderBy("d", "c_label")
@@ -925,7 +928,7 @@ object Similarity {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val assigned = ck(eStep(cent))
+      val assigned = ck.mark(eStep(cent))
       converged = labels != null && {
         val changed = assigned.select(col("vec_id"), col("c_label").as("next"))
           .join(labels, "vec_id")
@@ -944,7 +947,7 @@ object Similarity {
           .groupBy(col("c_label"))
           .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
             .as("cl_new"))
-        cent = ck(cent.join(means, Seq("c_label"), "left")
+        cent = ck.mark(cent.join(means, Seq("c_label"), "left")
           .select(col("c_label"), coalesce(col("cl_new"), col("cl")).as("cl")))
       }
       iter += 1

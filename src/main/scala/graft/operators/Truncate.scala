@@ -30,12 +30,26 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Truncate {
   def apply(df: DataFrame): DataFrame
+
+  /** Lazy form — mark the frame for truncation and let the CALLER's next
+    * action materialize it, fusing the truncation job with that action
+    * (an iterative loop otherwise pays one extra Spark job per round just
+    * to materialize the checkpoint, pure scheduling latency on small
+    * loop tables). Only [[Truncate.Local]] can defer safely: a non-eager
+    * RELIABLE checkpoint recomputes the whole frame a second time to
+    * write it (the classic `rdd.checkpoint` double-computation), so
+    * [[Truncate.Reliable]] keeps eager semantics here. Callers must
+    * run an action on (a child of) the returned frame before the next
+    * round, which every loop in this repo does (the convergence count /
+    * the weights broadcast). */
+  def mark(df: DataFrame): DataFrame = apply(df)
 }
 
 object Truncate {
 
   case object Local extends Truncate {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    override def mark(df: DataFrame): DataFrame = df.localCheckpoint(false)
   }
 
   /** Reliable checkpoint into `dir`. Sets the SparkContext checkpoint dir

@@ -728,6 +728,72 @@ object CommitLog {
     * count. */
   private val BloomK = 4
 
+  /** Driver-side per-file (rowCount, per-column min/max) from the staged
+    * parquet FOOTERS — the stats the writer already computed. Returns
+    * None (caller falls back to the Spark-job aggregate) when any
+    * requested stat column is missing from a footer or is not a numeric
+    * primitive whose footer statistics decode losslessly to the double
+    * bounds the log records (INT32/INT64/FLOAT/DOUBLE; strings, decimals
+    * and nested types fall back). Multiple row groups per file fold;
+    * all-null columns record no bounds (conservative: never pruned on). */
+  private def footerStats(spark: SparkSession, parts: Seq[java.nio.file.Path],
+      statCols: Seq[String]): Option[Map[String, (Long, Map[String, (Double, Double)])]] = {
+    import org.apache.parquet.column.statistics.{DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics, Statistics}
+    val conf = spark.sessionState.newHadoopConf()
+    def boundsOf(st: Statistics[_]): Option[(Double, Double)] = st match {
+      case s: LongStatistics   => Some((s.getMin.toDouble, s.getMax.toDouble))
+      case s: IntStatistics    => Some((s.getMin.toDouble, s.getMax.toDouble))
+      case s: DoubleStatistics => Some((s.getMin, s.getMax))
+      case s: FloatStatistics  => Some((s.getMin.toDouble, s.getMax.toDouble))
+      case _                   => None
+    }
+    try {
+      Some(parts.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toString), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val rows = blocks.asScala.map(_.getRowCount).sum
+          val per = statCols.flatMap { c =>
+            val chunks = blocks.asScala.map { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c)
+                .getOrElse(throw new NoSuchElementException(c))
+            }
+            // a column with any unusable footer statistics aborts the
+            // whole footer path (throw → None → job fallback), so bounds
+            // never silently degrade relative to the aggregate path
+            val perBlock = chunks.map { ch =>
+              // reject annotated physical types (timestamp/decimal ride
+              // INT64/INT32 but mean different values than Spark's cast
+              // to double — the job path must own those); plain signed
+              // ints and IEEE floats decode identically on both paths
+              val ann = ch.getPrimitiveType.getLogicalTypeAnnotation
+              val annOk = ann == null || (ann match {
+                case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                  i.isSigned
+                case _ => false
+              })
+              if (!annOk)
+                throw new NoSuchElementException(s"annotated stats type for $c")
+              val st = ch.getStatistics
+              if (st == null || st.isEmpty)
+                throw new NoSuchElementException(s"no stats for $c")
+              if (!st.hasNonNullValue) None // all-null block
+              else Some(boundsOf(st).getOrElse(
+                throw new NoSuchElementException(s"non-primitive stats for $c")))
+            }
+            val defined = perBlock.flatten
+            if (defined.isEmpty) None // all-null column: no bounds
+            else Some(c -> ((defined.map(_._1).min, defined.map(_._2).max)))
+          }.toMap
+          p.getFileName.toString -> ((rows, per))
+        } finally reader.close()
+      }.toMap)
+    } catch { case _: Exception => None }
+  }
+
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     indexCol: Option[String] = None,
                     statsCols: Seq[String] = Nil,
@@ -757,20 +823,27 @@ object CommitLog {
         }
     }
     // Per-file stats — ROW COUNT always, plus a single index column
-    // and/or a multi-column zonemap when asked — in ONE job over the
-    // staged output, keyed by input_file_name (the stats parquet already
-    // computed into its own footers, read back here because commits must
-    // own them: a pruning read may never open a file, footer included).
-    // The row count makes every add/cdc action self-describing, which is
-    // what row-based stream admission control ([[versionFeedRows]],
-    // the change-feed source's maxRowsPerTrigger) paces on; the count-
-    // only job reads parquet metadata, not data columns.
+    // and/or a multi-column zonemap when asked. The parquet writer
+    // already computed exactly these into each staged file's FOOTER, so
+    // the primary path reads the footers directly on the driver — O(files)
+    // metadata work, the same order as the commit itself — instead of
+    // launching a Spark job per staging call to re-derive them (guide
+    // §1.2 step 1: a bench pass spends a measurable slice of every
+    // commit-log query on these one-per-commit stats jobs, and at any
+    // scale the job's task-launch floor dwarfs the footer read). Commits
+    // still OWN the stats (they ride the add-action; a pruning read never
+    // opens the file). Non-primitive stat columns (strings, decimals)
+    // fall back to the old one-job aggregate, so bounds semantics are
+    // unchanged. The row count makes every add/cdc action
+    // self-describing, which is what row-based stream admission control
+    // ([[versionFeedRows]], the change-feed source's maxRowsPerTrigger)
+    // paces on.
     val statCols = (indexCol.toSeq ++ statsCols).distinct
     statCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"stats column must be a plain identifier: $c"))
     val fileStats: Map[String, (Long, Map[String, (Double, Double)])] =
       if (parts.isEmpty) Map.empty
-      else {
+      else footerStats(spark, parts, statCols).getOrElse {
         import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
         val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"lo_$c"),
@@ -3168,11 +3241,18 @@ object CommitLog {
   def occMaintain(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_maint").toString
+    // persisted WITHIN this invocation only: the eight fragmented appends
+    // each filter the same projection, and without the cache each one
+    // re-scans the source parquet (8 scans for 1 table's bytes — guide
+    // §1.2 step 1, don't re-read what you already hold). Released before
+    // returning, so nothing outlives the call.
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     (0 until 8).foreach { i =>
       append(spark, table, o.where(pmod8(col("o_orderkey")) === i).coalesce(1))
     }
+    o.unpersist()
     deleteWhereDv(spark, table, col("o_orderkey").between(1000, 3000))
     val v = maintain(spark, table, maxFiles = 4, maxMaskRows = 0L, targetFiles = 2)
     require(v >= 0, "the over-threshold tick must compact")
