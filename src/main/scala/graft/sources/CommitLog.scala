@@ -2801,8 +2801,11 @@ object CommitLog {
   def occMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_merge").toString
+    // persisted within this invocation only: the seed and both CDC arms
+    // read the same projection (see occConstraints)
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
       "o_orderkey")
     val updates = o.where(col("o_orderkey").between(1000, 3000))
@@ -2811,6 +2814,7 @@ object CommitLog {
       .withColumn("o_orderkey", -col("o_orderkey"))
     mergeInto(spark, table, updates.unionByName(inserts),
       Seq("o_orderkey"), Some("o_orderkey"))
+    o.unpersist()
     read(spark, table).orderBy("o_orderkey")
   }
 
@@ -2835,8 +2839,10 @@ object CommitLog {
   def occMergeDv(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_mergedv").toString
+    // persisted within this invocation only (see occMergeUpsert)
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     appendIndexed(spark, table, o.repartitionByRange(8, col("o_orderkey")),
       "o_orderkey")
     val updates = o.where(col("o_orderkey").between(1000, 3000))
@@ -2844,6 +2850,7 @@ object CommitLog {
     val inserts = o.where(col("o_orderkey").between(1, 100))
       .withColumn("o_orderkey", -col("o_orderkey"))
     mergeIntoDv(spark, table, updates.unionByName(inserts), Seq("o_orderkey"))
+    o.unpersist()
     read(spark, table).orderBy("o_orderkey")
   }
 
@@ -3080,8 +3087,12 @@ object CommitLog {
   def occConstraints(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_check").toString
+    // persisted within this invocation only (the occ_maintain pattern):
+    // the seed append, the violating batch and the compliant batch all
+    // filter the same projection — one scan instead of three
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     append(spark, table, o)
     addConstraint(spark, table, "positive_price", "o_totalprice > 0")
     val violating = o.where(col("o_orderkey") <= 200)
@@ -3095,6 +3106,7 @@ object CommitLog {
       "a non-empty violating batch must be rejected")
     append(spark, table, o.where(col("o_orderkey") <= 100)
       .withColumn("o_totalprice", col("o_totalprice") * 2))
+    o.unpersist()
     read(spark, table).orderBy("o_orderkey", "o_totalprice")
   }
 
@@ -3313,8 +3325,11 @@ object CommitLog {
   def occSqlWrite(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_sqlw").toString
+    // persisted within this invocation only: three writes read the same
+    // projection (see occConstraints)
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     def writer(df: DataFrame) = df.write.format("graft-commitlog")
       .option("table", table).option("indexCol", "o_orderkey")
     writer(o.repartitionByRange(8, col("o_orderkey")))
@@ -3324,6 +3339,7 @@ object CommitLog {
     writer(o.withColumn("o_totalprice", col("o_totalprice") * 2)
         .repartitionByRange(8, col("o_orderkey")))
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    o.unpersist()
     read(spark, table).orderBy("o_orderkey")
   }
 
@@ -3347,8 +3363,12 @@ object CommitLog {
   def occSqlInsert(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val table = Files.createTempDirectory("occ_sqli").toString
+    // persisted within this invocation only: the create write and both
+    // SQL INSERT...SELECTs over the temp view read the same projection
+    // (see occConstraints)
     val o = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .persist()
     o.write.format("graft-commitlog").option("table", table)
       .option("indexCol", "o_orderkey")
       .mode(org.apache.spark.sql.SaveMode.ErrorIfExists).save()
@@ -3365,6 +3385,7 @@ object CommitLog {
       """INSERT INTO occ_sqli
         |SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM occ_sqli_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    o.unpersist()
     spark.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM occ_sqli ORDER BY o_orderkey")
   }
 
