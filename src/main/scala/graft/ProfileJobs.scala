@@ -26,7 +26,8 @@ object ProfileJobs {
     case class JobRec(id: Int, desc: String, t0: Long, var t1: Long = 0L,
                       var stages: Int = 0, var tasks: Int = 0,
                       var cpuNs: Long = 0L, var shufR: Long = 0L,
-                      var shufW: Long = 0L, var recs: Long = 0L)
+                      var shufW: Long = 0L, var recs: Long = 0L,
+                      var names: List[String] = Nil)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     val stageToJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
@@ -43,6 +44,7 @@ object ProfileJobs {
         stageToJob.get(si.stageId).flatMap(jobs.get).foreach { j =>
           j.stages += 1
           j.tasks += si.numTasks
+          j.names = si.name.take(70) :: j.names
         }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
@@ -76,7 +78,7 @@ object ProfileJobs {
           covered += (j.t1 - j.t0)
           println(f"  job ${j.id}%3d  ${w}%7.3f s  stages=${j.stages}%2d tasks=${j.tasks}%4d " +
             f"cpu=${j.cpuNs / 1e9}%7.2f s  shufR=${j.shufR / 1024}%8d KB shufW=${j.shufW / 1024}%8d KB " +
-            f"in=${j.recs}%9d  ${j.desc.take(60)}")
+            f"in=${j.recs}%9d  ${j.names.mkString(" | ").take(90)}")
         }
       }
       println(f"  job-covered wall: ${covered / 1e3}%.3f s of $wall%.3f s (gap = driver/planning/IO)")

@@ -505,15 +505,21 @@ object Dedup {
     // Exploded distinct (doc_id, shingle) rows — every stage below is a
     // plain projection/aggregation over this, so the whole pipeline stays
     // inside whole-stage codegen (an earlier array-lambda formulation ran
-    // interpreted and was ~100x slower at sf0.1). Persisted: the DAG
-    // references it from the signature build and both verification joins,
-    // and at any scale the shingle table is the artifact you materialize
-    // once per corpus. Widened by doc_id before the explode (guide §2.5:
-    // on the single-file fixture the scan is ONE partition, serializing
-    // the tokenize+md5 front on one core — measured 0.6-0.9 s at sf0.1
-    // on local[32]); the signature groupBy(doc_id) reuses the keyed
-    // exchange, so the pipeline's shuffle count is unchanged.
-    val sh = shingleRows(graft.Tables.widenedBy(docs, col("doc_id"))).persist()
+    // interpreted and was ~100x slower at sf0.1). MATERIALIZED once
+    // (eager localCheckpoint, r19): the DAG references it from the
+    // signature build and both verification joins, and at any scale the
+    // shingle table is the artifact you materialize once per corpus.
+    // This was persist() through r18 — measured this round, a CACHED
+    // subtree under AQE re-plans per consumer and spawned five 32-task
+    // zero-work stage jobs (~1.5 s of the query's 2.1 s at sf0.1);
+    // checkpointing truncates the plan at the materialization point, so
+    // consumers read a LogicalRDD and those jobs disappear
+    // (dedup_minhash_lsh 2.13→1.31 s, split_leakage 2.32→1.22 s).
+    // Widened by doc_id before the explode (guide §2.5: on the
+    // single-file fixture the scan is ONE partition, serializing the
+    // tokenize+md5 front on one core); the signature groupBy(doc_id)
+    // reuses the keyed exchange, so the shuffle count is unchanged.
+    val sh = shingleRows(graft.Tables.widenedBy(docs, col("doc_id"))).localCheckpoint(true)
     // 60 minhash slots from TWO 60-bit base hashes per shingle — the two
     // halves of ONE md5 (hex digits 1-15 and 17-31), so one string hash
     // yields both. Slot i's hash = rot60(h1, 7i mod 60) XOR
@@ -532,7 +538,7 @@ object Dedup {
     // the signature stage. Set size rides along in the same aggregation.
     // All arithmetic stays inside positive 60-bit longs, which is what
     // makes the DuckDB twin bit-identical.
-    val sigCached = minhashSignatures(sh).persist()
+    val sigCached = minhashSignatures(sh).localCheckpoint(true)
     val bands = bandsOf(sigCached)
     // Bucket-size cap via aggregate + semi-join rather than a window
     // count: the cap exists to defend against DEGENERATE buckets, and a
@@ -579,27 +585,44 @@ object Dedup {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(topK)
-    // Materialize the (≤1000-row) result eagerly, then RELEASE both cached
-    // inputs before returning — the dedupGroups pattern. A long-lived
-    // session (bench loop, serving JVM) calling this per-corpus would
-    // otherwise pin a shingle explosion + signature table in executor
-    // storage per invocation with no unpersist (the r3 review's storage
-    // leak, the likely mechanism behind BENCH_r03's inflated g–p band).
+    // Materialize the (≤1000-row) result eagerly, then RELEASE both
+    // materialized inputs before returning — the dedupGroups pattern. A
+    // long-lived session (bench loop, serving JVM) calling this
+    // per-corpus would otherwise pin a shingle explosion + signature
+    // table in executor storage per invocation (the r3 review's storage
+    // leak). With localCheckpoint the blocks belong to the checkpointed
+    // RDD, not the CacheManager, so the release goes through
+    // [[releaseLocalCheckpoint]]; it is only safe AFTER the last
+    // consumer materialized — which `out`'s eager checkpoint is.
     if (!checkpoint) {
-      // spec-only: the LIVE plan, for shape audits. The caches still
-      // release — unpersist is lazy and leaves the frame computable
-      // (just uncached), so no storage pins outlive the call (the r3
-      // leak this block's checkpoint path exists to prevent).
-      sh.unpersist()
-      sigCached.unpersist()
+      // spec-only: the LIVE (from the materialization points down) plan,
+      // for shape audits. No release here: the returned frame still
+      // READS the checkpoint blocks (lineage is truncated, so unlike the
+      // old persist they cannot be recomputed); the frames are spec-tiny
+      // and the ContextCleaner frees them when the RDDs drop out of
+      // scope.
       result
     } else {
       val out = result.localCheckpoint(true)
-      sh.unpersist()
-      sigCached.unpersist()
+      releaseLocalCheckpoint(sh)
+      releaseLocalCheckpoint(sigCached)
       out
     }
   }
+
+  /** Free the executor blocks behind an eagerly local-checkpointed frame.
+    * `Dataset.unpersist` is a no-op there (the blocks belong to the
+    * checkpointed RDD, not the CacheManager), so a long-lived session
+    * would otherwise hold each invocation's materialization until the
+    * ContextCleaner's next GC-driven sweep. Only safe once every
+    * consumer has materialized: the truncated lineage cannot recompute
+    * the blocks. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** DuckDB recomputes the identical signatures (same md5-halves base
     * hashes, same rotation-XOR slot family via the same positive-long
@@ -827,13 +850,16 @@ object Dedup {
     // already converged before the first propagation round — rounds are
     // then only needed for chains that thread through multiple shingles.
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    // persisted: read by both sides of the edge self-join and the label
-    // seeding — without it the shingle explode + window pipeline runs
-    // three times per invocation.
+    // materialized ONCE (eager localCheckpoint — was persist() through
+    // r18): read by both sides of the edge self-join and the label
+    // seeding; without it the shingle explode + window pipeline runs
+    // three times per invocation, and as a CACHED subtree under AQE each
+    // consumer re-planned it into extra zero-work stage jobs (the
+    // minhashLshFrom finding, same round).
     val rare = sh.withColumn("nd", count(lit(1)).over(wsh))
       .withColumn("bucket_min", min(col("doc_id")).over(wsh))
       .filter(col("nd").between(2, 3)).drop("nd")
-      .persist()
+      .localCheckpoint(true)
     // No edge dedup: a pair sharing k rare shingles appears k times, and
     // min-label propagation is idempotent under duplicate edges — a
     // distinct() here would be a full shuffle of the edge table spent
@@ -863,12 +889,12 @@ object Dedup {
     // — so the per-round join never re-shuffles the edge table.
     val sym = edgesCk.union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(nParts, col("dst")).transform(ck.mark(_))
-    // labels stays EAGER: rare.unpersist() below requires both of rare's
+    // labels stays EAGER: the release below requires both of rare's
     // consumers materialized, and labels is the last one (sym reads the
     // already-counted edgesCk blocks, so its lazy mark is safe)
     var labels = ck(rare.groupBy(col("doc_id")).agg(min(col("bucket_min")).as("lab"))
       .repartition(nParts, col("doc_id")))
-    rare.unpersist() // both consumers are materialized
+    releaseLocalCheckpoint(rare) // both consumers are materialized
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
