@@ -165,6 +165,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"bench file write failed: $e") }
+    // FINAL stdout line (r19 verdict #2): the driver captures only a ~2 kB
+    // stdout tail, and the 218-query per-query line above is ~15 kB — so
+    // the tail ends mid-dict and the driver's bench comparison parses
+    // nothing. Emit a compact (<500 B) one-line JSON LAST with the headline
+    // numbers and a pointer to the full artifact; the per-query line above
+    // is unchanged (additions only, old consumers keep working).
+    val compact = s"""{"total":$total,"n":${results.size},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,"artifact":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -27,8 +27,39 @@ object Tables {
     spark
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    withNanosAsLong(spark).read.parquet(s"$dir/$name.parquet")
+  /** Parquet schema memo keyed on (absolute path, mtime, length).
+    *
+    * Every `spark.read.parquet(path)` without a user schema runs a
+    * footer-inference Spark JOB before the query's own jobs — measured
+    * ~30-45 ms each at local[32], and a single registered query issues up
+    * to 12 table reads (ann_recall), so inference alone was ~0.4 s of its
+    * 1.7 s. The fixture files are immutable within a run, so the schema
+    * is inferred ONCE per file and later reads pass it explicitly
+    * (`.schema(...)` skips inference entirely). The (mtime, length) tag
+    * invalidates the memo if a fixture is regenerated in-session
+    * (GenScale). This memoizes METADATA only — never rows, never query
+    * results; every read still scans the parquet (the no-cross-run-
+    * caching rule is about data, and data is not cached here).
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val ss = withNanosAsLong(spark)
+    if (!f.isFile) ss.read.parquet(f.getPath) // directory-shaped input: infer
+    else {
+      val key = (f.getAbsolutePath, f.lastModified(), f.length())
+      val known = schemaMemo.get(key)
+      if (known != null) ss.read.schema(known).parquet(f.getPath)
+      else {
+        val df = ss.read.parquet(f.getPath)
+        schemaMemo.put(key, df.schema)
+        df
+      }
+    }
+  }
 
   /** Scale-adaptive scan widening (optimization guide §2.5, "input skew:
     * one huge unsplittable file → repartition immediately after the
@@ -46,23 +77,60 @@ object Tables {
     * defense. Apply it only under provably expensive per-row pipelines:
     * for a cheap projection the added exchange costs more than the
     * serial scan. */
-  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
-    val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  /** Default [[widenedBy]] cost class: per-row work heavy enough that a
+    * task earns its ~10-30 ms launch+binary overhead on a few tens of KB
+    * of input (md5 shingling over every token, image/audio codec
+    * kernels). The r19 pinned-`defaultParallelism` width was measured as
+    * a REGRESSION at 32 cores for the LIGHTER window pipelines
+    * (dedup_substring_*, dedup_winnow): 32 tasks of ~20 k rows each cost
+    * more than they parallelize (r19 verdict #1) — hence the size cap. */
+  val WidenHeavyBytesPerTask: Long = 16L << 10
 
-  /** Keyed variant of [[widened]]: hash-distributes on `keys`, so a
-    * downstream aggregation or window clustered on (a superset of)
-    * `keys` reuses this ONE exchange instead of adding its own — the
-    * widening shuffle and the operator's shuffle collapse into one
-    * (guide §2.4 "two operations keyed the same way share one
-    * exchange"). The explicit partition count pins the stage width
-    * against AQE's byte-based coalescing, which under-parallelizes
-    * CPU-dense small-byte stages (image encode/decode, md5 hashing:
-    * measured 2 tasks on a 2.3 MB shuffle at local[32]). */
-  def widenedBy(df: DataFrame, keys: Column*): DataFrame = {
+  /** Lighter cost class (one md5 per exploded token, plain window
+    * partials): wider slices per task, so small inputs stay at a width
+    * their row count supports. */
+  val WidenLightBytesPerTask: Long = 64L << 10
+
+  /** Keyed scan widening with a DATA-SIZE CAP (r19 verdict #1):
+    * hash-distributes on `keys`, so a downstream aggregation or window
+    * clustered on (a superset of) `keys` reuses this ONE exchange
+    * instead of adding its own — the widening shuffle and the operator's
+    * shuffle collapse into one (guide §2.4 "two operations keyed the
+    * same way share one exchange"). The explicit partition count pins
+    * the stage width against AQE's byte-based coalescing, which
+    * under-parallelizes CPU-dense small-byte stages (image
+    * encode/decode, md5 hashing: measured 2 tasks on a 2.3 MB shuffle
+    * at local[32]) — but a PINNED width must not exceed what the input
+    * size supports, so the width is `min(defaultParallelism,
+    * plan-stat bytes / bytesPerTask)`, never below the scan's own
+    * width. `bytesPerTask` is the call site's cost class
+    * ([[WidenHeavyBytesPerTask]] / [[WidenLightBytesPerTask]]).
+    *
+    * Precondition (kept cheap on purpose): `df` must be SCAN-ROOTED — a
+    * bare table read plus narrow projections/filters, no upstream
+    * exchange — so that `df.rdd.getNumPartitions` (which builds a second
+    * QueryExecution) plans only the leaf scan and materializes nothing;
+    * every call site in this repo passes the raw fixture scan. The size
+    * estimate reads the optimized plan's stats (file length scaled by
+    * projections) — no job, no footer I/O.
+    *
+    * On a production layout (files/row groups ≥ cores) the
+    * `cur >= p` guard is false-path free: NO shuffle is inserted — this
+    * is the unsplittable-input defense (guide §2.5), not a local-only
+    * constant. */
+  def widenedBy(df: DataFrame, keys: Column*): DataFrame =
+    widenedBy(df, WidenHeavyBytesPerTask, keys: _*)
+
+  def widenedBy(df: DataFrame, bytesPerTask: Long, keys: Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+    val cur = df.rdd.getNumPartitions
+    if (cur >= p) df
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byData = (bytes / bytesPerTask).toLong + 1
+      val width = math.max(cur.toLong, math.min(p.toLong, byData)).toInt
+      if (width <= cur) df else df.repartition(width, keys: _*)
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

@@ -1207,7 +1207,11 @@ object Dedup {
     // keyed on doc_id, the lead()-window's required distribution is
     // already satisfied, so the widening exchange REPLACES the window's
     // own rather than adding one. No-op at production scan widths.
-    val tok = graft.Tables.widenedBy(df, col("doc_id"))
+    // LIGHT cost class (r19 verdict #1): one md5 per token plus window
+    // partials — the r19 pinned-defaultParallelism width regressed at 32
+    // cores (warm A/B: capped 1.08 s vs pinned 3.26 vs unwidened 1.50).
+    val tok = graft.Tables.widenedBy(df,
+      graft.Tables.WidenLightBytesPerTask, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= SpanK)
       .select(col("doc_id"), posexplode(col("toks")))
@@ -1541,7 +1545,11 @@ object Dedup {
     // and the single-file fixture scans as ONE partition; the winnowing
     // window is doc_id-clustered, so the widening exchange replaces the
     // window's own. No-op at production scan widths.
-    graft.Tables.widenedBy(docs, col("doc_id"))
+    // LIGHT cost class (r19 verdict #1): one md5 per gram + a running
+    // min window — pinned full width regressed at 32 cores (warm A/B:
+    // capped 1.10 s vs pinned 2.86 vs unwidened 1.40).
+    graft.Tables.widenedBy(docs,
+      graft.Tables.WidenLightBytesPerTask, col("doc_id"))
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= lit("")).as("tk"))
       .where(size(col("tk")) >= WinnowK)
